@@ -1,0 +1,232 @@
+"""The reference's SQL surface, Spark-first (SURVEY §2.1-§2.3, §2.5).
+
+Covers the seven SQL statements the reference issues against Postgres
+(reference ``flows/main_flow.py:67,120,153,235,317,335,575``) plus the
+scalar-function surface (P2/P8/P9/P10). Everything is a declarative DataFrame
+plan: predicates and the 4-column projection reach the parquet scan
+(PushedFilters / ReadSchema), aggregations are partial-then-final hash aggs,
+and nothing leaves the JVM.
+
+Shared literals: the incremental watermark and the IN-list of target indexes
+are fixed so the DuckDB oracle can embed the identical values.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from prefect_flow_arc_indexer_spark.plans.registry import register
+from prefect_flow_arc_indexer_spark.sources.parquet import (
+    IDX_DOCS_CTE,
+    index_documents,
+)
+
+# Inclusive CDC watermark (reference semantics: `updated_at >= last_modified`,
+# flows/main_flow.py:322 — note >=, not >). Mid-range for the test window.
+WATERMARK = "2024-01-15 00:00:00"
+
+# The `or_ids`-style target list (reference flows/main_flow.py:321,339).
+TARGET_INDEXES = ("click", "purchase", "signup")
+
+PROBE_INDEX = "click"
+
+_IN_LIST = ", ".join(f"'{x}'" for x in TARGET_INDEXES)
+
+
+@register(
+    "q_distinct_indexes",
+    oracle=f"""WITH {IDX_DOCS_CTE}
+SELECT DISTINCT "index" FROM index_documents WHERE "index" IS NOT NULL
+""",
+    doc="A1: SELECT DISTINCT index WHERE index IS NOT NULL "
+    "(reference flows/main_flow.py:120-125)",
+)
+def q_distinct_indexes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        index_documents(spark, sf_dir)
+        .where(F.col("index").isNotNull())
+        .select("index")
+        .distinct()
+    )
+
+
+@register(
+    "q_index_order",
+    oracle=f"""WITH {IDX_DOCS_CTE}
+SELECT "index", count(id) AS doc_count
+  FROM index_documents
+ WHERE "index" IN ({_IN_LIST})
+ GROUP BY "index"
+ ORDER BY doc_count ASC, "index" ASC
+""",
+    doc="A2+O1: size-ordered work queue — GROUP BY index ORDER BY count ASC "
+    "(reference flows/main_flow.py:153-160). Flagship query.",
+)
+def q_index_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        index_documents(spark, sf_dir)
+        .where(F.col("index").isin(*TARGET_INDEXES))
+        .groupBy("index")
+        .agg(F.count("id").alias("doc_count"))
+        .orderBy(F.col("doc_count").asc(), F.col("index").asc())
+    )
+
+
+@register(
+    "q_count_active",
+    oracle=f"""WITH {IDX_DOCS_CTE}
+SELECT count(id) AS active_count
+  FROM index_documents
+ WHERE "index" = '{PROBE_INDEX}' AND NOT is_deleted
+""",
+    doc="A3: live-doc count per index (reference flows/main_flow.py:235-248)",
+)
+def q_count_active(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        index_documents(spark, sf_dir)
+        .where((F.col("index") == PROBE_INDEX) & ~F.col("is_deleted"))
+        .agg(F.count("id").alias("active_count"))
+    )
+
+
+@register(
+    "q_count_updated",
+    oracle=f"""WITH {IDX_DOCS_CTE}
+SELECT count(id) AS updated_count
+  FROM index_documents
+ WHERE "index" = '{PROBE_INDEX}' AND updated_at >= TIMESTAMP '{WATERMARK}'
+""",
+    doc="A4: changed-rows count gating skip-if-zero "
+    "(reference flows/main_flow.py:575-581); inclusive >= watermark (T2)",
+)
+def q_count_updated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        index_documents(spark, sf_dir)
+        .where(
+            (F.col("index") == PROBE_INDEX)
+            & (F.col("updated_at") >= F.lit(WATERMARK).cast("timestamp"))
+        )
+        .agg(F.count("id").alias("updated_count"))
+    )
+
+
+@register(
+    "q_full_select",
+    oracle=f"""WITH {IDX_DOCS_CTE}
+SELECT "index", id, document, is_deleted
+  FROM index_documents
+ WHERE "index" IN ({_IN_LIST}) AND NOT is_deleted
+""",
+    doc="S1+P1/P4/P5: full-sync scan — 4-col projection, IN + NOT is_deleted "
+    "(reference flows/main_flow.py:335-348)",
+)
+def q_full_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        index_documents(spark, sf_dir)
+        .where(F.col("index").isin(*TARGET_INDEXES) & ~F.col("is_deleted"))
+        .select("index", "id", "document", "is_deleted")
+    )
+
+
+@register(
+    "q_incremental_select",
+    oracle=f"""WITH {IDX_DOCS_CTE}
+SELECT "index", id, document, is_deleted
+  FROM index_documents
+ WHERE "index" IN ({_IN_LIST}) AND updated_at >= TIMESTAMP '{WATERMARK}'
+""",
+    doc="S2+P7: incremental scan, tombstones included, inclusive watermark "
+    "(reference flows/main_flow.py:316-333)",
+)
+def q_incremental_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        index_documents(spark, sf_dir)
+        .where(
+            F.col("index").isin(*TARGET_INDEXES)
+            & (F.col("updated_at") >= F.lit(WATERMARK).cast("timestamp"))
+        )
+        .select("index", "id", "document", "is_deleted")
+    )
+
+
+@register(
+    "q_json_extract",
+    oracle=f"""WITH {IDX_DOCS_CTE}
+SELECT id, json_extract_string(document, '$.k') AS schema_name
+  FROM index_documents
+ WHERE "index" = '{PROBE_INDEX}'
+""",
+    doc="P2: JSONB path extraction document->'..'->>'..' "
+    "(reference flows/main_flow.py:69); '$.k' plays schema_maintainer.schema_name",
+)
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        index_documents(spark, sf_dir)
+        .where(F.col("index") == PROBE_INDEX)
+        .select(
+            "id",
+            F.get_json_object("document", "$.k").alias("schema_name"),
+        )
+    )
+
+
+@register(
+    "q_lower_ids",
+    oracle=f"""WITH {IDX_DOCS_CTE}
+SELECT DISTINCT lower("index") AS or_id
+  FROM index_documents
+ WHERE "index" IS NOT NULL
+""",
+    doc="P8: or_id lowercasing (reference flows/main_flow.py:640)",
+)
+def q_lower_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        index_documents(spark, sf_dir)
+        .where(F.col("index").isNotNull())
+        .select(F.lower("index").alias("or_id"))
+        .distinct()
+    )
+
+
+@register(
+    "q_index_name",
+    oracle=f"""WITH {IDX_DOCS_CTE}
+SELECT id,
+       concat("index", '_', strftime(updated_at, '%Y-%m-%dt%H.%M.%S')) AS index_generation
+  FROM index_documents
+ WHERE "index" IN ({_IN_LIST})
+""",
+    doc="P9: index-generation naming f'{index}_{ts}' with the reference's "
+    "'%Y-%m-%dt%H.%M.%S' format (reference flows/main_flow.py:182,647)",
+)
+def q_index_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        index_documents(spark, sf_dir)
+        .where(F.col("index").isin(*TARGET_INDEXES))
+        .select(
+            "id",
+            F.concat_ws(
+                "_",
+                "index",
+                F.date_format("updated_at", "yyyy-MM-dd't'HH.mm.ss"),
+            ).alias("index_generation"),
+        )
+    )
+
+
+@register(
+    "q_doc_charlen",
+    oracle=f"""WITH {IDX_DOCS_CTE}
+SELECT id, length(document) AS doc_chars
+  FROM index_documents
+ WHERE "index" = '{PROBE_INDEX}'
+""",
+    doc="P10: document payload char length (len(json.dumps(..)) probe, "
+    "reference flows/main_flow.py:372-376)",
+)
+def q_doc_charlen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        index_documents(spark, sf_dir)
+        .where(F.col("index") == PROBE_INDEX)
+        .select("id", F.length("document").alias("doc_chars"))
+    )

@@ -1,0 +1,86 @@
+"""Parquet table loaders for the test star schema, plus the logical
+``index_documents`` view that stands in for the reference's Postgres source
+table (``graph.index_documents``, reference ``flows/main_flow.py:607``).
+
+The stand-in mapping (documented in repo FIXTURES.md §C) is::
+
+    index      <- events.event_type        (low-cardinality routing key)
+    id         <- CAST(events.event_id AS STRING)
+    document   <- events.props             (JSON string payload)
+    is_deleted <- events.event_id % 13 = 0 (deterministic tombstone mix;
+                  events.value is never negative and props has no 'deleted'
+                  key, so FIXTURES' two candidate derivations would both be
+                  constant-false — this one exercises both branches)
+    updated_at <- events.ts                (CDC watermark column)
+
+Everything here is expressed so Catalyst can push projection + predicates to
+the parquet scan; the view is a select, never a materialization.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one star-schema table; normalizes events' nano timestamps.
+
+    events.parquet stores TIMESTAMP(NANOS); Spark reads it as long (via the
+    nanosAsLong conf applied in session.prepare_session) and we convert to a
+    microsecond TimestampType — the same truncation DuckDB applies, keeping
+    the oracle comparison exact.
+    """
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn(
+            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("bigint"))
+        )
+    return df
+
+
+def index_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's source table as a logical view over ``events``.
+
+    Mirrors the 5-column schema implied by reference ``flows/main_flow.py``
+    (index text / id text / document jsonb / is_deleted bool / updated_at
+    timestamptz — see SURVEY §1.1).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        F.col("event_type").alias("index"),
+        F.col("event_id").cast("string").alias("id"),
+        F.col("props").alias("document"),
+        ((F.col("event_id") % 13) == 0).alias("is_deleted"),
+        F.col("ts").alias("updated_at"),
+    )
+
+
+# DuckDB CTE encoding the identical view for oracle SQL; every oracle that
+# touches the reference surface starts with `WITH {IDX_DOCS_CTE} ...`.
+IDX_DOCS_CTE = """index_documents AS (
+  SELECT event_type AS "index",
+         CAST(event_id AS VARCHAR) AS id,
+         props AS document,
+         (event_id % 13 = 0) AS is_deleted,
+         ts AS updated_at
+    FROM events
+)"""

@@ -1,0 +1,104 @@
+"""Local replica of the driver's correctness gate.
+
+Runs every registered query on Spark and its DuckDB oracle on the same
+parquet dir, then compares row count, column names, and an order-insensitive
+value hash (columns sorted by name, rows sorted, values stringified with
+float canonicalization). Run:
+
+    python scripts/selfcheck.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import duckdb
+
+from prefect_flow_arc_indexer_spark.plans import all_queries
+from prefect_flow_arc_indexer_spark.session import get_spark
+from prefect_flow_arc_indexer_spark.sources.parquet import TABLES
+
+
+def _canon(v) -> str:
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return repr(v)
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(_canon(x) for x in v) + "]"
+    return str(v)
+
+
+def frame_signature(cols: list[str], rows: list[tuple]) -> tuple[int, list[str], str]:
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    lines = sorted(
+        "\x1f".join(_canon(row[i]) for i in order) for row in rows
+    )
+    h = hashlib.sha256("\n".join(lines).encode()).hexdigest()[:16]
+    return len(rows), sorted(cols), h
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    spark = get_spark("selfcheck")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+
+    failures = 0
+    for name, rq in sorted(all_queries().items()):
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = rq.builder(spark, sf_dir)
+            srows = [tuple(r) for r in sdf.collect()]
+            scols = sdf.columns
+            ssig = frame_signature(scols, srows)
+        except Exception as e:
+            print(f"FAIL  {name}: spark error: {e}")
+            failures += 1
+            continue
+        if rq.oracle is None:
+            print(f"ok    {name}: rows-only ({ssig[0]} rows, {time.time()-t0:.1f}s)")
+            continue
+        try:
+            res = con.execute(rq.oracle)
+            dcols = [d[0] for d in res.description]
+            drows = res.fetchall()
+            dsig = frame_signature(dcols, drows)
+        except Exception as e:
+            print(f"FAIL  {name}: duckdb error: {e}")
+            failures += 1
+            continue
+        if ssig == dsig:
+            print(f"ok    {name}: {ssig[0]} rows match ({time.time()-t0:.1f}s)")
+        else:
+            failures += 1
+            print(f"FAIL  {name}:")
+            print(f"      spark  rows={ssig[0]} cols={ssig[1]} hash={ssig[2]}")
+            print(f"      duckdb rows={dsig[0]} cols={dsig[1]} hash={dsig[2]}")
+            if ssig[0] and dsig[0] and ssig[0] < 50 and dsig[0] < 50:
+                print(f"      spark sample: {srows[:3]}")
+                print(f"      duck  sample: {drows[:3]}")
+    spark.stop()
+    print("FAILURES:", failures)
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
