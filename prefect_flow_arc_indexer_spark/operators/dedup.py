@@ -1,1 +1,370 @@
-"""Placeholder — populated in a later milestone."""
+"""Deduplication operators over the ``documents`` / ``embeddings`` tables —
+the training-data-pipeline extension surface (north star; not present in the
+reference, which has no document-similarity notion).
+
+Five families, each scale-minded:
+
+- **exact**: content-hash groupBy — one shuffle on a 64-hex key; at 100 TB
+  this is the classic first pass (hash is computed scan-side, only the hash +
+  id shuffle).
+- **MinHash + LSH**: shingle -> 16-permutation MinHash signature -> 4 bands
+  of 4 -> bucket self-join. The join key is (band_id, band_key), so candidate
+  generation never compares all pairs — cost is bucket-local. Skew guard: a
+  degenerate bucket (e.g. empty-text docs) would explode quadratically; AQE
+  skew-join handles moderate cases and the shingle filter drops empty docs.
+- **SimHash**: 28-bit fingerprint via per-bit majority vote, computed in a
+  single aggregation (28 conditional sums) — one shuffle, no explode.
+- **n-gram Jaccard**: exact Jaccard over 3-gram shingle sets for *blocked*
+  pairs (same source, nearby ids) via a shingle equi-join — intersection
+  counts flow through one shuffle on the shingle hash.
+- **embedding cosine near-dup**: same-label blocking join + JVM-side cosine.
+
+All hashes go through ``functions.hashing.stable_hash`` (md5-derived) so the
+DuckDB oracles replicate values bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+
+from prefect_flow_arc_indexer_spark.functions.hashing import (
+    HASH_PRIME,
+    MINHASH_COEFFS,
+    dd_stable_hash,
+    minhash_perm,
+    stable_hash,
+)
+from prefect_flow_arc_indexer_spark.functions.textfns import (
+    dd_tokens,
+    dd_word_ngrams,
+    tokens,
+    word_ngrams,
+)
+from prefect_flow_arc_indexer_spark.functions.vectors import (
+    cosine_similarity,
+    dd_cosine_similarity,
+)
+from prefect_flow_arc_indexer_spark.plans.registry import register
+from prefect_flow_arc_indexer_spark.sources.parquet import load_table
+
+N_PERM = 16
+N_BANDS = 4
+ROWS_PER_BAND = N_PERM // N_BANDS
+SHINGLE_N = 3
+SIMHASH_BITS = 28
+COSINE_DUP_THRESHOLD = 0.3  # same-label random pairs top out ~0.47
+JACCARD_BLOCK_ID_DIST = 20
+
+
+# --------------------------------------------------------------------------
+# exact dedup
+# --------------------------------------------------------------------------
+@register(
+    "q_dedup_exact",
+    oracle="""
+SELECT sha256(text) AS text_sha,
+       count(*) AS dup_count,
+       min(doc_id) AS keeper_doc_id
+  FROM documents
+ GROUP BY sha256(text)
+""",
+    doc="exact dedup: content-hash groups with keeper selection "
+    "(min doc_id); groups with dup_count>1 are the duplicates",
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "documents")
+        .groupBy(F.sha2("text", 256).alias("text_sha"))
+        .agg(
+            F.count("*").alias("dup_count"),
+            F.min("doc_id").alias("keeper_doc_id"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH
+# --------------------------------------------------------------------------
+def _shingle_hashes(docs: DataFrame) -> DataFrame:
+    """(doc_id, h): stable hash of each distinct word-3-gram shingle."""
+    tok = tokens(F.col("text"))
+    return (
+        docs.select(
+            "doc_id", F.explode(word_ngrams(tok, SHINGLE_N)).alias("s")
+        )
+        .distinct()
+        .select("doc_id", stable_hash(F.col("s")).alias("h"))
+    )
+
+
+def minhash_signature(docs: DataFrame) -> DataFrame:
+    """(doc_id, m0..m15): MinHash signature over shingle hashes."""
+    h = _shingle_hashes(docs)
+    return h.groupBy("doc_id").agg(
+        *[
+            F.min(minhash_perm(F.col("h"), i)).alias(f"m{i}")
+            for i in range(N_PERM)
+        ]
+    )
+
+
+def lsh_candidate_pairs(sig: DataFrame) -> DataFrame:
+    """Band the signature and self-join buckets -> candidate (doc_a, doc_b)."""
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band_id"),
+            F.concat_ws(
+                "_",
+                *[F.col(f"m{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)],
+            ).alias("band_key"),
+        )
+        for b in range(N_BANDS)
+    ]
+    buckets = sig.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("bk")
+    ).select("doc_id", "bk.band_id", "bk.band_key")
+    a, b = buckets.alias("a"), buckets.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+def _dd_shingle_cte() -> str:
+    return f"""toks AS (
+  SELECT doc_id, {dd_tokens("text")} AS tok FROM documents
+),
+shingles AS (
+  SELECT DISTINCT doc_id, unnest({dd_word_ngrams("tok", SHINGLE_N)}) AS s FROM toks
+),
+hashes AS (
+  SELECT doc_id, {dd_stable_hash("s")} AS h FROM shingles
+)"""
+
+
+def _dd_minhash_sql() -> str:
+    mins = ",\n         ".join(
+        f"min((h * {a} + {b}) % {HASH_PRIME}) AS m{i}"
+        for i, (a, b) in enumerate(MINHASH_COEFFS)
+    )
+    bands = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, {b} AS band_id, concat_ws('_', "
+        + ", ".join(f"m{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND))
+        + ") AS band_key FROM sig"
+        for b in range(N_BANDS)
+    )
+    return f"""WITH {_dd_shingle_cte()},
+sig AS (
+  SELECT doc_id,
+         {mins}
+    FROM hashes GROUP BY doc_id
+),
+buckets AS (
+{bands}
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM buckets a
+  JOIN buckets b
+    ON a.band_id = b.band_id AND a.band_key = b.band_key
+   AND a.doc_id < b.doc_id
+"""
+
+
+@register(
+    "q_dedup_minhash",
+    oracle=_dd_minhash_sql(),
+    doc="MinHash(16 perms)+LSH(4 bands x 4): candidate near-dup pairs from "
+    "band-bucket self-join over word-3-gram shingles",
+)
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return lsh_candidate_pairs(minhash_signature(docs))
+
+
+# --------------------------------------------------------------------------
+# SimHash
+# --------------------------------------------------------------------------
+def simhash_fingerprints(docs: DataFrame) -> DataFrame:
+    """(doc_id, simhash): 28-bit SimHash over distinct word unigrams,
+    computed as one aggregation (28 conditional sums, no explode)."""
+    tok_hashes = (
+        docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("w"))
+        .distinct()
+        .select("doc_id", stable_hash(F.col("w")).alias("h"))
+    )
+    votes = [
+        F.sum(
+            F.when(F.shiftright("h", b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+    per_doc = tok_hashes.groupBy("doc_id").agg(*votes)
+    fp: Column = reduce(
+        lambda acc, b: acc
+        + F.when(F.col(f"v{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0)),
+        range(SIMHASH_BITS),
+        F.lit(0).cast("bigint"),
+    )
+    return per_doc.select("doc_id", fp.alias("simhash"))
+
+
+def _dd_simhash_sql() -> str:
+    votes = " + ".join(
+        f"(CASE WHEN sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) > 0 "
+        f"THEN {1 << b} ELSE 0 END)"
+        for b in range(SIMHASH_BITS)
+    )
+    return f"""WITH toks AS (
+  SELECT doc_id, {dd_tokens("text")} AS tok FROM documents
+),
+words AS (
+  SELECT DISTINCT doc_id, unnest(tok) AS w FROM toks
+),
+hashes AS (
+  SELECT doc_id, {dd_stable_hash("w")} AS h FROM words
+)
+SELECT doc_id, CAST({votes} AS BIGINT) AS simhash
+  FROM hashes GROUP BY doc_id
+"""
+
+
+@register(
+    "q_dedup_simhash",
+    oracle=_dd_simhash_sql(),
+    doc="SimHash: 28-bit per-doc fingerprint via per-bit majority vote over "
+    "word-unigram hashes; near-dups share fingerprints within small Hamming "
+    "distance",
+)
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash_fingerprints(load_table(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# n-gram Jaccard
+# --------------------------------------------------------------------------
+@register(
+    "q_ngram_jaccard",
+    oracle=f"""WITH {_dd_shingle_cte()},
+sizes AS (
+  SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id
+),
+meta AS (
+  SELECT doc_id, source FROM documents
+),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+    FROM shingles a
+    JOIN shingles b ON a.s = b.s AND a.doc_id < b.doc_id
+    JOIN meta ma ON ma.doc_id = a.doc_id
+    JOIN meta mb ON mb.doc_id = b.doc_id
+   WHERE ma.source = mb.source
+     AND b.doc_id - a.doc_id <= {JACCARD_BLOCK_ID_DIST}
+   GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b,
+       round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS jaccard
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+""",
+    doc="n-gram Jaccard: exact 3-gram-shingle Jaccard for blocked pairs "
+    "(same source, id distance <= 20) via shingle equi-join; pairs with "
+    "zero overlap are omitted by construction",
+)
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sh = (
+        docs.select(
+            "doc_id",
+            "source",
+            F.explode(word_ngrams(tokens(F.col("text")), SHINGLE_N)).alias("s"),
+        )
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (
+                F.col("b.doc_id") - F.col("a.doc_id")
+                <= JACCARD_BLOCK_ID_DIST
+            ),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("i"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").alias("sa"), "doc_a")
+        .join(
+            sizes.withColumnRenamed("doc_id", "doc_b")
+            .withColumnRenamed("n", "nb")
+            .alias("sb"),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("i").cast("double")
+                / (F.col("n") + F.col("nb") - F.col("i")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# embedding cosine near-dup
+# --------------------------------------------------------------------------
+@register(
+    "q_dedup_embedding",
+    oracle=f"""WITH e AS (
+  SELECT vec_id, label, embedding FROM embeddings
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round({dd_cosine_similarity("a.embedding", "b.embedding")}, 6) AS cos_sim
+  FROM e a
+  JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+ WHERE round({dd_cosine_similarity("a.embedding", "b.embedding")}, 6) >= {COSINE_DUP_THRESHOLD}
+""",
+    doc="embedding near-dup: same-label blocking join + cosine >= "
+    f"{COSINE_DUP_THRESHOLD}; labels play the coarse-quantization cell a "
+    "production pipeline would get from clustering",
+)
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", "embedding"
+    )
+    a, b = e.alias("a"), e.alias("b")
+    cos = F.round(
+        cosine_similarity(F.col("a.embedding"), F.col("b.embedding")), 6
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            cos.alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= COSINE_DUP_THRESHOLD)
+    )

@@ -1,1 +1,125 @@
-"""Placeholder — populated in a later milestone."""
+"""General relational analytics over the TPC-H-style tables — the engine's
+bench-headline queries. The reference surface never joins two real tables
+(SURVEY §2.4: ABSENT); these queries prove the engine handles the classic
+warehouse shapes (multi-way equi-joins, grouped aggregation over the fact
+table, correlated top-k) with plans that hold at 100 TB:
+
+- dimension joins are broadcast (region/nation/customer-side filters cut the
+  build side first);
+- fact-table aggregations are partial-then-final hash aggs over the scan;
+- money sums go through DECIMAL(18,2) so the result is order-independent
+  (double partial-agg order would otherwise drift vs the oracle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from prefect_flow_arc_indexer_spark.plans.registry import register
+from prefect_flow_arc_indexer_spark.sources.parquet import load_table
+
+SHIP_CUTOFF = "1998-09-01"
+
+
+def _dec(col):
+    return F.col(col).cast("decimal(18,2)") if isinstance(col, str) else col
+
+
+@register(
+    "q_pricing_summary",
+    oracle=f"""SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+       count(*) AS count_order
+  FROM lineitem
+ WHERE l_shipdate <= TIMESTAMP '{SHIP_CUTOFF} 00:00:00'
+ GROUP BY l_returnflag, l_linestatus
+""",
+    doc="pricing summary (TPC-H Q1 shape): scan-heavy grouped agg over the "
+    "fact table; decimal sums for engine-stable results",
+)
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit(f"{SHIP_CUTOFF} 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount")))
+            .cast("double")
+            .alias("sum_disc_price"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@register(
+    "q_market_revenue",
+    oracle="""SELECT n.n_name AS nation,
+       c.c_mktsegment AS mktsegment,
+       CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+       count(*) AS n_orders
+  FROM orders o
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+ WHERE o.o_orderstatus = 'F'
+ GROUP BY n.n_name, c.c_mktsegment
+""",
+    doc="multi-way equi-join + agg: orders x customer x nation revenue per "
+    "nation/segment; dimensions broadcast",
+)
+def q_market_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderstatus") == "F"
+    )
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.col("c_mktsegment").alias("mktsegment"),
+        )
+        .agg(
+            F.sum(_dec("o_totalprice")).cast("double").alias("revenue"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+@register(
+    "q_top_parts_by_supplier",
+    oracle="""WITH per AS (
+  SELECT l_suppkey, l_partkey,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+    FROM lineitem
+   GROUP BY l_suppkey, l_partkey
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY l_suppkey
+                               ORDER BY revenue DESC, l_partkey ASC) AS rank
+    FROM per
+)
+SELECT l_suppkey, l_partkey, revenue, rank FROM ranked WHERE rank <= 3
+""",
+    doc="correlated top-k: top-3 parts per supplier by discounted revenue "
+    "(two-level agg + window; the agg pre-shrinks the window input)",
+)
+def q_top_parts_by_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    per = li.groupBy("l_suppkey", "l_partkey").agg(
+        F.sum(_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount")))
+        .cast("double")
+        .alias("revenue")
+    )
+    w = Window.partitionBy("l_suppkey").orderBy(
+        F.col("revenue").desc(), F.col("l_partkey").asc()
+    )
+    return (
+        per.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("l_suppkey", "l_partkey", "revenue", "rank")
+    )

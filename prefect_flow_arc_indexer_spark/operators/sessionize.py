@@ -1,1 +1,102 @@
-"""Placeholder — populated in a later milestone."""
+"""Event-time windowing over ``events`` — streaming-shaped semantics run in
+batch (the reference's incremental sync is CDC-by-watermark, SURVEY §2.6;
+these operators add the event-time window surface it lacks).
+
+- `q_session_window`: per-user session windows with a 30-minute inactivity
+  gap via Spark's native ``session_window`` aggregation. The DuckDB oracle
+  replicates the semantics with gaps-and-islands SQL (lag -> boundary flag ->
+  running sum), pinning down the boundary rule: an event exactly ``gap``
+  after its predecessor MERGES into the session (Spark treats the session
+  end ``last_event + gap`` as inclusive for the next event; verified by
+  test_session_window_gap_semantics).
+- `q_events_hourly`: tumbling 1-hour windows per event type (watermarked
+  windowed agg in the streaming variant — see ``streaming/``).
+
+Money-style double sums go through DECIMAL(18,2) so partial-aggregation
+order can't produce float drift between engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from prefect_flow_arc_indexer_spark.plans.registry import register
+from prefect_flow_arc_indexer_spark.sources.parquet import load_table
+
+SESSION_GAP = "30 minutes"
+
+
+@register(
+    "q_session_window",
+    oracle="""WITH flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_session
+    FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+sessions AS (
+  SELECT user_id, ts, value,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS session_seq
+    FROM flagged
+)
+SELECT user_id,
+       epoch_us(min(ts)) AS session_start_us,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+  FROM sessions
+ GROUP BY user_id, session_seq
+""",
+    doc="sessionization: per-user 30-min-gap session windows "
+    "(session_window agg; oracle = gaps-and-islands SQL)",
+)
+def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", SESSION_GAP))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_micros("session_window.start").alias("session_start_us"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@register(
+    "q_events_hourly",
+    oracle="""SELECT event_type,
+       epoch_us(date_trunc('hour', ts)) AS hour_start_us,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+  FROM events
+ GROUP BY event_type, date_trunc('hour', ts)
+""",
+    doc="tumbling 1-hour event-time windows per event type (batch form of "
+    "the watermarked streaming agg in streaming/jobs.py)",
+)
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type", F.window("ts", "1 hour"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            "event_type",
+            F.unix_micros("window.start").alias("hour_start_us"),
+            "n_events",
+            "total_value",
+        )
+    )

@@ -1,1 +1,163 @@
-"""Placeholder — populated in a later milestone."""
+"""Approximate-nearest-neighbor search over the ``embeddings`` table
+(``array<float>`` column) — training-data-pipeline extension surface.
+
+Two strategies:
+
+- **brute force** (`q_knn_cosine`): query-set x corpus broadcast join, exact
+  cosine, per-query top-k via window. The baseline — and, with a small query
+  set broadcast against a huge corpus, a legitimately scalable plan: the
+  corpus is scanned once, narrow, no shuffle until the tiny top-k agg.
+- **LSH-bucketed** (`q_knn_lsh`): random-hyperplane-style sign bits (here:
+  fixed coordinate hyperplanes, so the oracle can replicate them) partition
+  the corpus into 16 buckets; each query searches only its own bucket. This
+  is the 100 TB shape: bucket id is a join key, so candidate generation is a
+  hash join instead of a cross product; recall is traded for a ~bucket-count
+  speedup. A production variant would use learned IVF centroids — the
+  dataflow (bucket -> local top-k) is identical.
+
+Cosine values are rounded to 6 decimals before ranking; ties broken by
+vec_id so results are engine-stable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from prefect_flow_arc_indexer_spark.functions.vectors import (
+    cosine_similarity,
+    dd_cosine_similarity,
+)
+from prefect_flow_arc_indexer_spark.plans.registry import register
+from prefect_flow_arc_indexer_spark.sources.parquet import load_table
+
+TOP_K = 5
+N_QUERIES = 5  # vec_id < 5 play the query set
+# Coordinate hyperplanes for the 16 LSH buckets: sign of dims 0, 8, 16, 24.
+LSH_DIMS = (0, 8, 16, 24)
+
+
+def _queries_and_corpus(spark: SparkSession, sf_dir: str):
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    q = e.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    c = e.select(F.col("vec_id").alias("neighbor_id"), "embedding")
+    return q, c
+
+
+def _topk(scored: DataFrame) -> DataFrame:
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
+@register(
+    "q_knn_cosine",
+    oracle=f"""WITH q AS (
+  SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < {N_QUERIES}
+),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         round({dd_cosine_similarity("q.q_emb", "e.embedding")}, 6) AS cos_sim
+    FROM q JOIN embeddings e ON e.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+    FROM scored
+)
+SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= {TOP_K}
+""",
+    doc="ANN baseline: brute-force cosine top-k (broadcast query set x "
+    "corpus scan, window top-k)",
+)
+def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    q, c = _queries_and_corpus(spark, sf_dir)
+    scored = (
+        c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                cosine_similarity(F.col("q_emb"), F.col("embedding")), 6
+            ).alias("cos_sim"),
+        )
+    )
+    return _topk(scored)
+
+
+def _bucket_expr(emb_col: str) -> F.Column:
+    """16-bucket LSH id: sign bits of fixed coordinates."""
+    bits = [
+        F.when(F.element_at(F.col(emb_col), d + 1) >= 0, F.lit(1 << i)).otherwise(
+            F.lit(0)
+        )
+        for i, d in enumerate(LSH_DIMS)
+    ]
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out
+
+
+def _dd_bucket(emb_expr: str) -> str:
+    return " + ".join(
+        f"(CASE WHEN ({emb_expr})[{d + 1}] >= 0 THEN {1 << i} ELSE 0 END)"
+        for i, d in enumerate(LSH_DIMS)
+    )
+
+
+@register(
+    "q_knn_lsh",
+    oracle=f"""WITH e AS (
+  SELECT vec_id, embedding, {_dd_bucket("embedding")} AS bucket FROM embeddings
+),
+q AS (
+  SELECT vec_id AS query_id, embedding AS q_emb, bucket FROM e WHERE vec_id < {N_QUERIES}
+),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         round({dd_cosine_similarity("q.q_emb", "e.embedding")}, 6) AS cos_sim
+    FROM q JOIN e ON e.bucket = q.bucket AND e.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+    FROM scored
+)
+SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= {TOP_K}
+""",
+    doc="ANN scale path: hyperplane-sign LSH buckets (16) -> bucket-local "
+    "brute force -> per-query top-k; bucket id is an equi-join key so "
+    "candidate generation is a hash join, not a cross product",
+)
+def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", _bucket_expr("embedding").alias("bucket")
+    )
+    q = e.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("bucket").alias("q_bucket"),
+    )
+    c = e.select(F.col("vec_id").alias("neighbor_id"), "embedding", "bucket")
+    scored = (
+        c.join(
+            F.broadcast(q),
+            (F.col("bucket") == F.col("q_bucket"))
+            & (F.col("neighbor_id") != F.col("query_id")),
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                cosine_similarity(F.col("q_emb"), F.col("embedding")), 6
+            ).alias("cos_sim"),
+        )
+    )
+    return _topk(scored)

@@ -1,1 +1,218 @@
-"""Placeholder — populated in a later milestone."""
+"""Text-analysis operators over ``documents`` — language ID, quality
+scoring, token counting, fingerprinting (training-data-pipeline extension
+surface; ABSENT in the reference, which never inspects document text).
+
+Everything is built-in column expressions over token arrays — no Python UDFs.
+Per-doc work is embarrassingly parallel (narrow, no shuffle), which is the
+shape you want at 100 TB: these run scan-side at wire speed.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+
+from prefect_flow_arc_indexer_spark.functions.hashing import (
+    dd_stable_hash,
+    stable_hash,
+)
+from prefect_flow_arc_indexer_spark.functions.textfns import (
+    STOPWORDS,
+    TOKEN_REGEX,
+    dd_regex_token_count,
+    dd_tokens,
+    regex_token_count,
+    tokens,
+)
+from prefect_flow_arc_indexer_spark.plans.registry import register
+from prefect_flow_arc_indexer_spark.sources.parquet import load_table
+
+FINGERPRINT_GRAM = 8
+FINGERPRINT_STRIDE = 4
+
+
+def _stopword_hits(tok: Column, words: tuple[str, ...]) -> Column:
+    """Count of tokens (with multiplicity) in a stopword list."""
+    return F.aggregate(
+        tok,
+        F.lit(0),
+        lambda acc, t: acc + F.when(t.isin(*words), 1).otherwise(0),
+    )
+
+
+def _dd_stopword_hits(tok_expr: str, words: tuple[str, ...]) -> str:
+    in_list = ", ".join(f"'{w}'" for w in words)
+    return (
+        f"coalesce(list_aggregate(list_transform({tok_expr}, "
+        f"t -> CASE WHEN t IN ({in_list}) THEN 1 ELSE 0 END), 'sum'), 0)"
+    )
+
+
+# --------------------------------------------------------------------------
+# token counting
+# --------------------------------------------------------------------------
+@register(
+    "q_token_count",
+    oracle=f"""WITH toks AS (
+  SELECT doc_id, {dd_tokens("text")} AS tok FROM documents
+)
+SELECT d.doc_id,
+       len(t.tok) AS ws_tokens,
+       {dd_regex_token_count("d.text")} AS bpe_tokens
+  FROM documents d JOIN toks t ON d.doc_id = t.doc_id
+""",
+    doc="token counting: whitespace tokens + BPE-ish regex tokens "
+    "(alnum runs / single symbols)",
+)
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(tokens(F.col("text"))).alias("ws_tokens"),
+        regex_token_count(F.col("text")).alias("bpe_tokens"),
+    )
+
+
+# --------------------------------------------------------------------------
+# quality scoring
+# --------------------------------------------------------------------------
+_EN = STOPWORDS["en"]
+
+
+@register(
+    "q_text_quality",
+    oracle=f"""WITH toks AS (
+  SELECT doc_id, text, {dd_tokens("text")} AS tok FROM documents
+)
+SELECT doc_id,
+       len(tok) AS n_tokens,
+       round(CAST(coalesce(list_aggregate(list_transform(tok, t -> length(t)), 'sum'), 0) AS DOUBLE)
+             / greatest(len(tok), 1), 6) AS avg_token_len,
+       round(CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+             / greatest(length(text), 1), 6) AS punct_ratio,
+       round(CAST({_dd_stopword_hits("tok", _EN)} AS DOUBLE)
+             / greatest(len(tok), 1), 6) AS stopword_ratio,
+       round(least(len(tok) / 100.0, 1.0)
+             * (1.0 - CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+                      / greatest(length(text), 1))
+             * (0.5 + 0.5 * CAST({_dd_stopword_hits("tok", _EN)} AS DOUBLE)
+                            / greatest(len(tok), 1)), 6) AS quality_score
+  FROM toks
+""",
+    doc="quality scoring: length/punctuation/stopword-ratio heuristics "
+    "combined into one bounded score",
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = tokens(F.col("text"))
+    n_tokens = F.size(tok)
+    denom_tok = F.greatest(n_tokens, F.lit(1))
+    char_sum = F.aggregate(
+        F.transform(tok, lambda t: F.length(t)), F.lit(0), lambda a, v: a + v
+    )
+    punct = F.length(F.regexp_replace("text", r"[A-Za-z0-9\s]", "")).cast(
+        "double"
+    ) / F.greatest(F.length("text"), F.lit(1))
+    stop_ratio = _stopword_hits(tok, _EN).cast("double") / denom_tok
+    score = (
+        F.least(n_tokens / F.lit(100.0), F.lit(1.0))
+        * (F.lit(1.0) - punct)
+        * (F.lit(0.5) + F.lit(0.5) * stop_ratio)
+    )
+    return docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        F.round(char_sum.cast("double") / denom_tok, 6).alias("avg_token_len"),
+        F.round(punct, 6).alias("punct_ratio"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(score, 6).alias("quality_score"),
+    )
+
+
+# --------------------------------------------------------------------------
+# language ID
+# --------------------------------------------------------------------------
+def _dd_lang_id_sql() -> str:
+    hits = ",\n       ".join(
+        f"{_dd_stopword_hits('tok', ws)} AS hits_{lang}"
+        for lang, ws in STOPWORDS.items()
+    )
+    langs = sorted(STOPWORDS)  # tie-break: alphabetical
+    best = "greatest(" + ", ".join(f"hits_{lang}" for lang in langs) + ")"
+    case = "CASE " + " ".join(
+        f"WHEN hits_{lang} = {best} THEN '{lang}'" for lang in langs
+    ) + " END"
+    return f"""WITH toks AS (
+  SELECT doc_id, {dd_tokens("text")} AS tok FROM documents
+),
+scored AS (
+  SELECT doc_id,
+       {hits}
+    FROM toks
+)
+SELECT doc_id, {case} AS predicted_lang, {best} AS best_hits
+  FROM scored
+"""
+
+
+@register(
+    "q_lang_id",
+    oracle=_dd_lang_id_sql(),
+    doc="language ID: stopword-hit argmax over per-language lists "
+    "(n-gram-heuristic family); alphabetical tie-break",
+)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = tokens(F.col("text"))
+    scored = docs.select(
+        "doc_id",
+        *[
+            _stopword_hits(tok, ws).alias(f"hits_{lang}")
+            for lang, ws in STOPWORDS.items()
+        ],
+    )
+    langs = sorted(STOPWORDS)
+    best = F.greatest(*[F.col(f"hits_{lang}") for lang in langs])
+    pred: Column = reduce(
+        lambda acc, lang: acc.when(F.col(f"hits_{lang}") == best, lang),
+        langs[1:],
+        F.when(F.col(f"hits_{langs[0]}") == best, langs[0]),
+    )
+    return scored.select(
+        "doc_id", pred.alias("predicted_lang"), best.alias("best_hits")
+    )
+
+
+# --------------------------------------------------------------------------
+# document fingerprinting (rolling-hash family)
+# --------------------------------------------------------------------------
+@register(
+    "q_doc_fingerprint",
+    oracle=f"""SELECT doc_id,
+       coalesce(list_aggregate(list_transform(
+           generate_series(1, greatest(length(text) - {FINGERPRINT_GRAM - 1}, 1), {FINGERPRINT_STRIDE}),
+           i -> {dd_stable_hash(f"substr(text, i, {FINGERPRINT_GRAM})")}), 'min'),
+         {dd_stable_hash("text")}) AS fingerprint
+  FROM documents
+""",
+    doc="document fingerprint: min over strided char-8-gram hashes "
+    "(winnowing-style rolling-hash selection)",
+)
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    positions = F.sequence(
+        F.lit(1),
+        F.greatest(F.length("text") - F.lit(FINGERPRINT_GRAM - 1), F.lit(1)),
+        F.lit(FINGERPRINT_STRIDE),
+    )
+    gram_hashes = F.transform(
+        positions,
+        lambda i: stable_hash(
+            F.substring(F.col("text"), i, F.lit(FINGERPRINT_GRAM))
+        ),
+    )
+    fp = F.coalesce(
+        F.array_min(gram_hashes), stable_hash(F.col("text"))
+    )
+    return docs.select("doc_id", fp.alias("fingerprint"))

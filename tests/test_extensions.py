@@ -1,0 +1,155 @@
+"""Training-data-pipeline extensions: dedup, similarity, text analysis,
+sessionization, relational — oracle parity at sf0.001 plus semantic checks
+(hash equality can't tell us the operators mean what they claim)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from prefect_flow_arc_indexer_spark.operators import dedup, similarity
+from prefect_flow_arc_indexer_spark.plans import all_queries
+from tests.conftest import SF_DIR
+from tests.helpers import assert_matches_oracle
+
+EXTENSIONS = [
+    "q_dedup_exact",
+    "q_dedup_minhash",
+    "q_dedup_simhash",
+    "q_ngram_jaccard",
+    "q_dedup_embedding",
+    "q_knn_cosine",
+    "q_knn_lsh",
+    "q_token_count",
+    "q_text_quality",
+    "q_lang_id",
+    "q_doc_fingerprint",
+    "q_session_window",
+    "q_events_hourly",
+    "q_pricing_summary",
+    "q_market_revenue",
+    "q_top_parts_by_supplier",
+]
+
+
+@pytest.mark.parametrize("name", EXTENSIONS)
+def test_oracle_parity(spark, duck, name):
+    rq = all_queries()[name]
+    assert_matches_oracle(rq.builder(spark, SF_DIR), duck, rq.oracle)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_minhash_catches_near_identical_docs(spark):
+    """Two docs differing by one word must collide in >=1 LSH band."""
+    base = " ".join(f"w{i}" for i in range(60))
+    near = base.replace("w30", "x30")
+    far = " ".join(f"z{i}" for i in range(60))
+    docs = _docs(spark, [(1, base), (2, near), (3, far)])
+    pairs = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.lsh_candidate_pairs(
+            dedup.minhash_signature(docs)
+        ).collect()
+    }
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_identical_docs_identical_signature(spark):
+    docs = _docs(spark, [(1, "a b c d e f"), (2, "a b c d e f")])
+    sigs = dedup.minhash_signature(docs).drop("doc_id").distinct()
+    assert sigs.count() == 1
+
+
+def test_simhash_near_docs_low_hamming(spark):
+    base = " ".join(f"w{i}" for i in range(60))
+    near = base.replace("w30", "x30")
+    far = " ".join(f"z{i}" for i in range(60))
+    fps = {
+        r.doc_id: r.simhash
+        for r in dedup.simhash_fingerprints(
+            _docs(spark, [(1, base), (2, near), (3, far)])
+        ).collect()
+    }
+    ham = lambda a, b: bin(a ^ b).count("1")
+    assert ham(fps[1], fps[2]) < ham(fps[1], fps[3])
+    assert ham(fps[1], fps[2]) <= 6
+
+
+def test_knn_self_excluded_and_k_respected(spark):
+    out = all_queries()["q_knn_cosine"].builder(spark, SF_DIR)
+    rows = out.collect()
+    assert all(r.query_id != r.neighbor_id for r in rows)
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r.query_id, []).append(r)
+    assert all(len(v) == similarity.TOP_K for v in per_q.values())
+
+
+def test_lsh_topk_is_subset_of_bucket(spark):
+    """Every LSH result must share its query's bucket (correct pruning)."""
+    out = all_queries()["q_knn_lsh"].builder(spark, SF_DIR).collect()
+    from prefect_flow_arc_indexer_spark.sources.parquet import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings").select(
+        "vec_id", similarity._bucket_expr("embedding").alias("bucket")
+    )
+    buckets = {r.vec_id: r.bucket for r in emb.collect()}
+    assert all(buckets[r.query_id] == buckets[r.neighbor_id] for r in out)
+
+
+def test_jaccard_bounds_and_blocking(spark):
+    rows = all_queries()["q_ngram_jaccard"].builder(spark, SF_DIR).collect()
+    assert all(0.0 < r.jaccard <= 1.0 for r in rows)
+    assert all(
+        0 < r.doc_b - r.doc_a <= dedup.JACCARD_BLOCK_ID_DIST for r in rows
+    )
+
+
+def test_lang_id_prediction_space(spark):
+    rows = all_queries()["q_lang_id"].builder(spark, SF_DIR).collect()
+    assert {r.predicted_lang for r in rows} <= {"de", "en", "es", "fr", "zh"}
+
+
+def test_session_window_gap_semantics(spark):
+    """Spark merges an event exactly GAP after its predecessor (inclusive
+    boundary — the oracle's gaps-and-islands SQL must use `> gap`, not
+    `>= gap`, for its new-session flag); strictly-beyond-gap splits."""
+    rows = [
+        (1, "2024-01-01 00:00:00"),
+        (1, "2024-01-01 00:29:59"),  # merges (< 30 min after previous)
+        (1, "2024-01-01 00:59:59"),  # merges again
+        (1, "2024-01-01 01:29:59.000001"),  # > gap -> new session
+        (2, "2024-01-01 00:00:00"),
+        (2, "2024-01-01 00:30:00"),  # exactly gap -> merges (inclusive)
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts string").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts")
+    )
+    out = (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .count()
+        .collect()
+    )
+    per_user = {}
+    for r in out:
+        per_user.setdefault(r.user_id, []).append(r["count"])
+    assert sorted(per_user[1]) == [1, 3]
+    assert sorted(per_user[2]) == [2]
+
+
+def test_pricing_summary_plan_quality(spark):
+    """Shipdate filter must be pushed to the parquet scan."""
+    df = all_queries()["q_pricing_summary"].builder(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+
+
+def test_market_revenue_uses_broadcast(spark):
+    df = all_queries()["q_market_revenue"].builder(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
