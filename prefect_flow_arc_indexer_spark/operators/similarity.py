@@ -37,7 +37,7 @@ LSH_DIMS = (0, 8, 16, 24)
 
 
 def _queries_and_corpus(spark: SparkSession, sf_dir: str):
-    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    e = load_table(spark, sf_dir, "embeddings", fan_out=True).select("vec_id", "embedding")
     q = e.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     )
@@ -137,7 +137,7 @@ SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= {TOP_K}
     "candidate generation is a hash join, not a cross product",
 )
 def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "embeddings").select(
+    e = load_table(spark, sf_dir, "embeddings", fan_out=True).select(
         "vec_id", "embedding", _bucket_expr("embedding").alias("bucket")
     )
     q = e.where(F.col("vec_id") < N_QUERIES).select(

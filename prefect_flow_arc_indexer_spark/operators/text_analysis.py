@@ -66,7 +66,7 @@ SELECT d.doc_id,
     "(alnum runs / single symbols)",
 )
 def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
     return docs.select(
         "doc_id",
         F.size(tokens(F.col("text"))).alias("ws_tokens"),
@@ -104,8 +104,12 @@ SELECT doc_id,
     "combined into one bounded score",
 )
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    tok = tokens(F.col("text"))
+    # project the token array once — every expression below references it,
+    # and an inline tokens(text) would be re-split per reference
+    docs = load_table(spark, sf_dir, "documents", fan_out=True).withColumn(
+        "tok", tokens(F.col("text"))
+    )
+    tok = F.col("tok")
     n_tokens = F.size(tok)
     denom_tok = F.greatest(n_tokens, F.lit(1))
     char_sum = F.aggregate(
@@ -163,8 +167,10 @@ SELECT doc_id, {case} AS predicted_lang, {best} AS best_hits
     "(n-gram-heuristic family); alphabetical tie-break",
 )
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    tok = tokens(F.col("text"))
+    docs = load_table(spark, sf_dir, "documents", fan_out=True).withColumn(
+        "tok", tokens(F.col("text"))
+    )
+    tok = F.col("tok")
     scored = docs.select(
         "doc_id",
         *[
@@ -200,7 +206,7 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(winnowing-style rolling-hash selection)",
 )
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
     positions = F.sequence(
         F.lit(1),
         F.greatest(F.length("text") - F.lit(FINGERPRINT_GRAM - 1), F.lit(1)),

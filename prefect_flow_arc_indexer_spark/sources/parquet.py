@@ -39,13 +39,22 @@ TABLES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def load_table(
+    spark: SparkSession, sf_dir: str, name: str, fan_out: bool = False
+) -> DataFrame:
     """Load one star-schema table; normalizes events' nano timestamps.
 
     events.parquet stores TIMESTAMP(NANOS); Spark reads it as long (via the
     nanosAsLong conf applied in session.prepare_session) and we convert to a
     microsecond TimestampType — the same truncation DuckDB applies, keeping
     the oracle comparison exact.
+
+    ``fan_out=True`` is for operators whose per-row work dominates the scan
+    (shingling, hashing, vector math): when the scan yields fewer partitions
+    than the cluster has cores (the test files are single-row-group, so they
+    read as ONE task), redistribute rows first. The guard makes it a no-op
+    at production scale, where a 100 TB scan already has ~1e5 partitions —
+    no gratuitous shuffle lands in the big-data path.
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
@@ -54,6 +63,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # integer division: nano values (~1.7e18) exceed double's exact-int
         # range, so `ts / 1000` would drift by ±1us
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if fan_out:
+        par = spark.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < par:
+            df = df.repartition(par)
     return df
 
 
