@@ -1,1 +1,129 @@
-"""Placeholder — populated in a later milestone."""
+"""Multimodal-column plumbing: image/audio/video payloads as opaque
+``binary`` columns with typed metadata, processed through Arrow-batched
+``mapInPandas`` (training-data-pipeline extension surface).
+
+The container has no image/audio libraries, so the *decode* step is split:
+
+- :func:`decode_image_real` — the production hook, gated behind an
+  import-try of PIL and raising ``NotImplementedError`` here (clearly-marked
+  stub, per the build contract);
+- :func:`_fake_decode_features` — a deterministic stand-in (pure arithmetic
+  on the payload bytes) so the Spark-side plumbing — schema, partitioning,
+  UDF signature, Arrow batch shape — is real and fully testable, and the
+  registered query keeps a DuckDB oracle.
+
+Scale notes: payloads stay opaque bytes end-to-end (no driver collect);
+``mapInPandas`` processes whole Arrow batches, so per-item Python overhead
+is amortized; downstream metadata is narrow typed columns, so Catalyst can
+prune the (huge) payload column the moment it is no longer referenced.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from prefect_flow_arc_indexer_spark.plans.registry import register
+from prefect_flow_arc_indexer_spark.sources.parquet import load_table
+
+MEDIA_SCHEMA = (
+    "doc_id long, media_type string, payload binary, n_bytes long"
+)
+FEATURE_SCHEMA = (
+    "doc_id long, n_bytes long, fake_width int, fake_height int, "
+    "fake_n_frames int, byte_mean double"
+)
+
+
+def media_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build a typed media table from ``documents`` (text bytes play the
+    opaque payload; schema mirrors what an image/audio lake table carries)."""
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    payload = F.encode("text", "UTF-8")
+    return docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 3 == 0, F.lit("image/png"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("audio/wav"))
+        .otherwise(F.lit("video/mp4"))
+        .alias("media_type"),
+        payload.alias("payload"),
+        F.octet_length(payload).cast("long").alias("n_bytes"),
+    )
+
+
+def decode_image_real(payload: bytes):  # pragma: no cover - env lacks libs
+    """Production decode hook. STUB: the container ships no imaging libs."""
+    try:
+        from PIL import Image  # noqa: F401
+    except ImportError as exc:
+        raise NotImplementedError(
+            "image decode requires PIL/pillow, which this environment does "
+            "not provide; wire decode_image_real into _decode_batches when "
+            "deploying with imaging libs installed"
+        ) from exc
+    raise NotImplementedError("real decode intentionally not implemented here")
+
+
+def _fake_decode_features(payload: bytes) -> tuple[int, int, int, float]:
+    """Deterministic stand-in for decode/feature-extract: 'dimensions' and a
+    byte-level statistic derived purely from the payload."""
+    n = len(payload)
+    width = 16 + (n % 640)
+    height = 16 + ((n * 7) % 480)
+    n_frames = 1 + (n % 24)
+    # mean over a fixed 32-byte prefix sample (bounded work per item)
+    sample = payload[:32]
+    byte_mean = round(sum(sample) / max(len(sample), 1), 6)
+    return width, height, n_frames, byte_mean
+
+
+def _decode_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: Arrow batch in -> typed feature batch out."""
+    for pdf in batches:
+        feats = [_fake_decode_features(p) for p in pdf["payload"]]
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].values,
+                "n_bytes": pdf["n_bytes"].values,
+                "fake_width": [f[0] for f in feats],
+                "fake_height": [f[1] for f in feats],
+                "fake_n_frames": [f[2] for f in feats],
+                "byte_mean": [f[3] for f in feats],
+            }
+        )
+
+
+def extract_features(media: DataFrame) -> DataFrame:
+    """Decode/feature-extract over Arrow batches (the real plumbing)."""
+    return media.mapInPandas(_decode_batches, schema=FEATURE_SCHEMA)
+
+
+@register(
+    "q_multimodal_meta",
+    # ASCII text => octet length == char length, so the oracle can derive
+    # every fake-decode output arithmetically; byte_mean over the 32-char
+    # prefix uses ord() via the ascii() function.
+    oracle="""WITH m AS (
+  SELECT doc_id, length(text) AS n_bytes, substr(text, 1, 32) AS prefix
+    FROM documents
+)
+SELECT doc_id,
+       n_bytes,
+       CAST(16 + (n_bytes % 640) AS INT) AS fake_width,
+       CAST(16 + ((n_bytes * 7) % 480) AS INT) AS fake_height,
+       CAST(1 + (n_bytes % 24) AS INT) AS fake_n_frames,
+       round(CAST(list_aggregate(list_transform(generate_series(1, length(prefix)),
+                 i -> ascii(substr(prefix, i, 1))), 'sum') AS DOUBLE)
+             / greatest(length(prefix), 1), 6) AS byte_mean
+  FROM m
+""",
+    doc="multimodal plumbing: binary payload column -> mapInPandas "
+    "(Arrow-batched) decode/feature-extract; decode itself is a "
+    "deterministic fake (real decode stubbed: no imaging libs in env)",
+)
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return extract_features(media_frame(spark, sf_dir))

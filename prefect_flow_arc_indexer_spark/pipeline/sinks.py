@@ -1,0 +1,118 @@
+"""Versioned sink with atomic alias publish — the write-audit-publish side of
+the reference (SURVEY §2.7 X5/X6/X8; reference ``flows/main_flow.py``:
+``create_indexes`` 173-191, ``swap_indexes`` 524-557, ``delete_indexes``
+195-214, ``cleanup_indexes`` 488-520).
+
+Local model: each *generation* is a parquet directory ``{alias}_{timestamp}``
+under a base dir; the *alias map* lives in ``manifest.json``. The manifest is
+the commit point — it is replaced via write-temp-then-rename, which is atomic
+on POSIX, so readers either see the old generation or the new one, never a
+half-published state. In a production deployment the same driver-side calls
+map onto the ES alias API (or a metastore/Delta commit); the Spark jobs
+in between are identical.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import tempfile
+from dataclasses import dataclass
+from datetime import datetime
+
+from pyspark.sql import DataFrame, SparkSession
+
+# Reference generation-name format (flows/main_flow.py:647).
+TS_FORMAT = "%Y-%m-%dt%H.%M.%S"
+
+
+def generation_timestamp(now: datetime | None = None) -> str:
+    return (now or datetime.now()).strftime(TS_FORMAT)
+
+
+@dataclass
+class VersionedSink:
+    base_dir: str
+
+    # -- paths ------------------------------------------------------------
+    def _manifest_path(self) -> str:
+        return os.path.join(self.base_dir, "manifest.json")
+
+    def generation_name(self, alias: str, timestamp: str) -> str:
+        return f"{alias}_{timestamp}"
+
+    def generation_path(self, generation: str) -> str:
+        return os.path.join(self.base_dir, generation)
+
+    # -- manifest (the atomic commit point) --------------------------------
+    def read_manifest(self) -> dict[str, str]:
+        try:
+            with open(self._manifest_path()) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            return {}
+
+    def _write_manifest(self, manifest: dict[str, str]) -> None:
+        os.makedirs(self.base_dir, exist_ok=True)
+        fd, tmp = tempfile.mkstemp(dir=self.base_dir, suffix=".manifest.tmp")
+        with os.fdopen(fd, "w") as f:
+            json.dump(manifest, f, indent=2, sort_keys=True)
+        os.replace(tmp, self._manifest_path())  # atomic on POSIX
+
+    # -- write / publish / rollback ----------------------------------------
+    def write_generation(
+        self, df: DataFrame, alias: str, timestamp: str
+    ) -> str:
+        """Write a new physical generation (not yet visible to readers)."""
+        gen = self.generation_name(alias, timestamp)
+        df.write.mode("overwrite").parquet(self.generation_path(gen))
+        return gen
+
+    def publish(self, alias: str, generation: str, drop_old: bool = True) -> None:
+        """Flip the alias to ``generation`` (the reference's put_alias +
+        delete-old-generations, flows/main_flow.py:534-555)."""
+        manifest = self.read_manifest()
+        old = manifest.get(alias)
+        manifest[alias] = generation
+        self._write_manifest(manifest)
+        if drop_old and old and old != generation:
+            self.drop_generation(old)
+
+    def drop_generation(self, generation: str) -> None:
+        """Physical cleanup; also the on-failure rollback hook (X5,
+        reference flows/main_flow.py:195-214)."""
+        shutil.rmtree(self.generation_path(generation), ignore_errors=True)
+
+    # -- catalog ------------------------------------------------------------
+    def list_generations(self) -> list[str]:
+        if not os.path.isdir(self.base_dir):
+            return []
+        return sorted(
+            d
+            for d in os.listdir(self.base_dir)
+            if os.path.isdir(os.path.join(self.base_dir, d))
+        )
+
+    def read_alias(self, spark: SparkSession, alias: str) -> DataFrame:
+        manifest = self.read_manifest()
+        if alias not in manifest:
+            raise KeyError(f"alias {alias!r} not published")
+        return spark.read.parquet(self.generation_path(manifest[alias]))
+
+    def alias_exists(self, alias: str) -> bool:
+        return alias in self.read_manifest()
+
+    def cleanup_orphans(self, live_aliases: list[str]) -> list[str]:
+        """Drop physical generations matching no live alias — the J1 anti
+        join (reference flows/main_flow.py:499-501,515-518) applied to the
+        local catalog. Published generations are always kept."""
+        published = set(self.read_manifest().values())
+        dropped = []
+        for gen in self.list_generations():
+            if gen in published:
+                continue
+            if not any(alias in gen for alias in live_aliases):
+                self.drop_generation(gen)
+                dropped.append(gen)
+        return dropped

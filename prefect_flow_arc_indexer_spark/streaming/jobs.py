@@ -1,0 +1,160 @@
+"""Structured Streaming variants of the engine's incremental semantics
+(SURVEY §2.6). The reference is micro-batch CDC, not a true stream; these
+jobs show the same operators under ``readStream`` so the engine covers both
+execution modes:
+
+- :func:`stream_doc_actions`: file-source CDC stream -> action routing
+  (upsert/delete) -> ``foreachBatch`` two-phase apply. ``foreachBatch`` is
+  the production pattern for sinks that can't mix operations in one write
+  (the ES connector can't — SURVEY risk #4): within each micro-batch the
+  delete set and the upsert set are applied separately, deletes first is NOT
+  safe (a row can be deleted then re-created inside one batch), so the apply
+  uses last-writer-wins by (id, updated_at).
+- :func:`stream_hourly_counts`: watermarked tumbling-window aggregation
+  (late rows beyond 2 hours dropped) — the streaming form of
+  ``q_events_hourly``.
+- :func:`stream_user_running_totals`: custom stateful operator via
+  ``applyInPandasWithState`` — a per-user running event counter/value sum,
+  the minimal shape of "custom stateful operator the built-ins lack".
+
+All jobs take an explicit trigger so tests run them with
+``availableNow=True`` (process-everything-then-stop).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    LongType,
+    DoubleType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from prefect_flow_arc_indexer_spark.operators.actions import doc_actions
+
+CDC_SCHEMA = StructType(
+    [
+        StructField("index", StringType()),
+        StructField("id", StringType()),
+        StructField("document", StringType()),
+        StructField("is_deleted", StringType()),  # file sources: lax input
+        StructField("updated_at", StringType()),
+    ]
+)
+
+
+def read_cdc_stream(spark: SparkSession, source_dir: str) -> DataFrame:
+    """File-source CDC stream with the index_documents schema; one file per
+    micro-batch drop (the streaming stand-in for the JDBC watermark scan)."""
+    raw = (
+        spark.readStream.schema(CDC_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(source_dir)
+    )
+    return raw.select(
+        "index",
+        "id",
+        "document",
+        F.col("is_deleted").cast("boolean").alias("is_deleted"),
+        F.col("updated_at").cast("timestamp").alias("updated_at"),
+    )
+
+
+def stream_doc_actions(
+    cdc: DataFrame,
+    apply_batch,
+    checkpoint_dir: str,
+):
+    """Route the CDC stream to actions and hand each micro-batch to
+    ``apply_batch(actions_df, batch_id)`` (two-phase upsert/delete apply).
+
+    Within a batch, only the latest version of each id is applied
+    (last-writer-wins by updated_at, ties broken deterministically), which
+    makes replays idempotent — the reference gets the same property from
+    ES versioning by _id.
+    """
+
+    def _apply(batch: DataFrame, batch_id: int) -> None:
+        latest = (
+            batch.withColumn(
+                "_rn",
+                F.row_number().over(
+                    Window.partitionBy("id").orderBy(
+                        F.col("updated_at").desc(), F.col("is_deleted").desc()
+                    )
+                ),
+            )
+            .where(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        apply_batch(doc_actions(latest, timestamp=None), batch_id)
+
+    return (
+        cdc.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def stream_hourly_counts(events: DataFrame) -> DataFrame:
+    """Watermarked tumbling-window agg (streaming q_events_hourly)."""
+    return (
+        events.withWatermark("ts", "2 hours")
+        .groupBy("event_type", F.window("ts", "1 hour"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            "event_type",
+            F.col("window.start").alias("hour_start"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+_STATE_SCHEMA = StructType(
+    [StructField("n", LongType()), StructField("total", DoubleType())]
+)
+_OUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("total_value", DoubleType()),
+    ]
+)
+
+
+def _update_user_totals(
+    key: tuple, pdf_iter: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    n, total = state.get if state.exists else (0, 0.0)
+    for pdf in pdf_iter:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+    state.update((n, total))
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 2)]}
+    )
+
+
+def stream_user_running_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful operator: per-user running totals via
+    applyInPandasWithState (Arrow-batched; state survives across batches)."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _update_user_totals,
+        outputStructType=_OUT_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1,0 +1,43 @@
+"""Multimodal binary-column plumbing: schema, Arrow batch shape, stubbed
+decode, oracle parity."""
+
+from __future__ import annotations
+
+import pytest
+
+from prefect_flow_arc_indexer_spark.multimodal import binary
+from prefect_flow_arc_indexer_spark.plans import all_queries
+from tests.conftest import SF_DIR
+from tests.helpers import assert_matches_oracle
+
+
+def test_media_frame_schema_and_payload(spark):
+    media = binary.media_frame(spark, SF_DIR)
+    assert dict(media.dtypes) == {
+        "doc_id": "bigint",
+        "media_type": "string",
+        "payload": "binary",
+        "n_bytes": "bigint",
+    }
+    row = media.orderBy("doc_id").first()
+    assert isinstance(row.payload, (bytes, bytearray))
+    assert row.n_bytes == len(row.payload)
+    assert row.media_type in {"image/png", "audio/wav", "video/mp4"}
+
+
+def test_extract_features_matches_oracle(spark, duck):
+    rq = all_queries()["q_multimodal_meta"]
+    assert_matches_oracle(rq.builder(spark, SF_DIR), duck, rq.oracle)
+
+
+def test_fake_decode_is_deterministic_and_bounded():
+    w, h, f, m = binary._fake_decode_features(b"hello world, this is a payload")
+    assert (w, h, f, m) == binary._fake_decode_features(
+        b"hello world, this is a payload"
+    )
+    assert 16 <= w < 16 + 640 and 16 <= h < 16 + 480 and 1 <= f <= 24
+
+
+def test_real_decode_is_explicit_stub():
+    with pytest.raises(NotImplementedError, match="decode"):
+        binary.decode_image_real(b"\x89PNG...")

@@ -1,0 +1,162 @@
+"""Pipeline semantics: versioned sink, atomic publish, rollback, orphan
+cleanup, full/incremental sync, watermark round trip (SURVEY §2.6/§2.7)."""
+
+from __future__ import annotations
+
+import json
+import os
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from prefect_flow_arc_indexer_spark.pipeline.runner import (
+    SyncReport,
+    full_sync,
+    incremental_sync,
+)
+from prefect_flow_arc_indexer_spark.pipeline.sinks import VersionedSink
+from prefect_flow_arc_indexer_spark.streaming.watermark import WatermarkStore
+
+DOCS_SCHEMA = (
+    "`index` string, id string, document string, is_deleted boolean, "
+    "updated_at string"
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, DOCS_SCHEMA).withColumn(
+        "updated_at", F.col("updated_at").cast("timestamp")
+    )
+
+
+BASE_ROWS = [
+    ("alpha", "1", '{"v": 1}', False, "2024-01-01 00:00:00"),
+    ("alpha", "2", '{"v": 2}', False, "2024-01-02 00:00:00"),
+    ("alpha", "3", '{"v": 3}', True, "2024-01-03 00:00:00"),
+    ("beta", "10", '{"v": 10}', False, "2024-01-01 12:00:00"),
+]
+
+
+@pytest.fixture()
+def sink(tmp_path):
+    return VersionedSink(str(tmp_path / "sink"))
+
+
+def test_full_sync_excludes_tombstones_and_publishes(spark, sink):
+    report = full_sync(
+        spark, _docs(spark, BASE_ROWS), sink, now=datetime(2024, 2, 1)
+    )
+    # smallest-first ordering: beta(1) before alpha(2 live + 1 tombstone)
+    assert report.indexes == ["beta", "alpha"]
+    assert report.written == {"beta": 1, "alpha": 2}
+    assert report.reconcile_ok == {"alpha": True, "beta": True}
+    alpha = sink.read_alias(spark, "alpha")
+    assert {r.id for r in alpha.collect()} == {"1", "2"}
+
+
+def test_publish_is_atomic_manifest_swap(spark, sink, tmp_path):
+    full_sync(spark, _docs(spark, BASE_ROWS), sink, now=datetime(2024, 2, 1))
+    manifest = sink.read_manifest()
+    assert manifest["alpha"] == "alpha_2024-02-01t00.00.00"
+    # no temp files left behind by the atomic replace
+    leftovers = [f for f in os.listdir(sink.base_dir) if f.endswith(".tmp")]
+    assert leftovers == []
+
+
+def test_full_sync_replaces_old_generation(spark, sink):
+    full_sync(spark, _docs(spark, BASE_ROWS), sink, now=datetime(2024, 2, 1))
+    full_sync(spark, _docs(spark, BASE_ROWS), sink, now=datetime(2024, 2, 2))
+    gens = sink.list_generations()
+    assert "alpha_2024-02-02t00.00.00" in gens
+    assert "alpha_2024-02-01t00.00.00" not in gens  # old generation dropped
+
+
+def test_or_ids_pins_and_lowercases(spark, sink):
+    report = full_sync(
+        spark,
+        _docs(spark, BASE_ROWS),
+        sink,
+        or_ids=["ALPHA"],
+        now=datetime(2024, 2, 1),
+    )
+    assert report.indexes == ["alpha"]
+    assert not sink.alias_exists("beta")
+
+
+def test_cleanup_orphans_spares_published(spark, sink):
+    full_sync(spark, _docs(spark, BASE_ROWS), sink, now=datetime(2024, 2, 1))
+    os.makedirs(os.path.join(sink.base_dir, "legacy_2023-01-01t00.00.00"))
+    report = full_sync(spark, _docs(spark, BASE_ROWS), sink, now=datetime(2024, 2, 2))
+    assert report.dropped_orphans == ["legacy_2023-01-01t00.00.00"]
+    assert sink.alias_exists("alpha")
+
+
+def test_incremental_merge_upsert_and_delete(spark, sink, tmp_path):
+    wm = WatermarkStore(str(tmp_path / "wm.json"))
+    full_sync(spark, _docs(spark, BASE_ROWS), sink, now=datetime(2024, 2, 1))
+    wm.set("default", datetime(2024, 1, 10))
+    changed = BASE_ROWS + [
+        ("alpha", "2", '{"v": 22}', False, "2024-01-15 00:00:00"),  # update
+        ("alpha", "1", "{}", True, "2024-01-16 00:00:00"),  # tombstone
+        ("alpha", "4", '{"v": 4}', False, "2024-01-17 00:00:00"),  # insert
+    ]
+    report = incremental_sync(
+        spark,
+        _docs(spark, changed),
+        sink,
+        wm,
+        now=datetime(2024, 2, 2),
+    )
+    state = {r.id: r.document for r in sink.read_alias(spark, "alpha").collect()}
+    assert state == {"2": '{"v": 22}', "4": '{"v": 4}'}
+    assert "beta" in report.skipped  # nothing past the watermark
+    assert wm.get("default") == datetime(2024, 2, 2)
+
+
+def test_incremental_watermark_is_inclusive(spark, sink, tmp_path):
+    wm = WatermarkStore(str(tmp_path / "wm.json"))
+    full_sync(spark, _docs(spark, BASE_ROWS), sink, now=datetime(2024, 2, 1))
+    # watermark exactly at alpha/2's updated_at: row must re-deliver (T2)
+    wm.set("default", datetime(2024, 1, 2))
+    report = incremental_sync(
+        spark, _docs(spark, BASE_ROWS), sink, wm, now=datetime(2024, 2, 2)
+    )
+    assert report.written["alpha"] >= 1
+
+
+def test_incremental_requires_seeded_watermark(spark, sink, tmp_path):
+    wm = WatermarkStore(str(tmp_path / "wm.json"))
+    with pytest.raises(ValueError, match="no watermark"):
+        incremental_sync(spark, _docs(spark, BASE_ROWS), sink, wm)
+
+
+def test_rollback_drops_partial_generation(spark, sink, monkeypatch):
+    docs = _docs(spark, BASE_ROWS)
+    original_publish = VersionedSink.publish
+    calls = {"n": 0}
+
+    def failing_publish(self, alias, generation, drop_old=True):
+        calls["n"] += 1
+        if calls["n"] == 2:  # fail on the second index (alpha)
+            raise RuntimeError("simulated publish failure")
+        return original_publish(self, alias, generation, drop_old)
+
+    monkeypatch.setattr(VersionedSink, "publish", failing_publish)
+    with pytest.raises(RuntimeError, match="simulated"):
+        full_sync(spark, docs, sink, now=datetime(2024, 2, 1))
+    monkeypatch.setattr(VersionedSink, "publish", original_publish)
+    # beta (first, smallest) published; alpha's partial generation removed
+    assert sink.alias_exists("beta")
+    assert not sink.alias_exists("alpha")
+    assert all("alpha" not in g for g in sink.list_generations())
+
+
+def test_watermark_store_roundtrip(tmp_path):
+    wm = WatermarkStore(str(tmp_path / "wm.json"))
+    assert wm.get("p") is None
+    t = datetime(2024, 3, 1, 12, 30, 45, 123456)
+    wm.set("p", t)
+    assert wm.get("p") == t
+    # file is valid JSON (atomic replace completed)
+    assert json.load(open(tmp_path / "wm.json"))["p"].startswith("2024-03-01")

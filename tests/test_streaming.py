@@ -1,0 +1,146 @@
+"""Structured Streaming jobs: CDC action stream via foreachBatch, watermarked
+windows, custom stateful operator (SURVEY §2.6 / extension surface)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from prefect_flow_arc_indexer_spark.streaming import jobs
+
+
+def _write_cdc_file(path, rows):
+    with open(path, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+
+def test_stream_doc_actions_two_phase_apply(spark, tmp_path):
+    src = tmp_path / "cdc"
+    src.mkdir()
+    _write_cdc_file(
+        src / "batch0.json",
+        [
+            {"index": "a", "id": "1", "document": '{"v":1}', "is_deleted": "false", "updated_at": "2024-01-01 00:00:00"},
+            {"index": "a", "id": "2", "document": '{"v":2}', "is_deleted": "false", "updated_at": "2024-01-01 00:01:00"},
+            # same id updated then deleted IN ONE batch: delete must win
+            {"index": "a", "id": "1", "document": '{"v":9}', "is_deleted": "true", "updated_at": "2024-01-01 00:02:00"},
+        ],
+    )
+    applied = []
+
+    def apply_batch(actions, batch_id):
+        applied.append(
+            {r["_id"]: (r["_op_type"], r["_source"]) for r in actions.collect()}
+        )
+
+    cdc = jobs.read_cdc_stream(spark, str(src))
+    q = jobs.stream_doc_actions(cdc, apply_batch, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+    merged = {}
+    for batch in applied:
+        merged.update(batch)
+    assert merged["1"][0] == "delete" and merged["1"][1] is None
+    assert merged["2"] == ("index", '{"v":2}')
+
+
+def test_stream_hourly_counts_matches_batch(spark, tmp_path):
+    """availableNow stream over the real events table == batch answer."""
+    from prefect_flow_arc_indexer_spark.operators.sessionize import (
+        q_events_hourly,
+    )
+    from prefect_flow_arc_indexer_spark.sources.parquet import load_table
+
+    sf = "/root/testdata/sf0.001"
+    # stage events as a stream source (microsecond timestamps preserved)
+    staged = str(tmp_path / "events_stream")
+    load_table(spark, sf, "events").write.parquet(staged)
+    stream = spark.readStream.schema(
+        load_table(spark, sf, "events").schema
+    ).parquet(staged)
+    out_dir = str(tmp_path / "out")
+    q = (
+        jobs.stream_hourly_counts(stream)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r.event_type, r.hour_start, r.n_events, r.total_value)
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    batch = (
+        q_events_hourly(spark, sf)
+        .withColumn("hour_start", F.timestamp_micros("hour_start_us"))
+        .select("event_type", "hour_start", "n_events", "total_value")
+        .collect()
+    )
+    max_ts = load_table(spark, sf, "events").agg(F.max("ts")).first()[0]
+    # append mode only emits windows the watermark has closed: window end
+    # (start + 1h) must be <= max event time - 2h. The tail windows are
+    # correctly withheld — that IS the late-data contract.
+    from datetime import timedelta
+
+    want_closed = {
+        (r.event_type, r.hour_start, r.n_events, r.total_value)
+        for r in batch
+        if r.hour_start + timedelta(hours=3) <= max_ts
+    }
+    assert want_closed <= got  # every closed window emitted, values exact
+    all_batch = {
+        (r.event_type, r.hour_start, r.n_events, r.total_value) for r in batch
+    }
+    assert got <= all_batch  # nothing emitted that batch doesn't have
+    assert len(all_batch) - len(got) < 20  # only the watermark tail withheld
+
+
+def test_stream_user_running_totals_state_survives_batches(spark, tmp_path):
+    src = tmp_path / "ev"
+    src.mkdir()
+    _write_cdc_file(
+        src / "b0.json",
+        [
+            {"user_id": 1, "value": 10.0, "ts": "2024-01-01 00:00:00"},
+            {"user_id": 1, "value": 5.0, "ts": "2024-01-01 00:01:00"},
+            {"user_id": 2, "value": 1.0, "ts": "2024-01-01 00:02:00"},
+        ],
+    )
+    _write_cdc_file(
+        src / "b1.json",
+        [{"user_id": 1, "value": 2.5, "ts": "2024-01-01 01:00:00"}],
+    )
+    schema = "user_id long, value double, ts string"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+        .select("user_id", "value", F.col("ts").cast("timestamp").alias("ts"))
+    )
+    results = []
+
+    def capture(batch, batch_id):
+        results.extend(
+            (r.user_id, r.n_events, r.total_value) for r in batch.collect()
+        )
+
+    q = (
+        jobs.stream_user_running_totals(stream)
+        .writeStream.foreachBatch(capture)
+        .option("checkpointLocation", str(tmp_path / "ckpt3"))
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    # final state for user 1 must accumulate across micro-batches
+    finals = {}
+    for uid, n, total in results:
+        finals[uid] = (n, total)
+    assert finals[1] == (3, 17.5)
+    assert finals[2] == (1, 1.0)
