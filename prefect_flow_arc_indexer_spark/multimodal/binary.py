@@ -127,3 +127,71 @@ SELECT doc_id,
 )
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_features(media_frame(spark, sf_dir))
+
+
+# --------------------------------------------------------------------------
+# frame sampling: 1 -> N row expansion (the video path)
+# --------------------------------------------------------------------------
+FRAME_STRIDE = 4
+FRAME_SCHEMA = (
+    "doc_id long, frame_idx int, frame_offset long, frame_byte int"
+)
+
+
+def _sample_frame_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker emitting every FRAME_STRIDE-th 'frame' per video:
+    a row-expanding (UDTF-shaped) transform. Frame extraction itself is the
+    deterministic fake (offset arithmetic + one payload byte); a production
+    build swaps in a real decoder behind the same batch signature."""
+    for pdf in batches:
+        out_doc, out_idx, out_off, out_byte = [], [], [], []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            n = len(payload)
+            n_frames = 1 + (n % 24)
+            stride_bytes = n // n_frames
+            for idx in range(0, n_frames, FRAME_STRIDE):
+                off = idx * stride_bytes
+                out_doc.append(doc_id)
+                out_idx.append(idx)
+                out_off.append(off)
+                out_byte.append(payload[off] if off < n else -1)
+        yield pd.DataFrame(
+            {
+                "doc_id": out_doc,
+                "frame_idx": out_idx,
+                "frame_offset": out_off,
+                "frame_byte": out_byte,
+            }
+        )
+
+
+def sample_frames(media: DataFrame) -> DataFrame:
+    """Frame-sample the video subset; Arrow-batched, row-expanding."""
+    return media.where(F.col("media_type") == "video/mp4").mapInPandas(
+        _sample_frame_batches, schema=FRAME_SCHEMA
+    )
+
+
+@register(
+    "q_frame_sample",
+    # videos are doc_id % 3 == 2 (media_frame routing); ASCII text keeps the
+    # byte-level arithmetic expressible in SQL
+    oracle=f"""WITH v AS (
+  SELECT doc_id, text, length(text) AS n,
+         1 + (length(text) % 24) AS n_frames
+    FROM documents WHERE doc_id % 3 = 2
+)
+SELECT doc_id,
+       CAST(f.i AS INT) AS frame_idx,
+       f.i * (n // n_frames) AS frame_offset,
+       CAST(ascii(substr(text, f.i * (n // n_frames) + 1, 1)) AS INT) AS frame_byte
+  FROM v CROSS JOIN generate_series(0, 23, {FRAME_STRIDE}) AS f(i)
+ WHERE f.i < n_frames
+""",
+    doc="multimodal frame sampling: video payloads -> every 4th frame as a "
+    "row (mapInPandas 1->N expansion; offset arithmetic plays the decoder)",
+)
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sample_frames(media_frame(spark, sf_dir))

@@ -161,3 +161,149 @@ def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _topk(scored)
+
+
+# --------------------------------------------------------------------------
+# IVF (inverted-file) ANN
+# --------------------------------------------------------------------------
+EMB_DIM = 64
+QUANT = 1_000_000  # centroid quantization: exact integer sums -> engine-stable
+
+
+def ivf_centroids(e: DataFrame) -> DataFrame:
+    """(label, centroid array<double>): per-label mean embedding.
+
+    The mean is computed over per-component integer sums (components
+    quantized to 1e-6) so partial-aggregation order can't introduce float
+    drift — sums of bigints are exact, and the final ``sum/count`` double
+    division is a single deterministic IEEE op. This is the "training" step
+    a production IVF index gets from k-means; one shuffle on (label, pos).
+    """
+    comp = (
+        e.select(
+            "label",
+            F.posexplode(F.col("embedding").cast("array<double>")).alias(
+                "pos", "x"
+            ),
+        )
+        .groupBy("label", "pos")
+        .agg(
+            F.sum(F.round(F.col("x") * QUANT).cast("bigint")).alias("s"),
+            F.count("*").alias("n"),
+        )
+    )
+    return comp.groupBy("label").agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        "pos", (F.col("s").cast("double") / F.col("n")).alias("c")
+                    )
+                )
+            ),
+            lambda p: p["c"],
+        ).alias("centroid")
+    )
+
+
+def ivf_assign(e: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Assign each vector to its nearest centroid (cosine, nprobe=1).
+
+    Centroid table is tiny (n_labels rows) -> broadcast; the corpus is
+    scanned once and never shuffled until the per-vector argmax, which is a
+    window over n_labels rows per vector.
+    """
+    cent = centroids.select(F.col("label").alias("cell"), "centroid")
+    scored = e.drop("label").crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "embedding",
+        "cell",
+        F.round(
+            cosine_similarity(F.col("embedding"), F.col("centroid")), 6
+        ).alias("cos_c"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cos_c").desc(), F.col("cell").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "embedding", "cell")
+    )
+
+
+def _dd_ivf_cells() -> str:
+    cos_c = dd_cosine_similarity("e.embedding", "c.centroid")
+    return f"""comp AS (
+  SELECT label, i,
+         sum(CAST(round((embedding::DOUBLE[])[i] * {QUANT}) AS BIGINT)) AS s,
+         count(*) AS n
+    FROM embeddings CROSS JOIN range(1, {EMB_DIM + 1}) t(i)
+   GROUP BY label, i
+),
+cent AS (
+  SELECT label, list(CAST(s AS DOUBLE) / n ORDER BY i) AS centroid
+    FROM comp GROUP BY label
+),
+assign AS (
+  SELECT e.vec_id, e.embedding, c.label AS cell,
+         round({cos_c}, 6) AS cos_c
+    FROM embeddings e CROSS JOIN cent c
+),
+cells AS (
+  SELECT vec_id, embedding, cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY cos_c DESC, cell ASC) AS rn
+      FROM assign) WHERE rn = 1
+)"""
+
+
+@register(
+    "q_knn_ivf",
+    oracle=f"""WITH {_dd_ivf_cells()},
+q AS (
+  SELECT vec_id AS query_id, embedding AS q_emb, cell
+    FROM cells WHERE vec_id < {N_QUERIES}
+),
+scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         round({dd_cosine_similarity("q.q_emb", "c.embedding")}, 6) AS cos_sim
+    FROM q JOIN cells c ON c.cell = q.cell AND c.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+    FROM scored
+)
+SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= {TOP_K}
+""",
+    doc="IVF ANN: per-label quantized-mean centroids (the k-means stand-in), "
+    "nearest-centroid cell assignment (broadcast, nprobe=1), cell-local "
+    "search + per-query top-k — the inverted-file scale path where each "
+    "query touches corpus/n_cells candidates",
+)
+def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings", fan_out=True).select(
+        "vec_id", "label", "embedding"
+    )
+    cells = ivf_assign(e, ivf_centroids(e))
+    q = cells.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("cell").alias("q_cell"),
+    )
+    c = cells.select(
+        F.col("vec_id").alias("neighbor_id"), "embedding", "cell"
+    )
+    scored = c.join(
+        F.broadcast(q),
+        (F.col("cell") == F.col("q_cell"))
+        & (F.col("neighbor_id") != F.col("query_id")),
+    ).select(
+        "query_id",
+        "neighbor_id",
+        F.round(
+            cosine_similarity(F.col("q_emb"), F.col("embedding")), 6
+        ).alias("cos_sim"),
+    )
+    return _topk(scored)

@@ -1,0 +1,169 @@
+"""Temporal join operators Spark lacks as built-ins: as-of join and range
+(interval) join — implemented as compositions of DataFrame ops, per the
+custom-operator ladder (composition > pandas UDF > mapPartitions).
+
+**As-of join** (`asof_join`, `q_asof_join`): for each left row (key, ts),
+attach the most recent right row with the same key and right.ts <= left.ts.
+The naive formulation is a range join (quadratic blow-up per key); the
+scalable one used here is the union-and-carry pattern:
+
+  1. tag right rows 0, left rows 1, union on (key, ts, tag);
+  2. one window over (partition key, order ts, tag) carries the last non-null
+     right payload forward (`last(..., ignoreNulls=True)`);
+  3. keep left rows.
+
+Cost: ONE shuffle on the key (same as any equi-join), no pair explosion,
+and the window sort is exactly the shuffle sort. Right rows with equal
+(key, ts) are pre-deduped to the highest-priority one so the carry is
+deterministic.
+
+**Range join** (`q_range_join`): band/interval lookup — each fact row joins
+the band whose [lo, hi) contains its value. With a tiny band table the right
+plan is a broadcast nested-loop join (corpus scanned once, bands in memory);
+when bands are regular, arithmetic bucketing (`floor(value/width)`) turns it
+into a pure projection — both shapes shown.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
+
+from prefect_flow_arc_indexer_spark.plans.registry import register
+from prefect_flow_arc_indexer_spark.sources.parquet import load_table
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    left_ts: str,
+    right_ts: str,
+    payload_cols: list[str],
+) -> DataFrame:
+    """Generic as-of join (backward-looking, inclusive) via union-and-carry.
+
+    Returns ``left`` columns plus ``payload_cols`` from the latest matching
+    right row (NULL when no right row precedes the left row).
+    """
+    r = right.select(
+        F.col(right_key).alias("_k"),
+        F.col(right_ts).alias("_t"),
+        F.lit(0).alias("_side"),
+        *[F.col(c) for c in payload_cols],
+    )
+    l = left.select(
+        F.col(left_key).alias("_k"),
+        F.col(left_ts).alias("_t"),
+        F.lit(1).alias("_side"),
+        *[F.lit(None).cast(r.schema[c].dataType).alias(c) for c in payload_cols],
+        *[F.col(c) for c in left.columns],
+    )
+    # right rows sort before left rows at equal ts => inclusive (<=) as-of
+    w = (
+        Window.partitionBy("_k")
+        .orderBy(F.col("_t").asc(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = r.unionByName(l, allowMissingColumns=True).select(
+        "*",
+        *[
+            F.last(c, ignorenulls=True).over(w).alias(f"_asof_{c}")
+            for c in payload_cols
+        ],
+    )
+    return carried.where(F.col("_side") == 1).select(
+        *[F.col(c) for c in left.columns],
+        *[F.col(f"_asof_{c}").alias(c) for c in payload_cols],
+    )
+
+
+@register(
+    "q_asof_join",
+    oracle="""WITH r AS (
+  SELECT o_custkey AS k, o_orderdate AS t,
+         max_by(o_orderkey, o_orderkey) AS asof_orderkey,
+         max_by(o_totalprice, o_orderkey) AS asof_totalprice
+    FROM orders GROUP BY o_custkey, o_orderdate
+),
+l AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+)
+SELECT l.event_id, l.user_id, l.ts, r.asof_orderkey, r.asof_totalprice
+  FROM l ASOF LEFT JOIN r ON l.user_id = r.k AND l.ts >= r.t
+""",
+    doc="as-of join: each purchase event picks the customer's most recent "
+    "order at-or-before the event time; union-and-carry plan (one shuffle, "
+    "no range-join explosion). Right side pre-deduped per (key, ts) by max "
+    "orderkey for determinism.",
+)
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("k"), F.col("o_orderdate").alias("t"))
+        .agg(
+            F.max_by("o_orderkey", "o_orderkey").alias("asof_orderkey"),
+            F.max_by("o_totalprice", "o_orderkey").alias("asof_totalprice"),
+        )
+    )
+    events = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "ts")
+    )
+    return asof_join(
+        events,
+        orders,
+        left_key="user_id",
+        right_key="k",
+        left_ts="ts",
+        right_ts="t",
+        payload_cols=["asof_orderkey", "asof_totalprice"],
+    ).select("event_id", "user_id", "ts", "asof_orderkey", "asof_totalprice")
+
+
+BAND_WIDTH = 50_000
+N_BANDS = 12
+
+
+@register(
+    "q_range_join",
+    oracle=f"""WITH bands AS (
+  SELECT i AS band_id,
+         i * {BAND_WIDTH} AS lo,
+         (i + 1) * {BAND_WIDTH} AS hi
+    FROM generate_series(0, {N_BANDS - 1}) AS t(i)
+)
+SELECT b.band_id, b.lo, b.hi,
+       count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+  FROM orders o JOIN bands b
+    ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi
+ GROUP BY b.band_id, b.lo, b.hi
+""",
+    doc="range (interval) join: orders matched to price bands by "
+    "containment; tiny band table broadcast -> nested-loop join with the "
+    "fact side scanned once (regular bands could instead be arithmetic "
+    "bucketing, a pure projection)",
+)
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bands = spark.range(N_BANDS).select(
+        F.col("id").alias("band_id"),
+        (F.col("id") * BAND_WIDTH).alias("lo"),
+        ((F.col("id") + 1) * BAND_WIDTH).alias("hi"),
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.join(
+            F.broadcast(bands),
+            (F.col("o_totalprice") >= F.col("lo"))
+            & (F.col("o_totalprice") < F.col("hi")),
+        )
+        .groupBy("band_id", "lo", "hi")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+    )

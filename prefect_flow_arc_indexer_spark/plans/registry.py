@@ -28,6 +28,8 @@ _OPERATOR_MODULES = (
     "prefect_flow_arc_indexer_spark.operators.text_analysis",
     "prefect_flow_arc_indexer_spark.operators.sessionize",
     "prefect_flow_arc_indexer_spark.operators.relational",
+    "prefect_flow_arc_indexer_spark.operators.analytics",
+    "prefect_flow_arc_indexer_spark.operators.temporal",
     "prefect_flow_arc_indexer_spark.multimodal.binary",
 )
 
