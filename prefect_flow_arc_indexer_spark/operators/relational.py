@@ -123,3 +123,98 @@ def q_top_parts_by_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= 3)
         .select("l_suppkey", "l_partkey", "revenue", "rank")
     )
+
+
+@register(
+    "q_order_priority",
+    oracle="""SELECT o_orderpriority, count(*) AS order_count
+  FROM orders o
+ WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+   AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+   AND EXISTS (SELECT 1 FROM lineitem l
+                WHERE l.l_orderkey = o.o_orderkey
+                  AND l.l_shipdate > o.o_orderdate)
+ GROUP BY o_orderpriority
+""",
+    doc="correlated EXISTS (TPC-H Q4 shape): orders with at least one "
+    "late-shipped line; Catalyst decorrelates to a left-semi hash join, "
+    "with the date filter pushed to the orders scan",
+)
+def q_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        o.join(
+            l,
+            (o.o_orderkey == l.l_orderkey) & (l.l_shipdate > o.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+@register(
+    "q_returned_top_customers",
+    oracle="""WITH per AS (
+  SELECT c.c_custkey, c.c_name, n.n_name AS nation,
+         CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                  * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+   WHERE l.l_returnflag = 'R'
+   GROUP BY c.c_custkey, c.c_name, n.n_name
+)
+SELECT c_custkey, c_name, nation, revenue,
+       row_number() OVER (ORDER BY revenue DESC, c_custkey ASC) AS rk
+  FROM per
+ QUALIFY rk <= 20
+""",
+    doc="returned-item revenue top-20 customers (TPC-H Q10 shape): "
+    "fact-fact join on orderkey (shuffle), dimensions broadcast, then a "
+    "global top-k (single-partition window over the small aggregated set)",
+)
+def q_returned_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_returnflag") == "R"
+    )
+    n = load_table(spark, sf_dir, "nation")
+    per = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", F.col("n_name").alias("nation"))
+        .agg(
+            F.sum(_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount")))
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+    w = Window.orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+    return (
+        per.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 20)
+    )
+
+
+@register(
+    "q_approx_distinct",
+    oracle=None,  # HLL sketches are engine-specific; driver does a rows-only
+    # check and tests assert <=2% error against the exact count
+    doc="approximate aggregates: approx_count_distinct (HLL) + exact count "
+    "per order status — the bounded-memory path for distinct-cardinality "
+    "at 100 TB, where exact distinct would shuffle every key",
+)
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.approx_count_distinct("o_custkey", rsd=0.01).alias("approx_customers"),
+        F.count_distinct("o_custkey").alias("exact_customers"),
+    )

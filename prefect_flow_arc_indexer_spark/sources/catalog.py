@@ -39,14 +39,27 @@ def aliases(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def physical_indexes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Simulated physical-index catalog: per-alias generations + one orphan."""
+    """Simulated physical-index catalog: per-alias generations + one orphan.
+
+    Both generations come out of ONE pass over the aliases (explode of a
+    2-slot array, null slot filtered) rather than a union of two scans —
+    queries that compose physical+aliases several times (the dup-alias semi
+    join) would otherwise re-scan the source once per union branch.
+    """
     al = aliases(spark, sf_dir)
-    gen1 = al.select(F.concat_ws("_", "alias", F.lit(GEN1)).alias("index_name"))
-    gen2 = al.where(F.length("alias") > 5).select(
-        F.concat_ws("_", "alias", F.lit(GEN2)).alias("index_name")
-    )
+    gens = al.select(
+        F.explode(
+            F.array(
+                F.concat_ws("_", "alias", F.lit(GEN1)),
+                F.when(
+                    F.length("alias") > 5,
+                    F.concat_ws("_", "alias", F.lit(GEN2)),
+                ),
+            )
+        ).alias("index_name")
+    ).where(F.col("index_name").isNotNull())
     orphan = spark.range(1).select(F.lit(ORPHAN_INDEX).alias("index_name"))
-    return gen1.unionAll(gen2).unionAll(orphan)
+    return gens.unionAll(orphan)
 
 
 # Matching DuckDB CTEs (compose after IDX_DOCS_CTE).

@@ -130,3 +130,22 @@ def test_frame_sample_counts(spark):
         .collect()[0][0]
     )
     assert sample_frames(media).count() == expected
+
+
+@pytest.mark.parametrize("name", ["q_order_priority", "q_returned_top_customers"])
+def test_relational_additions_parity(spark, duck, name):
+    rq = all_queries()[name]
+    assert_matches_oracle(rq.builder(spark, SF_DIR), duck, rq.oracle)
+
+
+def test_approx_distinct_error_bound(spark):
+    """HLL at rsd=0.01 should land within 2% of the exact count (no oracle:
+    sketches are engine-specific; this is the semantic check instead)."""
+    rows = (
+        all_queries()["q_approx_distinct"].builder(spark, SF_DIR).collect()
+    )
+    assert rows
+    for r in rows:
+        assert abs(r["approx_customers"] - r["exact_customers"]) <= max(
+            0.02 * r["exact_customers"], 1
+        )
