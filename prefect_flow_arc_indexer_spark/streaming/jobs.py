@@ -158,3 +158,28 @@ def stream_user_running_totals(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_user_sessions(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Watermarked session windows (streaming q_session_window): per-user
+    sessions close after ``gap`` of inactivity; late rows beyond the
+    watermark are dropped. Streaming session_window keeps per-key open
+    sessions in the state store — the merge is incremental, no batch-style
+    global sort."""
+    return (
+        events.withWatermark("ts", "2 hours")
+        .groupBy("user_id", F.session_window("ts", gap))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            "session_value",
+        )
+    )

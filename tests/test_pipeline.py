@@ -160,3 +160,44 @@ def test_watermark_store_roundtrip(tmp_path):
     assert wm.get("p") == t
     # file is valid JSON (atomic replace completed)
     assert json.load(open(tmp_path / "wm.json"))["p"].startswith("2024-03-01")
+
+
+def test_es_sink_writer_options_and_two_phase(spark):
+    """ES sink maps the reference's bulk-tuning defaults onto connector
+    options, and the action apply is two-phase: all upserts before any
+    delete, grouped per target index."""
+    from prefect_flow_arc_indexer_spark.pipeline.es_sink import (
+        EsSinkConfig,
+        apply_actions_batch,
+        write_upserts,
+    )
+
+    cfg = EsSinkConfig(nodes="es:9200", id_column="_id")
+    opts = cfg.writer_options()
+    assert opts["es.write.operation"] == "upsert"
+    assert opts["es.batch.size.entries"] == "500"  # reference es_chunk_size
+    assert opts["es.http.timeout"] == "30s"
+    assert opts["es.batch.write.retry.count"] == "10"
+
+    actions = spark.createDataFrame(
+        [
+            ("idx_a", "1", "index", '{"v":1}'),
+            ("idx_a", "2", "delete", None),
+            ("idx_b", "3", "index", '{"v":3}'),
+        ],
+        "_index string, _id string, _op_type string, _source string",
+    )
+    calls = []
+    apply_actions_batch(
+        actions, cfg, write=lambda df, c, idx: calls.append(
+            (idx, sorted(r["_op_type"] for r in df.collect()))
+        )
+    )
+    ops_in_order = [op for _, ops in calls for op in ops]
+    assert ops_in_order.index("delete") > ops_in_order.count("index") - 1
+    assert {c[0] for c in calls} == {"idx_a", "idx_b"}
+
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="connector"):
+        write_upserts(actions, cfg, "idx_a")

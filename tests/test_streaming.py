@@ -144,3 +144,44 @@ def test_stream_user_running_totals_state_survives_batches(spark, tmp_path):
         finals[uid] = (n, total)
     assert finals[1] == (3, 17.5)
     assert finals[2] == (1, 1.0)
+
+
+def test_stream_user_sessions_subset_of_batch(spark, tmp_path):
+    """Streaming session windows (append mode) emit only sessions sealed by
+    the watermark; every emitted session must exist in the batch answer."""
+    from prefect_flow_arc_indexer_spark.sources.parquet import load_table
+
+    sf = "/root/testdata/sf0.001"
+    staged = str(tmp_path / "events_sessions")
+    ev = load_table(spark, sf, "events").select("user_id", "ts", "value")
+    ev.write.parquet(staged)
+    stream = spark.readStream.schema(ev.schema).parquet(staged)
+    out = (
+        jobs.stream_user_sessions(stream)
+        .writeStream.format("memory")
+        .queryName("user_sessions")
+        .option("checkpointLocation", str(tmp_path / "ckpt_sess"))
+        .trigger(availableNow=True)
+        .outputMode("append")
+        .start()
+    )
+    out.awaitTermination(120)
+    got = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in spark.sql("SELECT * FROM user_sessions").collect()
+    }
+    batch = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in (
+            ev.groupBy("user_id", F.session_window("ts", "30 minutes"))
+            .agg(F.count("*").alias("n_events"))
+            .select(
+                "user_id",
+                F.col("session_window.start").alias("session_start"),
+                F.col("session_window.end").alias("session_end"),
+                "n_events",
+            )
+        ).collect()
+    }
+    assert got, "stream emitted no sealed sessions"
+    assert got <= batch
