@@ -160,26 +160,23 @@ def q_count_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_schema_probe",
-    oracle=f"""WITH {IDX_DOCS_CTE},
-ranked AS (
-  SELECT "index",
-         json_extract_string(document, '$.k') AS schema_name,
-         row_number() OVER (PARTITION BY "index" ORDER BY CAST(id AS BIGINT) ASC) AS rn_first,
-         row_number() OVER (PARTITION BY "index" ORDER BY CAST(id AS BIGINT) DESC) AS rn_last
-    FROM index_documents
-   WHERE "index" IS NOT NULL
-)
-SELECT f."index",
-       f.schema_name AS es_schema_name,
-       l.schema_name AS pg_schema_name,
-       f.schema_name IS DISTINCT FROM l.schema_name AS org_name_changed
-  FROM (SELECT * FROM ranked WHERE rn_first = 1) f
-  JOIN (SELECT * FROM ranked WHERE rn_last = 1) l USING ("index")
+    oracle=f"""WITH {IDX_DOCS_CTE}
+SELECT "index",
+       arg_min(json_extract_string(document, '$.k'), CAST(id AS BIGINT)) AS es_schema_name,
+       arg_max(json_extract_string(document, '$.k'), CAST(id AS BIGINT)) AS pg_schema_name,
+       arg_min(json_extract_string(document, '$.k'), CAST(id AS BIGINT))
+         IS DISTINCT FROM
+       arg_max(json_extract_string(document, '$.k'), CAST(id AS BIGINT)) AS org_name_changed
+  FROM index_documents
+ WHERE "index" IS NOT NULL
+ GROUP BY "index"
 """,
     doc="S5/T7: schema-drift probe — limit-1 doc per index from 'ES' vs "
     "current source value, inequality triggers full rebuild "
     "(reference flows/main_flow.py:37-86). Probe rows pinned to min/max id "
-    "for determinism (the reference grabs an arbitrary doc).",
+    "for determinism (the reference grabs an arbitrary doc). Plan: a single "
+    "min_by/max_by hash aggregation (map-side partial) — not the window-sort "
+    "formulation, which would full-sort every index partition twice.",
 )
 def q_schema_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = (
@@ -191,26 +188,20 @@ def q_schema_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("id").cast("bigint").alias("id_num"),
         )
     )
-    w = Window.partitionBy("index")
-    ranked = docs.select(
-        "index",
-        "schema_name",
-        F.row_number().over(w.orderBy(F.col("id_num").asc())).alias("rn_first"),
-        F.row_number().over(w.orderBy(F.col("id_num").desc())).alias("rn_last"),
-    )
-    first = ranked.where(F.col("rn_first") == 1).select(
-        "index", F.col("schema_name").alias("es_schema_name")
-    )
-    last = ranked.where(F.col("rn_last") == 1).select(
-        "index", F.col("schema_name").alias("pg_schema_name")
-    )
-    return first.join(last, "index").select(
-        "index",
-        "es_schema_name",
-        "pg_schema_name",
-        (
-            ~F.col("es_schema_name").eqNullSafe(F.col("pg_schema_name"))
-        ).alias("org_name_changed"),
+    return (
+        docs.groupBy("index")
+        .agg(
+            F.min_by("schema_name", "id_num").alias("es_schema_name"),
+            F.max_by("schema_name", "id_num").alias("pg_schema_name"),
+        )
+        .select(
+            "index",
+            "es_schema_name",
+            "pg_schema_name",
+            (
+                ~F.col("es_schema_name").eqNullSafe(F.col("pg_schema_name"))
+            ).alias("org_name_changed"),
+        )
     )
 
 

@@ -197,11 +197,13 @@ def q_returned_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("revenue")
         )
     )
+    # top-k FIRST via orderBy+limit (plans as TakeOrderedAndProject — no
+    # single-partition window over the whole aggregate), then rank the 20
+    # survivors; identical result to ranking-then-filtering because the
+    # sort key is the same total order.
+    top = per.orderBy(F.col("revenue").desc(), F.col("c_custkey").asc()).limit(20)
     w = Window.orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
-    return (
-        per.withColumn("rk", F.row_number().over(w))
-        .where(F.col("rk") <= 20)
-    )
+    return top.withColumn("rk", F.row_number().over(w))
 
 
 @register(
