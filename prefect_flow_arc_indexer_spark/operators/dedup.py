@@ -403,3 +403,108 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("cos_sim") >= COSINE_DUP_THRESHOLD)
     )
+
+
+# --------------------------------------------------------------------------
+# end-to-end near-dup pipeline: LSH candidates -> exact-Jaccard verify
+# --------------------------------------------------------------------------
+MINHASH_VERIFY_THRESHOLD = 0.5
+
+
+@register(
+    "q_minhash_verified",
+    oracle=f"""WITH {_dd_shingle_cte()},
+sig AS (
+  SELECT doc_id,
+         {",".join(f"min((h * {a} + {b}) % {HASH_PRIME}) AS m{i}" for i, (a, b) in enumerate(MINHASH_COEFFS))}
+    FROM hashes GROUP BY doc_id
+),
+buckets AS (
+{chr(10).join("  SELECT doc_id, " + str(b) + " AS band_id, concat_ws('_', " + ", ".join(f"m{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)) + ") AS band_key FROM sig" + ("" if b == N_BANDS - 1 else chr(10) + "  UNION ALL") for b in range(N_BANDS))}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM buckets a JOIN buckets b
+      ON a.band_id = b.band_id AND a.band_key = b.band_key
+     AND a.doc_id < b.doc_id
+),
+sizes AS (
+  SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id
+),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS i
+    FROM cand c
+    JOIN shingles sa ON sa.doc_id = c.doc_a
+    JOIN shingles sb ON sb.doc_id = c.doc_b AND sb.s = sa.s
+   GROUP BY c.doc_a, c.doc_b
+)
+SELECT i.doc_a, i.doc_b,
+       round(CAST(i.i AS DOUBLE) / (za.n + zb.n - i.i), 6) AS jaccard
+  FROM inter i
+  JOIN sizes za ON za.doc_id = i.doc_a
+  JOIN sizes zb ON zb.doc_id = i.doc_b
+ WHERE round(CAST(i.i AS DOUBLE) / (za.n + zb.n - i.i), 6) >= {MINHASH_VERIFY_THRESHOLD}
+""",
+    doc="end-to-end near-dup pipeline: MinHash+LSH candidate generation "
+    "followed by exact-Jaccard verification of ONLY the candidates (the "
+    "production two-phase shape: cheap recall stage, exact precision stage "
+    "over a tiny pair set) — pairs at jaccard >= 0.5",
+)
+def q_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    cand = lsh_candidate_pairs(minhash_signature(docs))
+    sh = _shingle_hashes(docs, distinct=True)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    sha = sh.select(F.col("doc_id").alias("doc_a"), F.col("h").alias("ha"))
+    shb = sh.select(F.col("doc_id").alias("_db"), F.col("h").alias("hb"))
+    inter = (
+        cand.join(sha, "doc_a")
+        .join(
+            shb,
+            (F.col("doc_b") == F.col("_db")) & (F.col("hb") == F.col("ha")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("i"))
+    )
+    return (
+        inter.join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("i").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("i")),
+                6,
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= MINHASH_VERIFY_THRESHOLD)
+    )
+
+
+@register(
+    "q_dedup_apply",
+    oracle="""WITH keepers AS (
+  SELECT min(doc_id) AS doc_id FROM documents GROUP BY sha256(text)
+)
+SELECT d.doc_id, d.lang, d.source, d.n_chars
+  FROM documents d JOIN keepers k ON k.doc_id = d.doc_id
+""",
+    doc="dedup applied: the corpus restricted to exact-dup keepers "
+    "(min doc_id per content hash) — the materialized output a training "
+    "pipeline feeds downstream; hash computed scan-side, one shuffle",
+)
+def q_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    keepers = docs.groupBy(F.sha2("text", 256).alias("_sha")).agg(
+        F.min("doc_id").alias("doc_id")
+    ).select("doc_id")
+    return docs.join(keepers, "doc_id", "left_semi").select(
+        "doc_id", "lang", "source", "n_chars"
+    )

@@ -149,3 +149,27 @@ def test_approx_distinct_error_bound(spark):
         assert abs(r["approx_customers"] - r["exact_customers"]) <= max(
             0.02 * r["exact_customers"], 1
         )
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["q_minhash_verified", "q_dedup_apply", "q_geomean_value", "q_knn_blocked"],
+)
+def test_second_wave_parity(spark, duck, name):
+    rq = all_queries()[name]
+    assert_matches_oracle(rq.builder(spark, SF_DIR), duck, rq.oracle)
+
+
+def test_blocked_knn_equals_brute_force(spark):
+    """The blocked-matmul path is exact: identical (query, neighbor, rank)
+    set as the brute-force baseline."""
+    qs = all_queries()
+    brute = {
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in qs["q_knn_cosine"].builder(spark, SF_DIR).collect()
+    }
+    blocked = {
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in qs["q_knn_blocked"].builder(spark, SF_DIR).collect()
+    }
+    assert blocked == brute
