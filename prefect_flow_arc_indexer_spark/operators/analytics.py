@@ -210,9 +210,21 @@ def q_pivot_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.round(F.expr("percentile(l_extendedprice, 0.25)"), 4).alias("price_p25"),
-        F.round(F.expr("percentile(l_extendedprice, 0.50)"), 4).alias("price_p50"),
-        F.round(F.expr("percentile(l_extendedprice, 0.75)"), 4).alias("price_p75"),
-        F.round(F.expr("percentile(l_quantity, 0.50)"), 4).alias("qty_median"),
+    # one array-argument percentile = ONE sort buffer for all three price
+    # quantiles (separate scalar calls each buffer the full column)
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.expr(
+                "percentile(l_extendedprice, array(0.25D, 0.50D, 0.75D))"
+            ).alias("_p"),
+            F.expr("percentile(l_quantity, 0.50D)").alias("_qm"),
+        )
+        .select(
+            "l_returnflag",
+            F.round(F.element_at("_p", 1), 4).alias("price_p25"),
+            F.round(F.element_at("_p", 2), 4).alias("price_p50"),
+            F.round(F.element_at("_p", 3), 4).alias("price_p75"),
+            F.round("_qm", 4).alias("qty_median"),
+        )
     )

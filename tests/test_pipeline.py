@@ -201,3 +201,29 @@ def test_es_sink_writer_options_and_two_phase(spark):
 
     with _pytest.raises(RuntimeError, match="connector"):
         write_upserts(actions, cfg, "idx_a")
+
+
+def test_read_files_formats_agree(spark, tmp_path):
+    """The same table staged as parquet/json/csv reads back identically
+    through the unified reader (explicit schema, FAILFAST)."""
+    from prefect_flow_arc_indexer_spark.sources.files import read_files
+    from prefect_flow_arc_indexer_spark.sources.parquet import load_table
+
+    nation = load_table(spark, "/root/testdata/sf0.001", "nation")
+    schema = nation.schema
+    staged = {}
+    for fmt in ("parquet", "json", "csv"):
+        p = str(tmp_path / f"nation_{fmt}")
+        nation.write.format(fmt).option("header", "true").save(p)
+        staged[fmt] = p
+    base = sorted(map(tuple, nation.collect()))
+    for fmt, p in staged.items():
+        got = sorted(
+            map(tuple, read_files(spark, p, fmt, schema=schema).collect())
+        )
+        assert got == base, fmt
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="explicit schema"):
+        read_files(spark, staged["json"], "json")
