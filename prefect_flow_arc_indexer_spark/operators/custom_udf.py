@@ -16,12 +16,16 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import DoubleType
 
 from prefect_flow_arc_indexer_spark.plans.registry import register
 from prefect_flow_arc_indexer_spark.sources.parquet import load_table
 
 
-@pandas_udf("double")
+# return type passed as a DataType instance (not a DDL string) so the module
+# imports without an active SparkSession — DDL strings are parsed eagerly at
+# decoration time and would make `queries()` require a session first.
+@pandas_udf(DoubleType())
 def geometric_mean_1p(v: pd.Series) -> float:
     """Geometric mean of (1 + v): exp(mean(log1p(v))). float64 end-to-end;
     the 1e-15-scale summation-order drift vs. the oracle is absorbed by the

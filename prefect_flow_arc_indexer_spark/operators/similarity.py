@@ -390,3 +390,47 @@ def q_knn_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="query_id long, neighbor_id long, cos_sim double",
     )
     return _topk(candidates)
+
+
+# --------------------------------------------------------------------------
+# iterative refinement: k-means (Lloyd) over the IVF pieces
+# --------------------------------------------------------------------------
+KMEANS_ITERS = 3
+
+
+@register(
+    "q_kmeans",
+    oracle=None,  # iterative driver-loop algorithm: the driver applies the
+    # rows-only check; determinism + convergence are pytest-asserted instead
+    doc="iterative algorithm surface: k-means via Lloyd iterations — "
+    "assign (broadcast centroids, argmax cosine) then re-estimate "
+    "(quantized-mean, engine-stable) in a driver loop of DataFrame jobs; "
+    "each iteration is one shuffle on (cell, pos). Output: per-cluster "
+    "size and a quantized centroid checksum.",
+)
+def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings", fan_out=True).select(
+        "vec_id", "label", "embedding"
+    )
+    # init: per-label means (deterministic seed), then Lloyd iterations
+    centroids = ivf_centroids(e)
+    for _ in range(KMEANS_ITERS):
+        assigned = ivf_assign(e, centroids).select(
+            "vec_id", F.col("cell").alias("label"), "embedding"
+        )
+        centroids = ivf_centroids(assigned)
+    final = ivf_assign(e, centroids)
+    sizes = final.groupBy(F.col("cell").alias("cluster")).agg(
+        F.count("*").alias("n_members")
+    )
+    checksums = centroids.select(
+        F.col("label").alias("cluster"),
+        F.aggregate(
+            F.transform(
+                "centroid", lambda c: F.round(c * QUANT).cast("bigint")
+            ),
+            F.lit(0).cast("bigint"),
+            lambda acc, v: acc + v,
+        ).alias("centroid_checksum"),
+    )
+    return sizes.join(checksums, "cluster").orderBy("cluster")

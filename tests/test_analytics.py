@@ -173,3 +173,16 @@ def test_blocked_knn_equals_brute_force(spark):
         for r in qs["q_knn_blocked"].builder(spark, SF_DIR).collect()
     }
     assert blocked == brute
+
+
+def test_kmeans_deterministic_and_total(spark):
+    """The iterative k-means is deterministic across runs (quantized
+    arithmetic) and every vector stays assigned to exactly one cluster."""
+    from prefect_flow_arc_indexer_spark.sources.parquet import load_table
+
+    rq = all_queries()["q_kmeans"]
+    a = sorted(map(tuple, rq.builder(spark, SF_DIR).collect()))
+    b = sorted(map(tuple, rq.builder(spark, SF_DIR).collect()))
+    assert a == b
+    n_vecs = load_table(spark, SF_DIR, "embeddings").count()
+    assert sum(r[1] for r in a) == n_vecs
