@@ -398,39 +398,84 @@ def q_knn_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
 KMEANS_ITERS = 3
 
 
+def _assign_cells(spark: SparkSession, e: DataFrame, cent_rows) -> DataFrame:
+    """(vec_id, label, embedding) with label = argmax-cosine cell.
+
+    ``cent_rows`` is the driver-collected [(label, centroid), ...] — tiny by
+    construction (k rows), so it ships as a broadcast local relation (NOT as
+    per-component literals: literal centroids would change the generated
+    code every iteration and force a codegen recompile; a local relation
+    keeps the plan shape — and the compiled code — identical across
+    iterations). The argmax is ``max_by`` in a hash aggregate over k rows
+    per vector: one narrow shuffle, no window sort. Ties go to the smallest
+    cell via the (cos_c, -cell) ordering struct — same order
+    ``ivf_assign``'s window uses.
+    """
+    cent = spark.createDataFrame(
+        [(int(lbl), [float(x) for x in c]) for lbl, c in cent_rows],
+        "cell int, centroid array<double>",
+    )
+    scored = e.select("vec_id", "embedding").crossJoin(F.broadcast(cent))
+    best = scored.groupBy("vec_id").agg(
+        F.max_by(
+            F.struct(F.col("cell"), F.col("embedding")),
+            F.struct(
+                F.round(
+                    cosine_similarity(F.col("embedding"), F.col("centroid")), 6
+                ).alias("cos_c"),
+                (-F.col("cell")).alias("neg_cell"),
+            ),
+        ).alias("best")
+    )
+    return best.select(
+        "vec_id",
+        F.col("best.cell").alias("label"),
+        F.col("best.embedding").alias("embedding"),
+    )
+
+
 @register(
     "q_kmeans",
     oracle=None,  # iterative driver-loop algorithm: the driver applies the
     # rows-only check; determinism + convergence are pytest-asserted instead
     doc="iterative algorithm surface: k-means via Lloyd iterations — "
-    "assign (broadcast centroids, argmax cosine) then re-estimate "
-    "(quantized-mean, engine-stable) in a driver loop of DataFrame jobs; "
-    "each iteration is one shuffle on (cell, pos). Output: per-cluster "
-    "size and a quantized centroid checksum.",
+    "per iteration, assign is a broadcast of the driver-held centroids "
+    "(argmax cosine via max_by hash-agg, no window sort) and "
+    "re-estimation is one (label, pos) shuffle over the cached corpus; "
+    "centroids are collected to the driver each round (k rows — the "
+    "canonical Spark iterative pattern, which also truncates lineage so "
+    "plan depth stays O(1) per iteration). Output: per-cluster size and "
+    "a quantized centroid checksum.",
 )
 def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings", fan_out=True).select(
         "vec_id", "label", "embedding"
     )
-    # init: per-label means (deterministic seed), then Lloyd iterations
-    centroids = ivf_centroids(e)
-    for _ in range(KMEANS_ITERS):
-        assigned = ivf_assign(e, centroids).select(
-            "vec_id", F.col("cell").alias("label"), "embedding"
+    e = e.persist()
+    try:
+        # init: per-label quantized means (deterministic), then Lloyd
+        cent_rows = [
+            (r["label"], r["centroid"]) for r in ivf_centroids(e).collect()
+        ]
+        for _ in range(KMEANS_ITERS):
+            assigned = _assign_cells(spark, e, cent_rows)
+            cent_rows = [
+                (r["label"], r["centroid"])
+                for r in ivf_centroids(assigned).collect()
+            ]
+        sizes = (
+            _assign_cells(spark, e, cent_rows)
+            .groupBy(F.col("label").alias("cluster"))
+            .agg(F.count("*").alias("n_members"))
         )
-        centroids = ivf_centroids(assigned)
-    final = ivf_assign(e, centroids)
-    sizes = final.groupBy(F.col("cell").alias("cluster")).agg(
-        F.count("*").alias("n_members")
+    finally:
+        # the final job re-reads the (one-scan) parquet lineage; no cache leak
+        e.unpersist()
+    checksums = spark.createDataFrame(
+        [
+            (int(lbl), sum(int(v) for v in (round(x * QUANT) for x in c)))
+            for lbl, c in cent_rows
+        ],
+        "cluster int, centroid_checksum bigint",
     )
-    checksums = centroids.select(
-        F.col("label").alias("cluster"),
-        F.aggregate(
-            F.transform(
-                "centroid", lambda c: F.round(c * QUANT).cast("bigint")
-            ),
-            F.lit(0).cast("bigint"),
-            lambda acc, v: acc + v,
-        ).alias("centroid_checksum"),
-    )
-    return sizes.join(checksums, "cluster").orderBy("cluster")
+    return sizes.join(F.broadcast(checksums), "cluster").orderBy("cluster")
