@@ -488,6 +488,132 @@ def q_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# connected components over the near-dup graph -> dedup clusters
+# --------------------------------------------------------------------------
+CC_MAX_ITERS = 15
+
+
+def connected_components(edges: DataFrame, max_iters: int = CC_MAX_ITERS) -> DataFrame:
+    """(id, comp) for every node incident to an edge; comp = min node id in
+    the node's connected component.
+
+    The MapReduce CC recipe (min-label propagation + pointer jumping, the
+    same contraction the large-star/small-star algorithm performs): each
+    round every node takes the min label over itself and its neighbors, then
+    jumps through its label's own label — halving chain depth, so rounds are
+    O(log diameter), not O(diameter). State per round is one (node, comp)
+    row per *edge-incident* node (singleton docs never enter the loop — at
+    a healthy dedup threshold that keeps the frontier a small fraction of
+    the corpus). Convergence is detected with a 1-scalar action per round:
+    sum(comp) is strictly decreasing until the fixpoint, so no change-count
+    join is needed. The converged labels are localCheckpoint'ed so the
+    returned plan is shallow instead of replaying the whole loop lineage.
+    """
+    both = edges.select("src", "dst").union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).persist()
+    labels = (
+        both.select(F.col("src").alias("id"))
+        .distinct()
+        .select("id", F.col("id").alias("comp"))
+        .persist()
+    )
+    prev_total = None
+    try:
+        for _ in range(max_iters):
+            nbr_min = (
+                both.join(labels.withColumnRenamed("id", "src"), "src")
+                .groupBy(F.col("dst").alias("id"))
+                .agg(F.min("comp").alias("nbr_comp"))
+            )
+            stepped = labels.join(nbr_min, "id", "left").select(
+                "id",
+                F.least(
+                    "comp", F.coalesce("nbr_comp", "comp")
+                ).alias("comp"),
+            )
+            ptr = stepped.select(
+                F.col("id").alias("comp"), F.col("comp").alias("jcomp")
+            )
+            new_labels = (
+                stepped.join(ptr, "comp", "left")
+                .select(
+                    "id",
+                    F.least("comp", F.coalesce("jcomp", "comp")).alias("comp"),
+                )
+                .persist()
+            )
+            total = new_labels.agg(F.sum("comp")).collect()[0][0]
+            labels.unpersist()
+            labels = new_labels
+            if total == prev_total:
+                break
+            prev_total = total
+        return labels.localCheckpoint(eager=True)
+    finally:
+        both.unpersist()
+        labels.unpersist()
+
+
+@register(
+    "q_dedup_components",
+    oracle=f"""WITH RECURSIVE {_dd_shingle_cte()},
+sig AS (
+  SELECT doc_id,
+         {",".join(f"min((h * {a} + {b}) % {HASH_PRIME}) AS m{i}" for i, (a, b) in enumerate(MINHASH_COEFFS))}
+    FROM hashes GROUP BY doc_id
+),
+buckets AS (
+{chr(10).join("  SELECT doc_id, " + str(b) + " AS band_id, concat_ws('_', " + ", ".join(f"m{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)) + ") AS band_key FROM sig" + ("" if b == N_BANDS - 1 else chr(10) + "  UNION ALL") for b in range(N_BANDS))}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM buckets a JOIN buckets b
+      ON a.band_id = b.band_id AND a.band_key = b.band_key
+     AND a.doc_id < b.doc_id
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM cand
+  UNION ALL
+  SELECT doc_b, doc_a FROM cand
+),
+reach(id, comp) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.dst AS id, r.comp FROM reach r JOIN edges e ON e.src = r.id
+),
+comps AS (
+  SELECT id AS doc_id, min(comp) AS component_id FROM reach GROUP BY id
+)
+SELECT doc_id, component_id,
+       count(*) OVER (PARTITION BY component_id) AS component_size
+  FROM comps
+""",
+    doc="dedup clustering: connected components over the MinHash+LSH "
+    "candidate-pair graph (min-label propagation + pointer jumping, "
+    "O(log diameter) rounds — the MapReduce CC algorithm), every doc "
+    "assigned to a cluster keyed by its component's min doc_id; "
+    "component_id is the keeper a transitive near-dup pipeline retains",
+)
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    edges = lsh_candidate_pairs(minhash_signature(docs)).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    comp = connected_components(edges).withColumnRenamed("id", "doc_id")
+    assigned = docs.select("doc_id").join(comp, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("comp", "doc_id").alias("component_id"),
+    )
+    sizes = assigned.groupBy("component_id").agg(
+        F.count("*").alias("component_size")
+    )
+    return assigned.join(sizes, "component_id").select(
+        "doc_id", "component_id", "component_size"
+    )
+
+
 @register(
     "q_dedup_apply",
     oracle="""WITH keepers AS (
