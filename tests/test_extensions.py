@@ -18,6 +18,7 @@ EXTENSIONS = [
     "q_dedup_simhash",
     "q_ngram_jaccard",
     "q_dedup_embedding",
+    "q_dedup_components",
     "q_knn_cosine",
     "q_knn_lsh",
     "q_token_count",
@@ -62,6 +63,30 @@ def test_identical_docs_identical_signature(spark):
     docs = _docs(spark, [(1, "a b c d e f"), (2, "a b c d e f")])
     sigs = dedup.minhash_signature(docs).drop("doc_id").distinct()
     assert sigs.count() == 1
+
+
+def test_connected_components_labels_transitive_closure(spark):
+    """A chain 1-2-3 plus an island 4-5 must yield components {1,2,3}, {4,5};
+    min-id labeling means comp ids are 1 and 4. A path graph also exercises
+    pointer jumping (depth > 1)."""
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 5)], "src long, dst long"
+    )
+    got = {
+        (r.id, r.comp) for r in dedup.connected_components(edges).collect()
+    }
+    assert got == {(1, 1), (2, 1), (3, 1), (4, 4), (5, 4)}
+
+
+def test_connected_components_long_path_converges(spark):
+    """A 12-node path is the adversarial case for label propagation (max
+    diameter); pointer jumping must still converge within CC_MAX_ITERS."""
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 12)], "src long, dst long"
+    )
+    labels = dedup.connected_components(edges).collect()
+    assert {r.comp for r in labels} == {1}
+    assert len(labels) == 12
 
 
 def test_simhash_near_docs_low_hamming(spark):
