@@ -31,6 +31,7 @@ _OPERATOR_MODULES = (
     "prefect_flow_arc_indexer_spark.operators.analytics",
     "prefect_flow_arc_indexer_spark.operators.temporal",
     "prefect_flow_arc_indexer_spark.operators.custom_udf",
+    "prefect_flow_arc_indexer_spark.operators.sampling",
     "prefect_flow_arc_indexer_spark.multimodal.binary",
 )
 

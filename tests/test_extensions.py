@@ -19,6 +19,8 @@ EXTENSIONS = [
     "q_ngram_jaccard",
     "q_dedup_embedding",
     "q_dedup_components",
+    "q_train_split",
+    "q_stratified_sample",
     "q_knn_cosine",
     "q_knn_lsh",
     "q_token_count",
@@ -63,6 +65,32 @@ def test_identical_docs_identical_signature(spark):
     docs = _docs(spark, [(1, "a b c d e f"), (2, "a b c d e f")])
     sigs = dedup.minhash_signature(docs).drop("doc_id").distinct()
     assert sigs.count() == 1
+
+
+def test_train_split_proportions_and_determinism(spark):
+    """Hash-split must (a) assign every doc exactly once, (b) land near
+    80/10/10, (c) be identical across invocations (no rand())."""
+    from prefect_flow_arc_indexer_spark.operators.sampling import q_train_split
+
+    a = q_train_split(spark, SF_DIR).collect()
+    b = q_train_split(spark, SF_DIR).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    n = len(a)
+    frac = {s: sum(1 for r in a if r.split == s) / n for s in ("train", "val", "test")}
+    assert abs(frac["train"] - 0.8) < 0.08
+    assert abs(frac["val"] - 0.1) < 0.06
+    assert abs(frac["test"] - 0.1) < 0.06
+
+
+def test_stratified_sample_subset_and_rate(spark):
+    from prefect_flow_arc_indexer_spark.operators import sampling
+    from prefect_flow_arc_indexer_spark.sources.parquet import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    kept = sampling.stratified_sample(docs)
+    assert kept.count() < docs.count()
+    # sample ids are a subset of the corpus ids
+    assert kept.join(docs, "doc_id", "left_anti").count() == 0
 
 
 def test_connected_components_labels_transitive_closure(spark):
