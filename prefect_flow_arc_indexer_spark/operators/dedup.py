@@ -453,15 +453,28 @@ SELECT i.doc_a, i.doc_b,
 def q_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents", fan_out=True)
     cand = lsh_candidate_pairs(minhash_signature(docs))
-    sh = _shingle_hashes(docs, distinct=True)
+    # The verification stage joins on the shingle STRING, exactly like the
+    # oracle (sb.s = sa.s): a 28-bit stable_hash collision between two
+    # different shingles would inflate the intersection count and could flip
+    # the jaccard >= 0.5 verdict at corpus scale (ADVICE r1, low). Strings
+    # shuffle a few more bytes than ints, but the join is restricted to the
+    # tiny LSH candidate set, so recall-stage cost is unchanged.
+    sh = (
+        docs.select("doc_id", tokens(F.col("text")).alias("tok"))
+        .select(
+            "doc_id",
+            F.explode(word_ngrams(F.col("tok"), SHINGLE_N)).alias("s"),
+        )
+        .distinct()
+    )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    sha = sh.select(F.col("doc_id").alias("doc_a"), F.col("h").alias("ha"))
-    shb = sh.select(F.col("doc_id").alias("_db"), F.col("h").alias("hb"))
+    sha = sh.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("sa"))
+    shb = sh.select(F.col("doc_id").alias("_db"), F.col("s").alias("sb"))
     inter = (
         cand.join(sha, "doc_a")
         .join(
             shb,
-            (F.col("doc_b") == F.col("_db")) & (F.col("hb") == F.col("ha")),
+            (F.col("doc_b") == F.col("_db")) & (F.col("sb") == F.col("sa")),
         )
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("i"))
@@ -520,6 +533,7 @@ def connected_components(edges: DataFrame, max_iters: int = CC_MAX_ITERS) -> Dat
         .persist()
     )
     prev_total = None
+    converged = False
     try:
         for _ in range(max_iters):
             nbr_min = (
@@ -548,8 +562,21 @@ def connected_components(edges: DataFrame, max_iters: int = CC_MAX_ITERS) -> Dat
             labels.unpersist()
             labels = new_labels
             if total == prev_total:
+                converged = True
                 break
             prev_total = total
+        if not converged:
+            # A silent exit here would return partially-propagated labels on
+            # a high-diameter graph — wrong clusters with no signal (ADVICE
+            # r1, low). Pointer jumping makes rounds O(log diameter), so
+            # max_iters=15 covers diameter ~2^15; anything beyond that is an
+            # input anomaly the caller must hear about.
+            raise RuntimeError(
+                f"connected_components did not converge within {max_iters} "
+                "iterations (sum(comp) still decreasing); raise max_iters — "
+                "rounds are O(log diameter), so this graph's diameter "
+                f"exceeds ~2^{max_iters}"
+            )
         return labels.localCheckpoint(eager=True)
     finally:
         both.unpersist()

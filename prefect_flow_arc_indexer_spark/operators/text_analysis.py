@@ -171,10 +171,14 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         "tok", tokens(F.col("text"))
     )
     tok = F.col("tok")
+    # NULL text -> NULL token array -> F.aggregate returns NULL, while the
+    # DuckDB oracle coalesces the list_aggregate sum to 0 and predicts the
+    # first language alphabetically. Coalesce to 0 so both engines
+    # canonicalize NULL-text rows identically (ADVICE r1, medium).
     scored = docs.select(
         "doc_id",
         *[
-            _stopword_hits(tok, ws).alias(f"hits_{lang}")
+            F.coalesce(_stopword_hits(tok, ws), F.lit(0)).alias(f"hits_{lang}")
             for lang, ws in STOPWORDS.items()
         ],
     )

@@ -82,19 +82,72 @@ def write_upserts(df: DataFrame, cfg: EsSinkConfig, index: str) -> None:
     writer.save(index)
 
 
+def _post_bulk(url: str, body: bytes, timeout_s: int) -> int:
+    """POST an NDJSON bulk body to ES; returns the HTTP status. Split out so
+    tests (and air-gapped runs) can inject a fake transport."""
+    import urllib.request
+
+    req = urllib.request.Request(
+        url, data=body, headers={"Content-Type": "application/x-ndjson"}
+    )
+    with urllib.request.urlopen(req, timeout=timeout_s) as resp:
+        return resp.status
+
+
+def write_deletes(
+    df: DataFrame, cfg: EsSinkConfig, index: str, post=_post_bulk
+) -> None:
+    """Bulk-delete the ids in ``df`` from ``index`` via the ES ``_bulk`` REST
+    API, executed ``foreachPartition`` (each executor task ships its own
+    NDJSON chunks — no driver collect).
+
+    The elasticsearch-spark connector has NO delete operation
+    (``es.write.operation`` supports index/create/update/upsert only), so
+    routing tombstones through :func:`write_upserts` would silently persist
+    deleted docs as null-_source upserts (ADVICE r1, medium). Deletes
+    therefore take the REST path the reference itself uses
+    (``streaming_bulk`` ``_op_type: delete``, flows/main_flow.py:378-395).
+    """
+    node = cfg.nodes.split(",")[0].strip()
+    if "://" not in node:
+        node = f"http://{node}"
+    url = f"{node}/_bulk"
+    id_col, chunk, timeout_s = cfg.id_column, cfg.batch_entries, cfg.timeout_s
+
+    def _partition(rows) -> None:
+        import json as _json
+
+        buf: list[bytes] = []
+        for row in rows:
+            meta = {"delete": {"_index": index, "_id": str(row[id_col])}}
+            buf.append(_json.dumps(meta).encode() + b"\n")
+            if len(buf) >= chunk:
+                post(url, b"".join(buf), timeout_s)
+                buf.clear()
+        if buf:
+            post(url, b"".join(buf), timeout_s)
+
+    df.select(F.col(id_col)).foreachPartition(_partition)
+
+
 def apply_actions_batch(
-    actions: DataFrame, cfg: EsSinkConfig, write=write_upserts
+    actions: DataFrame,
+    cfg: EsSinkConfig,
+    write=write_upserts,
+    write_delete=write_deletes,
 ) -> dict[str, int]:
     """Two-phase apply of a doc-action DataFrame (_op_type index|delete,
-    grouped per target ``_index``): upserts first, then deletes. Returns counts
-    per phase. ``write`` is injectable so tests (and the local pipeline) can
-    capture the per-phase frames without an ES cluster."""
+    grouped per target ``_index``): upserts first, then deletes — each phase
+    through its OWN writer, because the ES connector cannot express deletes
+    (see :func:`write_deletes`). Returns counts per phase. Both writers are
+    injectable so tests (and the local pipeline) can capture the per-phase
+    frames without an ES cluster."""
     counts: dict[str, int] = {}
-    for op in ("index", "delete"):
+    for op, writer in (("index", write), ("delete", write_delete)):
         subset = actions.where(F.col("_op_type") == op)
         for row in subset.select("_index").distinct().collect():
             idx = row["_index"]
             frame = subset.where(F.col("_index") == idx)
-            write(frame, cfg, idx)
+            writer(frame, cfg, idx)
             counts[f"{op}:{idx}"] = frame.count()
     return counts

@@ -117,6 +117,45 @@ def test_connected_components_long_path_converges(spark):
     assert len(labels) == 12
 
 
+def test_connected_components_raises_when_not_converged(spark):
+    """Exhausting max_iters without reaching the sum(comp) fixpoint must be
+    loud — silently returning partially-propagated labels would hand a
+    high-diameter graph wrong clusters with no signal (ADVICE r1)."""
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 40)], "src long, dst long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.connected_components(edges, max_iters=2)
+
+
+def test_lang_id_null_text_matches_oracle(spark, tmp_path):
+    """NULL text rows must canonicalize identically on both engines: the
+    oracle coalesces stopword hits to 0 and predicts the first language
+    alphabetically; the Spark side must not leak NULL through F.aggregate
+    (ADVICE r1 — the sf fixtures happen to contain no NULL texts)."""
+    import duckdb
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox and the lazy dog", "a"),
+            (2, None, "a"),
+            (3, "der hund und die katze sind nicht hier", "b"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    staged = str(tmp_path / "documents.parquet")
+    docs.coalesce(1).write.parquet(staged)
+    part = [str(p) for p in (tmp_path / "documents.parquet").glob("*.parquet")]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet({part!r})"
+    )
+    rq = all_queries()["q_lang_id"]
+    # q_lang_id loads <sf_dir>/documents.parquet — point it at the stage dir
+    assert_matches_oracle(rq.builder(spark, str(tmp_path)), con, rq.oracle)
+    con.close()
+
+
 def test_simhash_near_docs_low_hamming(spark):
     base = " ".join(f"w{i}" for i in range(60))
     near = base.replace("w30", "x30")

@@ -187,20 +187,83 @@ def test_es_sink_writer_options_and_two_phase(spark):
         ],
         "_index string, _id string, _op_type string, _source string",
     )
-    calls = []
+    upsert_calls, delete_calls = [], []
+    order = []
     apply_actions_batch(
-        actions, cfg, write=lambda df, c, idx: calls.append(
-            (idx, sorted(r["_op_type"] for r in df.collect()))
-        )
+        actions,
+        cfg,
+        write=lambda df, c, idx: (
+            upsert_calls.append((idx, sorted(r["_id"] for r in df.collect()))),
+            order.append("index"),
+        ),
+        write_delete=lambda df, c, idx: (
+            delete_calls.append((idx, sorted(r["_id"] for r in df.collect()))),
+            order.append("delete"),
+        ),
     )
-    ops_in_order = [op for _, ops in calls for op in ops]
-    assert ops_in_order.index("delete") > ops_in_order.count("index") - 1
-    assert {c[0] for c in calls} == {"idx_a", "idx_b"}
+    # deletes go through the DELETE writer only — never the upsert path
+    # (the ES connector has no delete op), and strictly after all upserts
+    assert upsert_calls == [("idx_a", ["1"]), ("idx_b", ["3"])] or sorted(
+        upsert_calls
+    ) == [("idx_a", ["1"]), ("idx_b", ["3"])]
+    assert delete_calls == [("idx_a", ["2"])]
+    assert order.index("delete") == len(order) - 1
 
     import pytest as _pytest
 
     with _pytest.raises(RuntimeError, match="connector"):
         write_upserts(actions, cfg, "idx_a")
+
+
+def test_es_sink_rest_delete_bulk_bodies(spark, tmp_path):
+    """write_deletes ships NDJSON delete actions over the injectable bulk
+    transport — executor-side, chunked by cfg.batch_entries, and never
+    touches the upsert connector options. The fake transport persists each
+    POST to disk because foreachPartition closures run in Python worker
+    processes, not the driver."""
+    import json as _json
+
+    from prefect_flow_arc_indexer_spark.pipeline.es_sink import (
+        EsSinkConfig,
+        write_deletes,
+    )
+
+    cfg = EsSinkConfig(nodes="es:9200", id_column="_id", batch_entries=2)
+    ids = [(f"d{i}",) for i in range(5)]
+    df = spark.createDataFrame(ids, "_id string").coalesce(1)
+
+    cap_dir = tmp_path / "bulk"
+    cap_dir.mkdir()
+    cap = str(cap_dir)
+
+    def fake_post(url, body, timeout_s):
+        import os
+        import uuid
+
+        with open(os.path.join(cap, uuid.uuid4().hex + ".json"), "w") as f:
+            _json.dump(
+                {"url": url, "body": body.decode(), "timeout": timeout_s}, f
+            )
+        return 200
+
+    write_deletes(df, cfg, "idx_live", post=fake_post)
+    posts = [
+        _json.load(open(p)) for p in sorted(cap_dir.glob("*.json"))
+    ]
+    assert posts, "no bulk bodies shipped"
+    assert all(p["url"] == "http://es:9200/_bulk" for p in posts)
+    assert all(p["timeout"] == 30 for p in posts)
+    lines = [
+        _json.loads(line)
+        for p in posts
+        for line in p["body"].strip().split("\n")
+    ]
+    assert sorted(a["delete"]["_id"] for a in lines) == [
+        "d0", "d1", "d2", "d3", "d4",
+    ]
+    assert all(a["delete"]["_index"] == "idx_live" for a in lines)
+    # chunking respected: no body carries more than batch_entries actions
+    assert max(len(p["body"].strip().split("\n")) for p in posts) <= 2
 
 
 def test_read_files_formats_agree(spark, tmp_path):
