@@ -228,3 +228,40 @@ def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("_qm", 4).alias("qty_median"),
         )
     )
+
+
+PRICE_BIN_WIDTH = 5000
+
+
+@register(
+    "q_price_histogram",
+    oracle=f"""SELECT CAST(floor(l_extendedprice / {PRICE_BIN_WIDTH}) AS BIGINT) AS price_bin,
+       count(*) AS n_items,
+       round(min(l_extendedprice), 2) AS bin_min,
+       round(max(l_extendedprice), 2) AS bin_max,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS bin_revenue
+  FROM lineitem
+ GROUP BY price_bin
+""",
+    doc=f"histogram binning: width-{PRICE_BIN_WIDTH} price buckets with "
+    "count/min/max/decimal-sum per bin — a single partial-agg shuffle whose "
+    "group count is bounded by the value range, not the row count (the "
+    "cardinality shape that makes histograms cheap at any scale)",
+)
+def q_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy(
+            F.floor(F.col("l_extendedprice") / PRICE_BIN_WIDTH)
+            .cast("bigint")
+            .alias("price_bin")
+        )
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(F.min("l_extendedprice"), 2).alias("bin_min"),
+            F.round(F.max("l_extendedprice"), 2).alias("bin_max"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("bin_revenue"),
+        )
+    )

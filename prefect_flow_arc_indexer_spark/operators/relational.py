@@ -227,3 +227,55 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("o_custkey").alias("exact_customers")
     )
     return approx.join(exact, "o_orderstatus")
+
+
+Q3_CUTOFF = "1998-01-01"
+
+
+@register(
+    "q_ship_priority",
+    oracle=f"""SELECT l.l_orderkey AS orderkey,
+       CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+       o.o_orderdate AS orderdate,
+       o.o_orderpriority AS orderpriority
+  FROM customer c
+  JOIN orders o ON o.o_custkey = c.c_custkey
+  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+ WHERE c.c_mktsegment = 'BUILDING'
+   AND o.o_orderdate < TIMESTAMP '{Q3_CUTOFF} 00:00:00'
+   AND l.l_shipdate > TIMESTAMP '{Q3_CUTOFF} 00:00:00'
+ GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+ ORDER BY revenue DESC, orderkey ASC
+ LIMIT 10
+""",
+    doc="shipping priority (TPC-H Q3 shape): segment-filtered customer "
+    "broadcast into orders, fact-side date filters pushed to the lineitem "
+    "scan, decimal revenue agg, deterministic top-10 via "
+    "TakeOrderedAndProject (no global sort materialization)",
+)
+def q_ship_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cutoff = F.lit(f"{Q3_CUTOFF} 00:00:00").cast("timestamp")
+    c = load_table(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderdate") < cutoff)
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > cutoff
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.col("l_orderkey").alias("orderkey"),
+            F.col("o_orderdate").alias("orderdate"),
+            F.col("o_orderpriority").alias("orderpriority"),
+        )
+        .agg(
+            F.sum(_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount")))
+            .cast("double")
+            .alias("revenue")
+        )
+        .select("orderkey", "revenue", "orderdate", "orderpriority")
+        .orderBy(F.col("revenue").desc(), F.col("orderkey").asc())
+        .limit(10)
+    )

@@ -479,3 +479,31 @@ def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cluster int, centroid_checksum bigint",
     )
     return sizes.join(F.broadcast(checksums), "cluster").orderBy("cluster")
+
+
+@register(
+    "q_embed_norm",
+    oracle="""SELECT vec_id,
+       len(embedding) AS dim,
+       round(sqrt(list_aggregate(list_transform(embedding::DOUBLE[], x -> x * x), 'sum')), 6) AS l2_norm,
+       round(list_aggregate(embedding::DOUBLE[], 'sum') / len(embedding), 6) AS mean_component,
+       round(list_aggregate(embedding::DOUBLE[], 'max'), 6) AS max_component
+  FROM embeddings
+""",
+    doc="embedding normalization stats: dimension, L2 norm, component "
+    "mean/max per vector — the per-row preflight a similarity pipeline "
+    "runs before normalizing; pure narrow array math inside codegen "
+    "(no shuffle, scan-speed at any scale)",
+)
+def q_embed_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings", fan_out=True)
+    emb = F.col("embedding").cast("array<double>")
+    sq_sum = F.aggregate(emb, F.lit(0.0), lambda acc, v: acc + v * v)
+    comp_sum = F.aggregate(emb, F.lit(0.0), lambda acc, v: acc + v)
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(F.sqrt(sq_sum), 6).alias("l2_norm"),
+        F.round(comp_sum / F.size("embedding"), 6).alias("mean_component"),
+        F.round(F.array_max(emb), 6).alias("max_component"),
+    )

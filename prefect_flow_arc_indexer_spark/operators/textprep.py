@@ -1,0 +1,352 @@
+"""Corpus-preparation operators — PII pseudonymization, repetition
+filtering, chunk-level dedup, TF-IDF ranking, inverted-index build, and
+skew-safe token counting (training-data-pipeline extension surface; ABSENT
+in the reference, which treats document payloads as opaque JSON —
+``flows/main_flow.py:319`` selects the jsonb whole).
+
+The inverted-index build is the closest query-shaped analog of what the
+reference's Elasticsearch sink does server-side (term -> posting list); here
+it is expressed as an explode + two-level aggregation so Spark owns the
+build instead of ES.
+
+Scale notes (100 TB): every operator below is explode -> hash-agg with
+map-side partial aggregation, so the shuffle carries (term, partial-count)
+rows, not raw tokens. The salted variant demonstrates the two-stage
+aggregation that bounds per-reducer load under Zipfian term skew — the
+standard fix when one hot key (a stopword) would otherwise receive the
+whole corpus's postings in one task.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from prefect_flow_arc_indexer_spark.functions.textfns import dd_tokens, tokens
+from prefect_flow_arc_indexer_spark.plans.registry import register
+from prefect_flow_arc_indexer_spark.sources.parquet import load_table
+
+CHUNK_TOKENS = 8
+CHUNK_STRIDE = 4
+TOPTERMS_K = 3
+POSTING_PREVIEW = 20
+SALT_BUCKETS = 16
+REPETITION_FLAG_FRAC = 0.1
+
+
+# --------------------------------------------------------------------------
+# PII pseudonymization
+# --------------------------------------------------------------------------
+@register(
+    "q_pii_pseudonymize",
+    oracle="""SELECT sha256(CAST(c_custkey AS VARCHAR)) AS pseudo_id,
+       concat(substr(c_name, 1, 1), repeat('*', greatest(length(c_name) - 1, 0))) AS name_masked,
+       CAST(floor(c_acctbal / 1000) AS BIGINT) AS acctbal_bucket,
+       c_nationkey AS nationkey,
+       c_mktsegment AS mktsegment
+  FROM customer
+""",
+    doc="PII pseudonymization: deterministic key hashing (sha256), name "
+    "masking (first char + stars), and k-anonymity-style balance binning; "
+    "quasi-identifiers (nation, segment) retained for analytics",
+)
+def q_pii_pseudonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        F.sha2(F.col("c_custkey").cast("string"), 256).alias("pseudo_id"),
+        F.concat(
+            F.substring("c_name", 1, 1),
+            F.expr("repeat('*', greatest(length(c_name) - 1, 0))"),
+        ).alias("name_masked"),
+        F.floor(F.col("c_acctbal") / 1000).cast("bigint").alias(
+            "acctbal_bucket"
+        ),
+        F.col("c_nationkey").alias("nationkey"),
+        F.col("c_mktsegment").alias("mktsegment"),
+    )
+
+
+# --------------------------------------------------------------------------
+# repetition detection (Gopher-style quality rule)
+# --------------------------------------------------------------------------
+@register(
+    "q_repetition",
+    oracle=f"""WITH toks AS (
+  SELECT doc_id, {dd_tokens("text")} AS tok FROM documents
+),
+stats AS (
+  SELECT doc_id,
+         coalesce(len(tok), 0) AS n_tokens,
+         coalesce(len(list_distinct(tok)), 0) AS n_distinct
+    FROM toks
+),
+bigrams AS (
+  SELECT doc_id, t.g
+    FROM toks, unnest(
+      CASE WHEN len(tok) >= 2 THEN
+        list_transform(generate_series(1, len(tok) - 1), i -> tok[i] || ' ' || tok[i+1])
+      ELSE [] END) AS t(g)
+),
+topbg AS (
+  SELECT doc_id, max(c) AS max_bigram
+    FROM (SELECT doc_id, g, count(*) AS c FROM bigrams GROUP BY doc_id, g)
+   GROUP BY doc_id
+)
+SELECT s.doc_id,
+       s.n_tokens,
+       round(CAST(s.n_distinct AS DOUBLE) / greatest(s.n_tokens, 1), 6) AS distinct_ratio,
+       round(CAST(coalesce(t.max_bigram, 0) AS DOUBLE) / greatest(s.n_tokens - 1, 1), 6) AS top_bigram_frac,
+       (round(CAST(coalesce(t.max_bigram, 0) AS DOUBLE) / greatest(s.n_tokens - 1, 1), 6) > {REPETITION_FLAG_FRAC}) AS repetitive
+  FROM stats s LEFT JOIN topbg t ON t.doc_id = s.doc_id
+""",
+    doc="repetition detection (Gopher-style): distinct-token ratio and "
+    "most-frequent-bigram fraction per doc; docs whose top bigram exceeds "
+    f"{REPETITION_FLAG_FRAC:.0%} of positions are flagged repetitive",
+)
+def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents", fan_out=True).select(
+        "doc_id", tokens(F.col("text")).alias("tok")
+    )
+    tok = F.col("tok")
+    stats = docs.select(
+        "doc_id",
+        F.coalesce(F.size(tok), F.lit(0)).alias("n_tokens"),
+        F.coalesce(F.size(F.array_distinct(tok)), F.lit(0)).alias(
+            "n_distinct"
+        ),
+    )
+    bigram = F.when(
+        F.size(tok) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(tok) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(tok, i), F.element_at(tok, i + F.lit(1))
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    topbg = (
+        docs.select("doc_id", F.explode(bigram).alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("max_bigram"))
+    )
+    joined = stats.join(topbg, "doc_id", "left")
+    top_frac = F.round(
+        F.coalesce(F.col("max_bigram"), F.lit(0)).cast("double")
+        / F.greatest(F.col("n_tokens") - 1, F.lit(1)),
+        6,
+    )
+    return joined.select(
+        "doc_id",
+        "n_tokens",
+        F.round(
+            F.col("n_distinct").cast("double")
+            / F.greatest(F.col("n_tokens"), F.lit(1)),
+            6,
+        ).alias("distinct_ratio"),
+        top_frac.alias("top_bigram_frac"),
+        (top_frac > REPETITION_FLAG_FRAC).alias("repetitive"),
+    )
+
+
+# --------------------------------------------------------------------------
+# chunk-level exact dedup (fine-grained substring dedup)
+# --------------------------------------------------------------------------
+@register(
+    "q_chunk_dedup",
+    oracle=f"""WITH toks AS (
+  SELECT doc_id, {dd_tokens("text")} AS tok FROM documents
+),
+chunks AS (
+  SELECT doc_id,
+         array_to_string(list_slice(tok, i, i + {CHUNK_TOKENS - 1}), ' ') AS chunk
+    FROM toks, unnest(generate_series(1, greatest(len(tok) - {CHUNK_TOKENS - 1}, 1), {CHUNK_STRIDE})) AS t(i)
+   WHERE len(tok) > 0
+)
+SELECT chunk,
+       count(*) AS n_occurrences,
+       count(DISTINCT doc_id) AS n_docs,
+       min(doc_id) AS keeper_doc_id
+  FROM chunks
+ GROUP BY chunk
+HAVING count(DISTINCT doc_id) > 1
+""",
+    doc=f"chunk-level exact dedup: strided {CHUNK_TOKENS}-token windows "
+    f"(stride {CHUNK_STRIDE}) grouped corpus-wide; chunks appearing in >1 "
+    "doc are boilerplate/copied spans a fine-grained dedup pass would drop "
+    "(the groupBy-on-chunk approximation of exact-substring dedup)",
+)
+def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents", fan_out=True).select(
+        "doc_id", tokens(F.col("text")).alias("tok")
+    )
+    tok = F.col("tok")
+    positions = F.sequence(
+        F.lit(1),
+        F.greatest(F.size(tok) - F.lit(CHUNK_TOKENS - 1), F.lit(1)),
+        F.lit(CHUNK_STRIDE),
+    )
+    return (
+        docs.where(F.size(tok) > 0)
+        .select("doc_id", "tok", F.explode(positions).alias("i"))
+        .select(
+            "doc_id",
+            F.concat_ws(
+                " ", F.slice(tok, F.col("i"), F.lit(CHUNK_TOKENS))
+            ).alias("chunk"),
+        )
+        .groupBy("chunk")
+        .agg(
+            F.count("*").alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.min("doc_id").alias("keeper_doc_id"),
+        )
+        .where(F.col("n_docs") > 1)
+    )
+
+
+# --------------------------------------------------------------------------
+# TF-IDF top terms
+# --------------------------------------------------------------------------
+@register(
+    "q_tfidf_topterms",
+    oracle=f"""WITH toks AS (
+  SELECT doc_id, {dd_tokens("text")} AS tok FROM documents
+),
+tf AS (
+  SELECT doc_id, t.term, count(*) AS tf
+    FROM toks, unnest(tok) AS t(term)
+   GROUP BY doc_id, t.term
+),
+df AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY term
+),
+n AS (
+  SELECT count(*) AS n_docs FROM documents
+),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+         round((tf.tf * (n.n_docs + 1.0)) / (df.df + 1.0), 6) AS score
+    FROM tf JOIN df ON df.term = tf.term CROSS JOIN n
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+           PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rk
+    FROM scored
+)
+SELECT doc_id, term, tf, df, score
+  FROM ranked WHERE rk <= {TOPTERMS_K}
+""",
+    doc=f"TF-IDF top-{TOPTERMS_K} terms per doc (linear-idf variant "
+    "(N+1)/(df+1) — IEEE-exact division, so both engines rank "
+    "bit-identically; ln-idf would differ in the last ulp across libm "
+    "implementations and could flip tie-adjacent ranks); term frequencies "
+    "and document frequencies each computed in one partial-agg shuffle",
+)
+def q_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    tf = (
+        docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n = docs.agg(F.count("*").alias("n_docs"))
+    scored = tf.join(F.broadcast(df), "term").crossJoin(F.broadcast(n)).select(
+        "doc_id",
+        "term",
+        "tf",
+        "df",
+        F.round(
+            (F.col("tf") * (F.col("n_docs") + F.lit(1.0)))
+            / (F.col("df") + F.lit(1.0)),
+            6,
+        ).alias("score"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= TOPTERMS_K)
+        .drop("rk")
+    )
+
+
+# --------------------------------------------------------------------------
+# inverted-index build (what the reference's ES sink does server-side)
+# --------------------------------------------------------------------------
+@register(
+    "q_inverted_index",
+    oracle=f"""WITH toks AS (
+  SELECT doc_id, {dd_tokens("text")} AS tok FROM documents
+),
+per_doc AS (
+  SELECT t.term, doc_id, count(*) AS cnt
+    FROM toks, unnest(tok) AS t(term)
+   GROUP BY t.term, doc_id
+)
+SELECT term,
+       count(*) AS doc_freq,
+       sum(cnt) AS occurrences,
+       array_to_string(list_slice(list(doc_id ORDER BY doc_id), 1, {POSTING_PREVIEW}), ',') AS posting_preview
+  FROM per_doc
+ GROUP BY term
+""",
+    doc="inverted-index build: term -> (doc freq, total occurrences, "
+    f"first-{POSTING_PREVIEW} posting list) via explode + two-level agg — "
+    "the Spark-owned analog of the ES indexing the reference delegates "
+    "(flows/main_flow.py:413 streaming_bulk); full posting lists at 100 TB "
+    "would be written sorted-within-term-partition rather than collected",
+)
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    per_doc = (
+        docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+        .groupBy("term", "doc_id")
+        .agg(F.count("*").alias("cnt"))
+    )
+    return per_doc.groupBy("term").agg(
+        F.count("*").alias("doc_freq"),
+        F.sum("cnt").alias("occurrences"),
+        F.concat_ws(
+            ",",
+            F.slice(
+                F.sort_array(F.collect_list("doc_id")),
+                1,
+                POSTING_PREVIEW,
+            ).cast("array<string>"),
+        ).alias("posting_preview"),
+    )
+
+
+# --------------------------------------------------------------------------
+# skew-safe (salted) token counting
+# --------------------------------------------------------------------------
+@register(
+    "q_salted_token_counts",
+    oracle=f"""WITH toks AS (
+  SELECT doc_id, {dd_tokens("text")} AS tok FROM documents
+)
+SELECT t.term, count(*) AS occurrences
+  FROM toks, unnest(tok) AS t(term)
+ GROUP BY t.term
+""",
+    doc="skew-safe token counting: two-stage salted aggregation — stage 1 "
+    f"groups by (term, doc_id % {SALT_BUCKETS}) so a Zipf-hot term's rows "
+    f"spread over {SALT_BUCKETS} reducers, stage 2 sums the per-salt "
+    "partials; semantically identical to the plain groupBy the oracle "
+    "runs, which is the point: salting changes the physical plan only",
+)
+def q_salted_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    exploded = docs.select(
+        (F.col("doc_id") % SALT_BUCKETS).alias("salt"),
+        F.explode(tokens(F.col("text"))).alias("term"),
+    )
+    partial = exploded.groupBy("term", "salt").agg(
+        F.count("*").alias("partial_cnt")
+    )
+    return partial.groupBy("term").agg(
+        F.sum("partial_cnt").alias("occurrences")
+    )

@@ -26,6 +26,7 @@ _OPERATOR_MODULES = (
     "prefect_flow_arc_indexer_spark.operators.dedup",
     "prefect_flow_arc_indexer_spark.operators.similarity",
     "prefect_flow_arc_indexer_spark.operators.text_analysis",
+    "prefect_flow_arc_indexer_spark.operators.textprep",
     "prefect_flow_arc_indexer_spark.operators.sessionize",
     "prefect_flow_arc_indexer_spark.operators.relational",
     "prefect_flow_arc_indexer_spark.operators.analytics",

@@ -32,6 +32,15 @@ EXTENSIONS = [
     "q_pricing_summary",
     "q_market_revenue",
     "q_top_parts_by_supplier",
+    "q_pii_pseudonymize",
+    "q_repetition",
+    "q_chunk_dedup",
+    "q_tfidf_topterms",
+    "q_inverted_index",
+    "q_salted_token_counts",
+    "q_ship_priority",
+    "q_price_histogram",
+    "q_embed_norm",
 ]
 
 
@@ -245,3 +254,70 @@ def test_market_revenue_uses_broadcast(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_salted_counts_equal_plain_groupby(spark):
+    """Salting must change ONLY the physical plan: two-stage salted counts
+    equal a direct explode+groupBy count."""
+    from prefect_flow_arc_indexer_spark.functions.textfns import tokens
+    from prefect_flow_arc_indexer_spark.operators.textprep import (
+        q_salted_token_counts,
+    )
+
+    got = {
+        (r.term, r.occurrences)
+        for r in q_salted_token_counts(spark, SF_DIR).collect()
+    }
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plain = {
+        (r.term, r.occurrences)
+        for r in docs.select(F.explode(tokens(F.col("text"))).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("occurrences"))
+        .collect()
+    }
+    assert got == plain
+
+
+def test_repetition_flags_degenerate_doc(spark, tmp_path):
+    """A doc that is one bigram repeated must be flagged; a all-distinct doc
+    must not."""
+    from prefect_flow_arc_indexer_spark.operators.textprep import q_repetition
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spam ham " * 30, "a"),
+            (2, " ".join(f"w{i}" for i in range(60)), "a"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    docs.coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+    rows = {r.doc_id: r for r in q_repetition(spark, str(tmp_path)).collect()}
+    assert rows[1].repetitive and rows[1].top_bigram_frac > 0.4
+    assert not rows[2].repetitive and rows[2].distinct_ratio == 1.0
+
+
+def test_inverted_index_postings_sorted_and_capped(spark):
+    from prefect_flow_arc_indexer_spark.operators.textprep import (
+        POSTING_PREVIEW,
+        q_inverted_index,
+    )
+
+    for r in q_inverted_index(spark, SF_DIR).collect():
+        ids = [int(x) for x in r.posting_preview.split(",") if x]
+        assert ids == sorted(ids)
+        assert len(ids) <= POSTING_PREVIEW
+        assert r.doc_freq >= len(ids) and r.occurrences >= r.doc_freq
+
+
+def test_pii_pseudonymize_masks_and_is_deterministic(spark):
+    from prefect_flow_arc_indexer_spark.operators.textprep import (
+        q_pii_pseudonymize,
+    )
+
+    rows = q_pii_pseudonymize(spark, SF_DIR).collect()
+    assert all(set(r.name_masked[1:]) <= {"*"} for r in rows)
+    # same key -> same pseudonym on a re-run (deterministic, joinable)
+    again = q_pii_pseudonymize(spark, SF_DIR).collect()
+    assert {r.pseudo_id for r in rows} == {r.pseudo_id for r in again}
+    assert len({r.pseudo_id for r in rows}) == len(rows)  # injective here
