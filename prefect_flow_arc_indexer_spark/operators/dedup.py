@@ -523,9 +523,18 @@ def connected_components(edges: DataFrame, max_iters: int = CC_MAX_ITERS) -> Dat
     join is needed. The converged labels are localCheckpoint'ed so the
     returned plan is shallow instead of replaying the whole loop lineage.
     """
-    both = edges.select("src", "dst").union(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).persist()
+    # The edge list is the loop's big invariant side: hash-partition it on
+    # the join key ONCE and persist that layout. Every round's
+    # neighbor-propagation join then reuses the cached partitioning (the
+    # InMemoryRelation keeps its outputPartitioning, so no exchange lands on
+    # the edge side) — at scale this is the difference between shuffling the
+    # whole edge set every round and shuffling only the (node, comp) labels.
+    both = (
+        edges.select("src", "dst")
+        .union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .repartition(F.col("src"))
+        .persist()
+    )
     labels = (
         both.select(F.col("src").alias("id"))
         .distinct()
@@ -536,16 +545,16 @@ def connected_components(edges: DataFrame, max_iters: int = CC_MAX_ITERS) -> Dat
     converged = False
     try:
         for _ in range(max_iters):
-            nbr_min = (
-                both.join(labels.withColumnRenamed("id", "src"), "src")
-                .groupBy(F.col("dst").alias("id"))
-                .agg(F.min("comp").alias("nbr_comp"))
-            )
-            stepped = labels.join(nbr_min, "id", "left").select(
-                "id",
-                F.least(
-                    "comp", F.coalesce("nbr_comp", "comp")
-                ).alias("comp"),
+            # min over {self} ∪ {neighbors} in ONE aggregation: union the
+            # current labels with the propagated neighbor labels and take
+            # the per-node min — no separate left join against nbr_min.
+            stepped = (
+                labels.union(
+                    both.join(labels.withColumnRenamed("id", "src"), "src")
+                    .select(F.col("dst").alias("id"), "comp")
+                )
+                .groupBy("id")
+                .agg(F.min("comp").alias("comp"))
             )
             ptr = stepped.select(
                 F.col("id").alias("comp"), F.col("comp").alias("jcomp")

@@ -21,7 +21,7 @@ vec_id so results are engine-stable.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
 
 from prefect_flow_arc_indexer_spark.functions.vectors import (
     cosine_similarity,
@@ -206,29 +206,47 @@ def ivf_centroids(e: DataFrame) -> DataFrame:
     )
 
 
+def _argmax_cell(cents: Column, emb: Column) -> Column:
+    """Nearest-centroid id via a fold over the (tiny, broadcast) centroid
+    array: max of struct(rounded cosine, -cell), so ties go to the smallest
+    cell — the exact (cos_c DESC, cell ASC) order a ranking window would
+    use, but computed in ONE narrow projection. The corpus is never
+    shuffled: the window/groupBy argmax formulations both move every
+    (vector x centroid) row through an exchange, which at 100 TB is k
+    copies of the corpus through the wire for what is per-row math."""
+    best = F.array_max(
+        F.transform(
+            cents,
+            lambda c: F.struct(
+                F.round(cosine_similarity(emb, c["centroid"]), 6).alias("s"),
+                (-c["cell"]).alias("neg_cell"),
+            ),
+        )
+    )
+    return (-best["neg_cell"]).cast("int")
+
+
 def ivf_assign(e: DataFrame, centroids: DataFrame) -> DataFrame:
     """Assign each vector to its nearest centroid (cosine, nprobe=1).
 
-    Centroid table is tiny (n_labels rows) -> broadcast; the corpus is
-    scanned once and never shuffled until the per-vector argmax, which is a
-    window over n_labels rows per vector.
-    """
-    cent = centroids.select(F.col("label").alias("cell"), "centroid")
-    scored = e.drop("label").crossJoin(F.broadcast(cent)).select(
-        "vec_id",
-        "embedding",
-        "cell",
-        F.round(
-            cosine_similarity(F.col("embedding"), F.col("centroid")), 6
-        ).alias("cos_c"),
-    )
-    w = Window.partitionBy("vec_id").orderBy(
-        F.col("cos_c").desc(), F.col("cell").asc()
+    The centroid table is tiny (n_labels rows) by contract: it collapses to
+    a one-row array relation, broadcasts, and the assignment is a
+    shuffle-free projection (see :func:`_argmax_cell`)."""
+    cent = centroids.agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(F.col("label").alias("cell"), F.col("centroid"))
+            )
+        ).alias("cents")
     )
     return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("vec_id", "embedding", "cell")
+        e.drop("label")
+        .crossJoin(F.broadcast(cent))
+        .select(
+            "vec_id",
+            "embedding",
+            _argmax_cell(F.col("cents"), F.col("embedding")).alias("cell"),
+        )
     )
 
 
@@ -402,35 +420,33 @@ def _assign_cells(spark: SparkSession, e: DataFrame, cent_rows) -> DataFrame:
     """(vec_id, label, embedding) with label = argmax-cosine cell.
 
     ``cent_rows`` is the driver-collected [(label, centroid), ...] — tiny by
-    construction (k rows), so it ships as a broadcast local relation (NOT as
-    per-component literals: literal centroids would change the generated
-    code every iteration and force a codegen recompile; a local relation
-    keeps the plan shape — and the compiled code — identical across
-    iterations). The argmax is ``max_by`` in a hash aggregate over k rows
-    per vector: one narrow shuffle, no window sort. Ties go to the smallest
-    cell via the (cos_c, -cell) ordering struct — same order
-    ``ivf_assign``'s window uses.
+    construction (k rows), so it ships as a ONE-ROW broadcast local relation
+    holding the centroid array (NOT as per-component literals: literal
+    centroids would change the generated code every iteration and force a
+    codegen recompile; a local relation keeps the plan shape — and the
+    compiled code — identical across iterations). The argmax is then a
+    shuffle-free fold per vector (see :func:`_argmax_cell`): a Lloyd
+    iteration's only exchange is the centroid re-estimation aggregate,
+    which is the theoretical minimum (that one is a real reduction).
     """
     cent = spark.createDataFrame(
-        [(int(lbl), [float(x) for x in c]) for lbl, c in cent_rows],
-        "cell int, centroid array<double>",
+        [
+            (
+                sorted(
+                    (int(lbl), [float(x) for x in c]) for lbl, c in cent_rows
+                ),
+            )
+        ],
+        "cents array<struct<cell:int,centroid:array<double>>>",
     )
-    scored = e.select("vec_id", "embedding").crossJoin(F.broadcast(cent))
-    best = scored.groupBy("vec_id").agg(
-        F.max_by(
-            F.struct(F.col("cell"), F.col("embedding")),
-            F.struct(
-                F.round(
-                    cosine_similarity(F.col("embedding"), F.col("centroid")), 6
-                ).alias("cos_c"),
-                (-F.col("cell")).alias("neg_cell"),
-            ),
-        ).alias("best")
-    )
-    return best.select(
-        "vec_id",
-        F.col("best.cell").alias("label"),
-        F.col("best.embedding").alias("embedding"),
+    return (
+        e.select("vec_id", "embedding")
+        .crossJoin(F.broadcast(cent))
+        .select(
+            "vec_id",
+            _argmax_cell(F.col("cents"), F.col("embedding")).alias("label"),
+            "embedding",
+        )
     )
 
 
@@ -440,7 +456,7 @@ def _assign_cells(spark: SparkSession, e: DataFrame, cent_rows) -> DataFrame:
     # rows-only check; determinism + convergence are pytest-asserted instead
     doc="iterative algorithm surface: k-means via Lloyd iterations — "
     "per iteration, assign is a broadcast of the driver-held centroids "
-    "(argmax cosine via max_by hash-agg, no window sort) and "
+    "folded per-vector in a shuffle-free projection (argmax cosine) and "
     "re-estimation is one (label, pos) shuffle over the cached corpus; "
     "centroids are collected to the driver each round (k rows — the "
     "canonical Spark iterative pattern, which also truncates lineage so "
