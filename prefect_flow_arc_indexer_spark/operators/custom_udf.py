@@ -50,3 +50,64 @@ def q_geomean_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("event_type").agg(
         F.round(geometric_mean_1p("value"), 6).alias("geomean_value"),
     )
+
+
+# --------------------------------------------------------------------------
+# user-defined TABLE function (UDTF): context-window document chunking
+# --------------------------------------------------------------------------
+CHUNK_WINDOW = 32
+
+
+def _chunk_docs_udtf_class():
+    """Build the UDTF class lazily: the @udtf decorator parses the DDL
+    return type, and keeping it inside a function means importing this
+    module never requires an active session."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="doc_id bigint, chunk_idx int, n_tokens int, chunk string")
+    class ChunkDocs:
+        """One row per context-window chunk of a document — the exploding
+        row->rows shape the reference's ``generate_actions`` generator has
+        (``flows/main_flow.py:366-395``, a UDTF in disguise), here as a real
+        Python UDTF. Tokenization matches functions.textfns.tokens
+        (lowercase, whitespace split, empties dropped)."""
+
+        def eval(self, doc_id, text):
+            if text is None:
+                return
+            toks = text.lower().split()
+            for ci, start in enumerate(range(0, len(toks), CHUNK_WINDOW)):
+                window = toks[start : start + CHUNK_WINDOW]
+                yield doc_id, ci, len(window), " ".join(window)
+
+    return ChunkDocs
+
+
+@register(
+    "q_udtf_chunks",
+    oracle=f"""WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS tok
+    FROM documents WHERE text IS NOT NULL
+)
+SELECT doc_id,
+       CAST((i - 1) // {CHUNK_WINDOW} AS INTEGER) AS chunk_idx,
+       CAST(least({CHUNK_WINDOW}, len(tok) - i + 1) AS INTEGER) AS n_tokens,
+       array_to_string(list_slice(tok, i, i + {CHUNK_WINDOW - 1}), ' ') AS chunk
+  FROM toks, unnest(generate_series(1, len(tok), {CHUNK_WINDOW})) AS t(i)
+ WHERE len(tok) > 0
+""",
+    doc=f"Python UDTF surface: {CHUNK_WINDOW}-token context-window chunking "
+    "of documents via a lateral-joined user-defined TABLE function — the "
+    "row->rows extension point (the JVM-side equivalent for hot paths is "
+    "the higher-order-function explode q_chunk_dedup uses; the UDTF form "
+    "is for logic that genuinely needs Python)",
+)
+def q_udtf_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.udtf.register("chunk_docs_udtf", _chunk_docs_udtf_class())
+    load_table(spark, sf_dir, "documents", fan_out=True).createOrReplaceTempView(
+        "_docs_for_chunking"
+    )
+    return spark.sql(
+        "SELECT c.* FROM _docs_for_chunking d, "
+        "LATERAL chunk_docs_udtf(d.doc_id, d.text) c"
+    )

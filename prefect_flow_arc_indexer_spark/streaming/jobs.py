@@ -160,6 +160,22 @@ def stream_user_running_totals(events: DataFrame) -> DataFrame:
     )
 
 
+def stream_dedup_events(events: DataFrame, horizon: str = "2 hours") -> DataFrame:
+    """Streaming ingest dedup: drop re-deliveries of the same ``event_id``
+    arriving within the watermark horizon (``dropDuplicatesWithinWatermark``).
+
+    This is the streaming face of the dedup family in ``operators/dedup``:
+    an at-least-once upstream (the reference's inclusive ``>=`` watermark
+    re-delivers boundary rows on every incremental run,
+    ``flows/main_flow.py:322``) becomes exactly-once-per-id downstream. The
+    within-watermark variant is the 100 TB-safe form — state holds only ids
+    newer than the horizon instead of every id ever seen, so the state
+    store is bounded by arrival rate x horizon, not by stream lifetime."""
+    return events.withWatermark("ts", horizon).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
 def stream_user_sessions(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
     """Watermarked session windows (streaming q_session_window): per-user
     sessions close after ``gap`` of inactivity; late rows beyond the

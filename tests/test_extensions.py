@@ -41,6 +41,7 @@ EXTENSIONS = [
     "q_ship_priority",
     "q_price_histogram",
     "q_embed_norm",
+    "q_udtf_chunks",
 ]
 
 

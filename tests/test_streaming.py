@@ -185,3 +185,53 @@ def test_stream_user_sessions_subset_of_batch(spark, tmp_path):
     }
     assert got, "stream emitted no sealed sessions"
     assert got <= batch
+
+
+def test_stream_dedup_drops_redelivered_events(spark, tmp_path):
+    """The same event_ids delivered again in a later micro-batch (the
+    reference's inclusive->= watermark re-delivery) must come out once."""
+    src = tmp_path / "dup_ev"
+    src.mkdir()
+    rows = [
+        {"event_id": 1, "user_id": 1, "value": 1.0, "ts": "2024-01-01 00:00:00"},
+        {"event_id": 2, "user_id": 1, "value": 2.0, "ts": "2024-01-01 00:05:00"},
+        {"event_id": 3, "user_id": 2, "value": 3.0, "ts": "2024-01-01 00:10:00"},
+    ]
+    _write_cdc_file(src / "b0.json", rows)
+    # re-delivery: same ids again, plus one genuinely new event
+    _write_cdc_file(
+        src / "b1.json",
+        rows
+        + [
+            {
+                "event_id": 4,
+                "user_id": 2,
+                "value": 4.0,
+                "ts": "2024-01-01 00:20:00",
+            }
+        ],
+    )
+    schema = "event_id long, user_id long, value double, ts string"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+        .select(
+            "event_id",
+            "user_id",
+            "value",
+            F.col("ts").cast("timestamp").alias("ts"),
+        )
+    )
+    q = (
+        jobs.stream_dedup_events(stream)
+        .writeStream.format("memory")
+        .queryName("dedup_events")
+        .option("checkpointLocation", str(tmp_path / "ckpt_dedup"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = [r.event_id for r in spark.sql("SELECT event_id FROM dedup_events").collect()]
+    assert sorted(got) == [1, 2, 3, 4]  # each id exactly once
