@@ -458,7 +458,11 @@ def q_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     # different shingles would inflate the intersection count and could flip
     # the jaccard >= 0.5 verdict at corpus scale (ADVICE r1, low). Strings
     # shuffle a few more bytes than ints, but the join is restricted to the
-    # tiny LSH candidate set, so recall-stage cost is unchanged.
+    # tiny LSH candidate set, so recall-stage cost is unchanged. (A
+    # single-distinct-relation formulation feeding both the signature and
+    # the verify stage was measured SLOWER here: the signature's
+    # distinct=False path partial-aggregates map-side and never shuffles
+    # shingle strings, which beats sharing the distinct's exchange.)
     sh = (
         docs.select("doc_id", tokens(F.col("text")).alias("tok"))
         .select(

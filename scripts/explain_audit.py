@@ -37,7 +37,13 @@ def audit(plan: str) -> dict[str, object]:
         + plan.count("BroadcastNestedLoopJoin"),
         "sortmerge_joins": plan.count("SortMergeJoin"),
         "cartesian": plan.count("CartesianProduct"),
-        "python_udf": plan.count("BatchEvalPython"),  # row-at-a-time: bad
+        # row-at-a-time scalar Python UDFs: bad in any hot path. The UDTF
+        # node (BatchEvalPythonUDTF) is counted separately — it exists only
+        # in the deliberate UDTF-surface demo (q_udtf_chunks), whose JVM-side
+        # hot-path equivalent is the higher-order-function explode.
+        "python_udf": plan.count("BatchEvalPython")
+        - plan.count("BatchEvalPythonUDTF"),
+        "python_udtf": plan.count("BatchEvalPythonUDTF"),
         "arrow_python": plan.count("ArrowEvalPython") + plan.count("MapInPandas"),
         "codegen_spans": len(set(re.findall(r"WholeStageCodegen \((\d+)\)", plan))),
     }
@@ -54,8 +60,13 @@ def main() -> None:
     for name, rq in sorted(qs.items()):
         if names and name not in names:
             continue
-        df = rq.builder(spark, sf_dir)
-        plan = df._jdf.queryExecution().executedPlan().toString()
+        try:
+            df = rq.builder(spark, sf_dir)
+            plan = df._jdf.queryExecution().executedPlan().toString()
+        except Exception as e:  # a broken builder must not hide the rest
+            flagged += 1
+            print(f"{name:28s} <-- BUILD-ERROR: {e}")
+            continue
         a = audit(plan)
         flags = []
         if a["python_udf"]:
