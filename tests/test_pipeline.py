@@ -290,3 +290,35 @@ def test_read_files_formats_agree(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="explicit schema"):
         read_files(spark, staged["json"], "json")
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """Same-bucketed tables joined on the bucket key must plan with zero
+    ShuffleExchange operators (the write-time shuffle replaces every
+    join-time shuffle), and produce the same rows as the plain join."""
+    from prefect_flow_arc_indexer_spark.pipeline.bucketing import (
+        bucketed_join,
+        write_bucketed,
+    )
+    from prefect_flow_arc_indexer_spark.sources.parquet import load_table
+
+    orders = load_table(spark, "/root/testdata/sf0.001", "orders")
+    cust = load_table(spark, "/root/testdata/sf0.001", "customer").withColumnRenamed(
+        "c_custkey", "o_custkey"
+    )
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        write_bucketed(orders, "t_orders_b", "o_custkey", 8)
+        write_bucketed(cust, "t_cust_b", "o_custkey", 8)
+        joined = bucketed_join(spark, "t_orders_b", "t_cust_b", "o_custkey")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, "bucketed join must not shuffle"
+        got = joined.count()
+        want = orders.join(cust, "o_custkey").count()
+        assert got == want
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        spark.sql("DROP TABLE IF EXISTS t_orders_b")
+        spark.sql("DROP TABLE IF EXISTS t_cust_b")
