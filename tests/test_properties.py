@@ -1,0 +1,136 @@
+"""Property-based tests (hypothesis): the engine's core column-expression
+semantics cross-checked against plain-Python references on random inputs.
+The DuckDB oracles catch cross-engine drift on the fixed fixtures; these
+catch semantic edge cases the fixtures don't contain (exotic whitespace,
+empty strings, ties, NULLs)."""
+
+from __future__ import annotations
+
+import re
+from hashlib import md5
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from prefect_flow_arc_indexer_spark.functions.hashing import stable_hash
+from prefect_flow_arc_indexer_spark.functions.textfns import tokens, word_ngrams
+
+PROP_SETTINGS = dict(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+# printable-ish text including whitespace variety the tokenizer must survive
+_text = st.text(
+    alphabet=st.characters(
+        codec="ascii", categories=("L", "N", "P", "Zs"), include_characters=" \t"
+    ),
+    max_size=60,
+)
+
+
+def _py_tokens(s: str) -> list[str]:
+    return [t for t in re.split(r"\s+", s.lower()) if t]
+
+
+@settings(**PROP_SETTINGS)
+@given(texts=st.lists(_text, min_size=1, max_size=25))
+def test_tokens_and_ngrams_match_python(spark, texts):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "i long, s string"
+    )
+    rows = {
+        r["i"]: (r["tok"], r["ng"])
+        for r in df.select(
+            "i",
+            tokens(F.col("s")).alias("tok"),
+            word_ngrams(tokens(F.col("s")), 3).alias("ng"),
+        ).collect()
+    }
+    for i, t in enumerate(texts):
+        want_tok = _py_tokens(t)
+        want_ng = (
+            [" ".join(want_tok[j : j + 3]) for j in range(len(want_tok) - 2)]
+            if len(want_tok) >= 3
+            else []
+        )
+        assert rows[i][0] == want_tok, f"tokens diverge on {t!r}"
+        assert rows[i][1] == want_ng, f"ngrams diverge on {t!r}"
+
+
+@settings(**PROP_SETTINGS)
+@given(values=st.lists(_text, min_size=1, max_size=25))
+def test_stable_hash_matches_python_md5(spark, values):
+    df = spark.createDataFrame([(v,) for v in values], "s string")
+    got = [
+        r["h"] for r in df.select(stable_hash(F.col("s")).alias("h")).collect()
+    ]
+    want = [int(md5(v.encode()).hexdigest()[:7], 16) for v in values]
+    assert got == want
+    assert all(0 <= h < 2**28 for h in got)
+
+
+@settings(**PROP_SETTINGS)
+@given(
+    lefts=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 50)),
+        min_size=1,
+        max_size=20,
+    ),
+    rights=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 50), st.integers(0, 999)),
+        min_size=0,
+        max_size=20,
+        unique_by=lambda r: (r[0], r[1]),  # unique (key, ts): as-of is
+        # otherwise ambiguous at equal timestamps
+    ),
+)
+def test_asof_join_matches_python_scan(spark, lefts, rights):
+    """Backward-looking inclusive as-of: each left row picks the latest
+    right row with right.ts <= left.ts on the same key, NULL if none."""
+    from prefect_flow_arc_indexer_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(lefts)], "k long, t long, lid long"
+    )
+    right = spark.createDataFrame(rights, "k long, t long, payload long") if rights else spark.createDataFrame([], "k long, t long, payload long")
+    out = asof_join(left, right, "k", "k", "t", "t", ["payload"])
+    got = {r["lid"]: r["payload"] for r in out.collect()}
+    for i, (k, t) in enumerate(lefts):
+        cands = [(rt, p) for rk, rt, p in rights if rk == k and rt <= t]
+        want = max(cands)[1] if cands else None
+        assert got[i] == want, f"lid={i} key={k} ts={t}"
+
+
+@settings(**PROP_SETTINGS)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b"]),
+            st.integers(0, 99),
+            st.one_of(st.none(), st.just('{"v":1}')),
+            st.booleans(),
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_doc_actions_routing_property(spark, rows):
+    """Incremental action routing: tombstones become delete actions with a
+    NULL source, everything else upserts its document verbatim."""
+    from prefect_flow_arc_indexer_spark.operators.actions import doc_actions
+
+    df = spark.createDataFrame(
+        [(idx, str(i), doc, d) for i, (idx, _, doc, d) in enumerate(rows)],
+        "`index` string, id string, document string, is_deleted boolean",
+    )
+    out = {r["_id"]: r for r in doc_actions(df, timestamp=None).collect()}
+    assert len(out) == len(rows)
+    for i, (idx, _, doc, deleted) in enumerate(rows):
+        r = out[str(i)]
+        assert r["_index"] == idx
+        if deleted:
+            assert r["_op_type"] == "delete" and r["_source"] is None
+        else:
+            assert r["_op_type"] == "index" and r["_source"] == doc
