@@ -265,3 +265,55 @@ def q_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("bin_revenue"),
         )
     )
+
+
+@register(
+    "q_grouping_sets",
+    oracle="""SELECT o_orderstatus, o_orderpriority,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+       count(*) AS n_orders,
+       GROUPING(o_orderstatus, o_orderpriority) AS gid
+  FROM orders
+ GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+""",
+    doc="explicit GROUPING SETS with grouping_id: per (status, priority), "
+    "per status, and grand total in ONE pass — Spark expands the grouping "
+    "sets BEFORE the shuffle so partial aggregation still applies (vs three "
+    "separate scans+shuffles for three queries)",
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("_orders_gs")
+    return o.sparkSession.sql(
+        """SELECT o_orderstatus, o_orderpriority,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+       count(*) AS n_orders,
+       grouping_id(o_orderstatus, o_orderpriority) AS gid
+  FROM _orders_gs
+ GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())"""
+    )
+
+
+@register(
+    "q_unpivot",
+    oracle="""SELECT l_orderkey, l_linenumber, 'quantity' AS metric, l_quantity AS metric_value FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'extendedprice', l_extendedprice FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'discount', l_discount FROM lineitem
+""",
+    doc="unpivot/melt: wide metric columns -> long (metric, value) rows via "
+    "the native unpivot operator (an Expand node — one scan, no join, no "
+    "shuffle; the inverse of q_pivot_revenue)",
+)
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount"],
+        "metric",
+        "metric_value",
+    ).withColumn(
+        "metric",
+        F.expr("substring(metric, 3)"),  # l_quantity -> quantity
+    )

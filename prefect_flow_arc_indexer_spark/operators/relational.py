@@ -279,3 +279,44 @@ def q_ship_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), F.col("orderkey").asc())
         .limit(10)
     )
+
+
+@register(
+    "q_small_qty_revenue",
+    oracle="""SELECT l.l_partkey AS partkey,
+       CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS small_lot_revenue,
+       count(*) AS n_small_lots
+  FROM lineitem l
+  JOIN part p ON p.p_partkey = l.l_partkey
+ WHERE p.p_brand = 'Brand#4'
+   AND l.l_quantity < (SELECT 0.5 * avg(l2.l_quantity)
+                         FROM lineitem l2
+                        WHERE l2.l_partkey = l.l_partkey)
+ GROUP BY l.l_partkey
+""",
+    doc="correlated scalar subquery (TPC-H Q17 shape): lines under half the "
+    "part's average quantity — Catalyst decorrelates the subquery into a "
+    "per-part aggregate joined back to the fact table (one extra shuffle, "
+    "not one subquery execution per row, which is what makes the shape "
+    "viable at 100 TB)",
+)
+def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#4")
+    # express the decorrelation explicitly (identical to what Catalyst does
+    # for the SQL form): per-part average once, then a fact-side filter
+    avg_qty = li.groupBy(F.col("l_partkey").alias("_pk")).agg(
+        (F.lit(0.5) * F.avg("l_quantity")).alias("half_avg_qty")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(avg_qty, li.l_partkey == F.col("_pk"))
+        .where(F.col("l_quantity") < F.col("half_avg_qty"))
+        .groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(
+            F.sum(_dec("l_extendedprice")).cast("double").alias(
+                "small_lot_revenue"
+            ),
+            F.count("*").alias("n_small_lots"),
+        )
+    )

@@ -42,6 +42,9 @@ EXTENSIONS = [
     "q_price_histogram",
     "q_embed_norm",
     "q_udtf_chunks",
+    "q_small_qty_revenue",
+    "q_grouping_sets",
+    "q_unpivot",
 ]
 
 
