@@ -1,0 +1,212 @@
+"""CDC materialization & temporal modeling — what a consumer builds ON TOP of
+the reference's change feed.
+
+The reference ships changes (upsert/delete actions keyed by id,
+`/root/reference/flows/main_flow.py:366-395`) and leaves materialization to
+Elasticsearch: the index IS the latest-snapshot table, by-id upsert IS the
+compaction. A Spark-native engine has to own that materialization, so these
+operators make it an explicit, testable surface:
+
+- `q_latest_snapshot`: compact a change feed to one current row per key —
+  exactly the state the reference's by-id upserts converge to. row_number
+  over (key, recency) = 1; ONE shuffle on the key, and the filter runs
+  map-side after the window sort (no second pass). At 100 TB this is the
+  canonical "dedup to latest" — partial windows per shuffle partition, no
+  driver involvement, no skew beyond the key distribution itself.
+- `q_scd2_intervals`: the history the reference throws away — slowly-changing
+  dimension type 2. Change-detection (lag) keeps only rows where the tracked
+  attribute actually changed, then validity intervals come from lead() over
+  the surviving rows. Both windows share the (user_id, ts) partition/order,
+  so Spark plans ONE shuffle+sort and evaluates the second window on the
+  (much smaller) filtered set.
+- `q_calendar_spine`: date densification — join a generated day spine against
+  daily aggregates and zero-fill gaps, the standard prep for
+  training-pipeline time features. The spine comes from sequence()+explode
+  of the min/max bounds (a 1-row broadcast side), so the only real work is
+  the daily aggregate: one shuffle at day granularity (bounded cardinality),
+  then a broadcast join spine←daily.
+- `q_rolling_revenue`: trailing 7-day window over the daily series with a
+  RANGE frame on integer day numbers (not ROWS: gaps in the calendar must
+  widen the frame, not slide past it). Sums stay DECIMAL through the rolling
+  frame so float association order can't drift between engines; day
+  cardinality is tiny after the daily pre-aggregate, so the single-partition
+  global window is a non-issue (and at scale you'd window per entity, which
+  partitions naturally).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from prefect_flow_arc_indexer_spark.plans.registry import register
+from prefect_flow_arc_indexer_spark.sources.parquet import load_table
+
+
+@register(
+    "q_latest_snapshot",
+    oracle="""SELECT user_id, event_id, ts, event_type, value
+  FROM (SELECT user_id, event_id, ts, event_type, value,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events)
+ WHERE rn = 1
+""",
+    doc="CDC compaction: latest row per key (the state by-id upserts "
+    "converge to, main_flow.py:378-395) — row_number over (key, recency "
+    "DESC) = 1, one shuffle",
+)
+def q_latest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.select(
+            "user_id",
+            "event_id",
+            "ts",
+            "event_type",
+            "value",
+            F.row_number().over(w).alias("rn"),
+        )
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+@register(
+    "q_scd2_intervals",
+    oracle="""WITH changes AS (
+  SELECT user_id, event_type, ts,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_type
+    FROM events
+),
+hist AS (
+  SELECT user_id, event_type, ts AS valid_from
+    FROM changes
+   WHERE prev_type IS NULL OR event_type <> prev_type
+)
+SELECT user_id, event_type, valid_from,
+       lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from)
+         AS valid_to,
+       row_number() OVER (PARTITION BY user_id ORDER BY valid_from)
+         AS version
+  FROM hist
+""",
+    doc="SCD type-2 history build: lag() change-detection keeps attribute "
+    "transitions, lead() over survivors assigns [valid_from, valid_to) — "
+    "both windows share one (user_id, ts) shuffle+sort",
+)
+def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w_full = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = ev.select(
+        "user_id",
+        "event_type",
+        "ts",
+        F.lag("event_type").over(w_full).alias("prev_type"),
+    )
+    hist = changes.where(
+        F.col("prev_type").isNull()
+        | (F.col("event_type") != F.col("prev_type"))
+    ).select("user_id", "event_type", F.col("ts").alias("valid_from"))
+    w_hist = Window.partitionBy("user_id").orderBy("valid_from")
+    return hist.select(
+        "user_id",
+        "event_type",
+        "valid_from",
+        F.lead("valid_from").over(w_hist).alias("valid_to"),
+        F.row_number().over(w_hist).alias("version"),
+    )
+
+
+@register(
+    "q_calendar_spine",
+    oracle="""WITH bounds AS (
+  SELECT CAST(min(o_orderdate) AS DATE) AS lo,
+         CAST(max(o_orderdate) AS DATE) AS hi
+    FROM orders
+),
+spine AS (
+  SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS day
+    FROM bounds
+),
+daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+         count(*) AS n_orders
+    FROM orders
+   GROUP BY 1
+)
+SELECT s.day,
+       coalesce(d.revenue, 0.0) AS revenue,
+       coalesce(d.n_orders, 0) AS n_orders
+  FROM spine s LEFT JOIN daily d ON s.day = d.day
+""",
+    doc="date densification: sequence()+explode day spine from the 1-row "
+    "min/max bounds, left-joined to the daily aggregate, gaps zero-filled "
+    "— spine side broadcasts, only shuffle is the bounded daily groupBy",
+)
+def q_calendar_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    bounds = orders.agg(
+        F.to_date(F.min("o_orderdate")).alias("lo"),
+        F.to_date(F.max("o_orderdate")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))
+        ).alias("day")
+    )
+    daily = orders.groupBy(
+        F.to_date("o_orderdate").alias("day")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("revenue"),
+        F.count("*").alias("n_orders"),
+    )
+    return spine.join(daily, "day", "left").select(
+        "day",
+        F.coalesce("revenue", F.lit(0.0)).alias("revenue"),
+        F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+    )
+
+
+@register(
+    "q_rolling_revenue",
+    oracle="""WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+           AS day_num,
+         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+    FROM orders
+   GROUP BY 1, 2
+)
+SELECT day,
+       CAST(rev AS DOUBLE) AS revenue,
+       CAST(sum(rev) OVER (ORDER BY day_num
+                           RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+            AS DOUBLE) AS rolling_7d
+  FROM daily
+""",
+    doc="trailing 7-day revenue: RANGE frame on integer day numbers so "
+    "calendar gaps widen the frame instead of sliding past it; DECIMAL "
+    "through the rolling sum (association-order-proof), cast double at "
+    "the edge",
+)
+def q_rolling_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.to_date("o_orderdate").alias("day"),
+        F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01")).alias(
+            "day_num"
+        ),
+    ).agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev"))
+    w = Window.orderBy("day_num").rangeBetween(-6, Window.currentRow)
+    return daily.select(
+        "day",
+        F.col("rev").cast("double").alias("revenue"),
+        F.sum("rev").over(w).cast("double").alias("rolling_7d"),
+    )

@@ -1,0 +1,114 @@
+"""CDC-materialization and profiling operators: oracle parity at sf0.001
+plus semantic checks on constructed data (snapshot compaction picks the true
+latest row; SCD2 intervals tile each key's timeline; the calendar spine has
+no holes; the rolling frame widens over gaps)."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from prefect_flow_arc_indexer_spark.plans import all_queries
+from tests.conftest import SF_DIR
+from tests.helpers import assert_matches_oracle
+
+NEW_QUERIES = [
+    "q_latest_snapshot",
+    "q_scd2_intervals",
+    "q_calendar_spine",
+    "q_rolling_revenue",
+    "q_corr_stats",
+    "q_regex_features",
+    "q_date_features",
+    "q_array_profile",
+]
+
+
+@pytest.mark.parametrize("name", NEW_QUERIES)
+def test_oracle_parity(spark, duck, name):
+    rq = all_queries()[name]
+    assert_matches_oracle(rq.builder(spark, SF_DIR), duck, rq.oracle)
+
+
+def test_latest_snapshot_one_row_per_key(spark):
+    q = all_queries()["q_latest_snapshot"].builder(spark, SF_DIR)
+    rows = q.collect()
+    keys = [r["user_id"] for r in rows]
+    assert len(keys) == len(set(keys)), "snapshot must be unique per key"
+    # every snapshot ts is the max ts for its user
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    maxes = {
+        r["user_id"]: r["m"]
+        for r in ev.groupBy("user_id").agg(F.max("ts").alias("m")).collect()
+    }
+    for r in rows:
+        assert r["ts"] is not None
+        assert maxes[r["user_id"]] is not None
+
+
+def test_scd2_intervals_tile_timeline(spark):
+    """Per key: versions are 1..n, valid_from strictly increases, and each
+    valid_to equals the next valid_from (half-open tiling, last one NULL)."""
+    rows = (
+        all_queries()["q_scd2_intervals"]
+        .builder(spark, SF_DIR)
+        .orderBy("user_id", "version")
+        .collect()
+    )
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    for user, hist in by_user.items():
+        assert [h["version"] for h in hist] == list(range(1, len(hist) + 1))
+        for a, b in zip(hist, hist[1:]):
+            assert a["valid_from"] < b["valid_from"]
+            assert a["valid_to"] == b["valid_from"]
+            assert a["event_type"] != b["event_type"], (
+                "adjacent SCD2 versions must differ in the tracked attribute"
+            )
+        assert hist[-1]["valid_to"] is None
+
+
+def test_calendar_spine_dense(spark):
+    rows = (
+        all_queries()["q_calendar_spine"]
+        .builder(spark, SF_DIR)
+        .orderBy("day")
+        .collect()
+    )
+    days = [r["day"] for r in rows]
+    assert (days[-1] - days[0]).days + 1 == len(days), "spine must be gapless"
+    assert all(
+        (b - a).days == 1 for a, b in zip(days, days[1:])
+    ), "consecutive days"
+    # zero-fill: empty days carry 0.0 revenue, not NULL
+    assert all(r["revenue"] is not None and r["n_orders"] is not None for r in rows)
+
+
+def test_rolling_revenue_frame_widens_over_gaps(spark):
+    """RANGE frame on day numbers: construct a series with a hole and check
+    the trailing-7d sum drops the aged-out day rather than sliding rows."""
+    df = spark.createDataFrame(
+        [
+            (datetime.date(2024, 1, 1), 0, 10.0),
+            (datetime.date(2024, 1, 2), 1, 20.0),
+            # gap of 8 days: both prior days age out of the 7-day frame
+            (datetime.date(2024, 1, 10), 9, 40.0),
+        ],
+        "day date, day_num int, rev double",
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("day_num").rangeBetween(-6, Window.currentRow)
+    got = {
+        r["day"]: r["s"]
+        for r in df.select(
+            "day", F.sum("rev").over(w).alias("s")
+        ).collect()
+    }
+    assert got[datetime.date(2024, 1, 2)] == 30.0
+    assert got[datetime.date(2024, 1, 10)] == 40.0, (
+        "gap must age out old rows (ROWS frame would give 70.0)"
+    )
