@@ -23,6 +23,7 @@ NEW_QUERIES = [
     "q_regex_features",
     "q_date_features",
     "q_array_profile",
+    "q_decontaminate",
 ]
 
 
