@@ -199,3 +199,58 @@ def stream_user_sessions(events: DataFrame, gap: str = "30 minutes") -> DataFram
             "session_value",
         )
     )
+
+
+def stream_enrich_with_dim(events: DataFrame, user_dim: DataFrame) -> DataFrame:
+    """Stream-static join: enrich the event stream with a static dimension.
+
+    The static side re-resolves per micro-batch (so a dim refresh is picked
+    up without restarting the query) and is broadcast when small — the
+    stream side never shuffles, which is the property that matters when the
+    stream is the 100 TB-rate side. No watermark is needed: static rows
+    can't be late."""
+    return events.join(
+        F.broadcast(user_dim.select("user_id", "segment")), "user_id", "left"
+    )
+
+
+def stream_click_to_purchase(
+    clicks: DataFrame, purchases: DataFrame, horizon: str = "1 hour"
+) -> DataFrame:
+    """Stream-stream inner join with a time-range condition: each purchase
+    pairs with the same user's clicks in the preceding ``horizon``.
+
+    Both sides are watermarked and the join condition bounds event-time
+    distance, so the state store evicts rows once the watermark passes
+    ``click.ts + horizon`` — without the range condition the join would
+    have to buffer both streams FOREVER (unbounded state), which is the
+    canonical stream-stream join mistake. State is keyed by user_id, so
+    partitioning matches the equi-key and the range is enforced post-match.
+    """
+    c = clicks.select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    ).withWatermark("click_ts", horizon)
+    p = purchases.select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    ).withWatermark("purchase_ts", horizon)
+    return c.join(
+        p,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("click_ts") + F.expr(f"INTERVAL {horizon}")
+        ),
+    ).select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "click_ts",
+        "purchase_id",
+        "purchase_ts",
+        "purchase_value",
+    )

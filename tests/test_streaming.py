@@ -235,3 +235,75 @@ def test_stream_dedup_drops_redelivered_events(spark, tmp_path):
     q.awaitTermination(120)
     got = [r.event_id for r in spark.sql("SELECT event_id FROM dedup_events").collect()]
     assert sorted(got) == [1, 2, 3, 4]  # each id exactly once
+
+
+def test_stream_enrich_with_dim_broadcast(spark, tmp_path):
+    """Stream-static join: every stream row picks up its dim attributes;
+    unmatched users keep NULL (left join)."""
+    src = tmp_path / "enrich_src"
+    src.mkdir()
+    _write_cdc_file(
+        src / "b0.json",
+        [
+            {"user_id": 1, "event_id": 10, "ts": "2024-01-01 00:00:00"},
+            {"user_id": 2, "event_id": 11, "ts": "2024-01-01 00:01:00"},
+            {"user_id": 99, "event_id": 12, "ts": "2024-01-01 00:02:00"},
+        ],
+    )
+    stream = (
+        spark.readStream.schema("user_id long, event_id long, ts timestamp")
+        .json(str(src))
+    )
+    dim = spark.createDataFrame(
+        [(1, "gold"), (2, "silver")], "user_id long, segment string"
+    )
+    out = []
+
+    q = (
+        jobs.stream_enrich_with_dim(stream, dim)
+        .writeStream.foreachBatch(lambda b, i: out.extend(b.collect()))
+        .option("checkpointLocation", str(tmp_path / "ckpt_enrich"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["event_id"]: r["segment"] for r in out}
+    assert got == {10: "gold", 11: "silver", 12: None}
+
+
+def test_stream_stream_join_time_range(spark, tmp_path):
+    """Stream-stream join: purchases pair only with same-user clicks within
+    the preceding hour; out-of-range and cross-user pairs never emit."""
+    c_src, p_src = tmp_path / "clicks", tmp_path / "purch"
+    c_src.mkdir(), p_src.mkdir()
+    _write_cdc_file(
+        c_src / "b0.json",
+        [
+            {"user_id": 1, "event_id": 100, "ts": "2024-01-01 10:00:00"},
+            {"user_id": 1, "event_id": 101, "ts": "2024-01-01 08:00:00"},  # stale
+            {"user_id": 2, "event_id": 102, "ts": "2024-01-01 10:05:00"},
+        ],
+    )
+    _write_cdc_file(
+        p_src / "b0.json",
+        [
+            {"user_id": 1, "event_id": 200, "ts": "2024-01-01 10:30:00", "value": 42.0},
+            {"user_id": 3, "event_id": 201, "ts": "2024-01-01 10:31:00", "value": 7.0},
+        ],
+    )
+    schema = "user_id long, event_id long, ts timestamp, value double"
+    clicks = spark.readStream.schema(schema).json(str(c_src))
+    purchases = spark.readStream.schema(schema).json(str(p_src))
+    out = []
+    q = (
+        jobs.stream_click_to_purchase(clicks, purchases)
+        .writeStream.foreachBatch(lambda b, i: out.extend(b.collect()))
+        .option("checkpointLocation", str(tmp_path / "ckpt_ss"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    pairs = {(r["click_id"], r["purchase_id"]) for r in out}
+    # click 100 (10:00) is within an hour of purchase 200 (10:30);
+    # click 101 (08:00) aged out; user-2 click and user-3 purchase unmatched
+    assert pairs == {(100, 200)}
