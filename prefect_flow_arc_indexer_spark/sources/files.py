@@ -1,19 +1,21 @@
-"""Unified file-source reader: parquet / json / csv behind one interface,
-with explicit schemas (never inference in production paths — an inference
-pass is a full extra scan at 100 TB and can silently drift types between
-runs).
+"""File-format source/sink breadth: CSV, JSON-lines, and ORC alongside the
+parquet default — one read/write interface, schema always enforced.
 
-The reference reads only Postgres (SURVEY §2.1); file sources are part of
-the engine's extension surface so pipelines can stage CDC drops, bulk
-exports, or third-party feeds into the same DataFrame shapes the operators
-expect. JSON/CSV notes baked in:
+The reference's only source is a Postgres table (JDBC path, ``sources/
+jdbc.py``) and its sink is Elasticsearch (``pipeline/es_sink.py``); an
+engine users switch to also has to ingest whatever files they have. Rules
+this module encodes:
 
-- ``mode=FAILFAST`` by default: corrupt rows fail loudly rather than
-  becoming silent NULLs mid-pipeline (override with ``permissive=True``
-  to route bad rows into ``_corrupt_record`` instead);
-- csv gets ``header`` + explicit timestamp format; json is line-delimited
-  (the only splittable JSON layout — a single giant JSON array cannot be
-  read in parallel).
+- **Schema is never inferred on the read path.** CSV/JSON inference costs an
+  extra full scan BEFORE the real job (fatal at 100 TB) and can silently
+  mistype columns on skewed samples; callers pass the schema (or take it
+  from an existing DataFrame via :func:`schema_of`).
+- **Text formats are interchange, not storage.** CSV/JSON scans can't push
+  predicates or prune columns server-side the way parquet/ORC row groups
+  do — `convert_to_parquet` is the one-scan fix a pipeline should apply at
+  the boundary.
+- Timestamps round-trip through an explicit ``timestampFormat`` with
+  microsecond precision so CSV/JSON don't truncate event times.
 """
 
 from __future__ import annotations
@@ -21,35 +23,54 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StructType
 
-FORMATS = ("parquet", "json", "csv")
+FORMATS = ("parquet", "orc", "json", "csv")
+
+_TS_FMT = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+
+_READ_OPTS: dict[str, dict[str, str]] = {
+    "csv": {"header": "true", "timestampFormat": _TS_FMT, "nullValue": "\\N"},
+    "json": {"timestampFormat": _TS_FMT},
+    "parquet": {},
+    "orc": {},
+}
+
+_WRITE_OPTS: dict[str, dict[str, str]] = {
+    "csv": {"header": "true", "timestampFormat": _TS_FMT, "nullValue": "\\N"},
+    "json": {"timestampFormat": _TS_FMT},
+    "parquet": {},
+    "orc": {},
+}
 
 
-def read_files(
-    spark: SparkSession,
-    path: str,
-    fmt: str,
-    schema: StructType | str | None = None,
-    permissive: bool = False,
-    **options: str,
+def read_table(
+    spark: SparkSession, path: str, fmt: str, schema: StructType
 ) -> DataFrame:
-    """Read ``path`` as ``fmt`` with an explicit ``schema`` (required for
-    json/csv; optional for parquet, which is self-describing)."""
+    """Read ``path`` as ``fmt`` with an enforced schema (never inferred)."""
     if fmt not in FORMATS:
-        raise ValueError(f"unknown format {fmt!r}; expected one of {FORMATS}")
-    if fmt != "parquet" and schema is None:
-        raise ValueError(
-            f"{fmt} reads require an explicit schema: inference costs a "
-            "full extra pass and is non-deterministic across batches"
-        )
-    reader = spark.read.format(fmt)
-    if schema is not None:
-        reader = reader.schema(schema)
-    if fmt in ("json", "csv"):
-        reader = reader.option(
-            "mode", "PERMISSIVE" if permissive else "FAILFAST"
-        )
-    if fmt == "csv":
-        reader = reader.option("header", "true")
-    for k, v in options.items():
-        reader = reader.option(k, v)
-    return reader.load(path)
+        raise ValueError(f"unsupported format {fmt!r}; expected {FORMATS}")
+    reader = spark.read.format(fmt).options(**_READ_OPTS[fmt])
+    # parquet/orc carry their own schema; enforcing the expected one anyway
+    # turns silent drift into a loud analysis error
+    return reader.schema(schema).load(path)
+
+
+def write_table(df: DataFrame, path: str, fmt: str, mode: str = "error") -> None:
+    """Write ``df`` to ``path`` as ``fmt``; partition layout is the caller's
+    call (pass a pre-repartitioned frame)."""
+    if fmt not in FORMATS:
+        raise ValueError(f"unsupported format {fmt!r}; expected {FORMATS}")
+    df.write.format(fmt).options(**_WRITE_OPTS[fmt]).mode(mode).save(path)
+
+
+def convert_to_parquet(
+    spark: SparkSession,
+    src_path: str,
+    fmt: str,
+    schema: StructType,
+    dest_path: str,
+) -> DataFrame:
+    """Boundary conversion: one scan of a text-format drop rewritten as
+    parquet, returning the parquet-backed frame. All downstream reads then
+    get column pruning, predicate pushdown, and row-group statistics."""
+    read_table(spark, src_path, fmt, schema).write.parquet(dest_path)
+    return spark.read.parquet(dest_path)
