@@ -13,12 +13,13 @@ are fixed so the DuckDB oracle can embed the identical values.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from prefect_flow_arc_indexer_spark.plans.registry import register
 from prefect_flow_arc_indexer_spark.sources.parquet import (
     IDX_DOCS_CTE,
     index_documents,
+    load_table,
 )
 
 # Inclusive CDC watermark (reference semantics: `updated_at >= last_modified`,
@@ -230,3 +231,69 @@ def q_doc_charlen(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("index") == PROBE_INDEX)
         .select("id", F.length("document").alias("doc_chars"))
     )
+
+
+@register(
+    "q_cdc_merge",
+    oracle=f"""WITH latest_old AS (
+  SELECT user_id, event_id, ts, props
+    FROM (SELECT user_id, event_id, ts, props,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events WHERE ts < TIMESTAMP '{WATERMARK}') x
+   WHERE rn = 1 AND event_id % 13 <> 0
+),
+batch_latest AS (
+  SELECT user_id, event_id, ts, props, (event_id % 13 = 0) AS is_deleted
+    FROM (SELECT user_id, event_id, ts, props,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events WHERE ts >= TIMESTAMP '{WATERMARK}') x
+   WHERE rn = 1
+)
+SELECT o.user_id, o.event_id, o.ts, o.props
+  FROM latest_old o ANTI JOIN batch_latest b ON o.user_id = b.user_id
+UNION ALL
+SELECT user_id, event_id, ts, props
+  FROM batch_latest WHERE NOT is_deleted
+""",
+    doc="the reference's core semantic as ONE oracle-gated query: CDC merge "
+    "of an incremental batch into the prior snapshot — last-writer-wins per "
+    "key inside the batch, untouched keys carried over (left anti), "
+    "tombstones dropping their key (reference delete propagation, "
+    "flows/main_flow.py:378-395; same dataflow as pipeline/runner.py's "
+    "incremental_sync, here keyed by user_id so keys genuinely collide). "
+    "Both window passes share a (user_id, ts) sort shape; the anti join is "
+    "key-partitioned — nothing driver-side, nothing quadratic",
+)
+def q_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    wm = F.lit(WATERMARK).cast("timestamp")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+
+    def latest(df: DataFrame) -> DataFrame:
+        return (
+            df.select(
+                "user_id",
+                "event_id",
+                "ts",
+                "props",
+                F.row_number().over(w).alias("rn"),
+            )
+            .where(F.col("rn") == 1)
+            .drop("rn")
+        )
+
+    snapshot = latest(ev.where(F.col("ts") < wm)).where(
+        F.col("event_id") % 13 != 0
+    )
+    batch = latest(ev.where(F.col("ts") >= wm)).withColumn(
+        "is_deleted", F.col("event_id") % 13 == 0
+    )
+    carried = snapshot.join(
+        batch.select("user_id"), "user_id", "left_anti"
+    )
+    applied = batch.where(~F.col("is_deleted")).drop("is_deleted")
+    return carried.unionByName(applied)

@@ -23,6 +23,7 @@ PHASE1 = [
     "q_lower_ids",
     "q_index_name",
     "q_doc_charlen",
+    "q_cdc_merge",
 ]
 
 
