@@ -24,6 +24,8 @@ NEW_QUERIES = [
     "q_date_features",
     "q_array_profile",
     "q_decontaminate",
+    "q_funnel",
+    "q_retention",
 ]
 
 
