@@ -226,3 +226,53 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_min(gram_hashes), stable_hash(F.col("text"))
     )
     return docs.select("doc_id", fp.alias("fingerprint"))
+
+
+# --------------------------------------------------------------------------
+# character-entropy quality signal
+# --------------------------------------------------------------------------
+@register(
+    "q_char_entropy",
+    oracle="""WITH chars AS (
+  SELECT doc_id, length(text) AS n,
+         list_transform(
+             list_distinct(regexp_extract_all(text, '.')),
+             c -> len(regexp_extract_all(text, regexp_escape(c)))
+         ) AS counts
+    FROM documents
+   WHERE text IS NOT NULL AND length(text) > 0
+)
+SELECT doc_id,
+       round(
+         log2(n) - list_aggregate(
+             list_transform(counts, c -> c * log2(c)), 'sum') / n,
+         6) AS char_entropy
+  FROM chars
+""",
+    doc="character-entropy quality score: H = log2(n) - sum(c*log2(c))/n "
+    "over per-row character counts — computed ROW-LOCALLY (array ops on "
+    "the row's own chars, no explode/shuffle of character streams), so "
+    "100 TB cost is scan throughput; low-entropy docs (boilerplate, "
+    "repeated padding) are the standard corpus-filter target. Rounded 6dp: "
+    "log2 differs in the last ulp across engine libm implementations",
+)
+def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents", fan_out=True).where(
+        F.col("text").isNotNull() & (F.length("text") > 0)
+    )
+    chars = F.regexp_extract_all(F.col("text"), F.lit("."), F.lit(0))
+    # counts per distinct char, computed against the row's own char array
+    counts = F.transform(
+        F.array_distinct(chars),
+        lambda c: F.size(F.filter(chars, lambda x: x == c)),
+    )
+    n = F.length("text").cast("double")
+    sum_clog = F.aggregate(
+        counts,
+        F.lit(0.0),
+        lambda acc, c: acc + c.cast("double") * F.log2(c.cast("double")),
+    )
+    return docs.select(
+        "doc_id",
+        F.round(F.log2(n) - sum_clog / n, 6).alias("char_entropy"),
+    )

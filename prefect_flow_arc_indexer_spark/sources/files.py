@@ -42,6 +42,43 @@ _WRITE_OPTS: dict[str, dict[str, str]] = {
 }
 
 
+def read_files(
+    spark: SparkSession,
+    path: str,
+    fmt: str,
+    schema: StructType | str | None = None,
+    permissive: bool = False,
+    **options: str,
+) -> DataFrame:
+    """General-purpose reader: explicit ``schema`` required for text formats
+    (json/csv), optional for self-describing parquet/orc.
+
+    ``mode=FAILFAST`` by default: corrupt rows fail loudly rather than
+    becoming silent NULLs mid-pipeline (``permissive=True`` routes bad rows
+    into ``_corrupt_record`` instead). json is line-delimited — the only
+    splittable JSON layout; a single giant JSON array cannot be read in
+    parallel."""
+    if fmt not in FORMATS:
+        raise ValueError(f"unknown format {fmt!r}; expected one of {FORMATS}")
+    if fmt in ("json", "csv") and schema is None:
+        raise ValueError(
+            f"{fmt} reads require an explicit schema: inference costs a "
+            "full extra pass and is non-deterministic across batches"
+        )
+    reader = spark.read.format(fmt)
+    if schema is not None:
+        reader = reader.schema(schema)
+    if fmt in ("json", "csv"):
+        reader = reader.option(
+            "mode", "PERMISSIVE" if permissive else "FAILFAST"
+        )
+    if fmt == "csv":
+        reader = reader.option("header", "true")
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load(path)
+
+
 def read_table(
     spark: SparkSession, path: str, fmt: str, schema: StructType
 ) -> DataFrame:

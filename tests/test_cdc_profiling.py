@@ -26,6 +26,7 @@ NEW_QUERIES = [
     "q_decontaminate",
     "q_funnel",
     "q_retention",
+    "q_char_entropy",
 ]
 
 
