@@ -523,3 +523,61 @@ def q_embed_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(comp_sum / F.size("embedding"), 6).alias("mean_component"),
         F.round(F.array_max(emb), 6).alias("max_component"),
     )
+
+
+@register(
+    "q_embed_quantize",
+    oracle="""WITH scaled AS (
+  SELECT vec_id,
+         CASE WHEN list_aggregate(list_transform(embedding::DOUBLE[], x -> abs(x)), 'max') = 0
+              THEN 1.0
+              ELSE 127.0 / list_aggregate(list_transform(embedding::DOUBLE[], x -> abs(x)), 'max')
+         END AS scale,
+         embedding::DOUBLE[] AS emb
+    FROM embeddings
+)
+SELECT vec_id,
+       round(scale, 6) AS scale_r,
+       list_transform(emb, x -> CAST(round(x * scale) AS INTEGER)) AS q8,
+       round(list_aggregate(
+           list_transform(emb, x -> (x - round(x * scale) / scale)
+                                  * (x - round(x * scale) / scale)),
+           'sum') / len(emb) * 1e6, 6) AS mse_ppm
+  FROM scaled
+""",
+    doc="int8 embedding quantization (the storage/ANN-memory pressure "
+    "valve): per-vector symmetric scale 127/max|x|, quantized components, "
+    "and reconstruction MSE — all row-local array math, zero shuffle. "
+    "Parity notes: scale is computed ONCE as a projected column (inlining "
+    "it in the transform would re-reduce the array per element, O(d^2)); "
+    "Spark round() and DuckDB round() both use half-away-from-zero, and "
+    "the fold order is left-to-right in both engines, so quantized codes "
+    "AND the error sum match bit-exactly before the final rounding",
+)
+def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings", fan_out=True)
+    emb = F.col("embedding").cast("array<double>")
+    max_abs = F.array_max(F.transform(emb, F.abs))
+    scaled = e.select(
+        "vec_id",
+        emb.alias("emb"),
+        F.when(max_abs == 0, F.lit(1.0))
+        .otherwise(F.lit(127.0) / max_abs)
+        .alias("scale"),
+    )
+    s = F.col("scale")
+    q = F.transform(F.col("emb"), lambda x: F.round(x * s).cast("int"))
+    err = F.aggregate(
+        F.transform(
+            F.col("emb"),
+            lambda x: (x - F.round(x * s) / s) * (x - F.round(x * s) / s),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return scaled.select(
+        "vec_id",
+        F.round(s, 6).alias("scale_r"),
+        q.alias("q8"),
+        F.round(err / F.size("emb") * 1e6, 6).alias("mse_ppm"),
+    )

@@ -27,6 +27,7 @@ NEW_QUERIES = [
     "q_funnel",
     "q_retention",
     "q_char_entropy",
+    "q_embed_quantize",
 ]
 
 
