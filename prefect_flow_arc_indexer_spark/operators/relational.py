@@ -320,3 +320,103 @@ def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_small_lots"),
         )
     )
+
+
+@register(
+    "q_disjunctive_join",
+    oracle="""SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+       count(*) AS n_lines
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+ WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+        AND l_quantity BETWEEN 1 AND 20)
+    OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+        AND l_quantity BETWEEN 10 AND 35)
+    OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
+        AND l_quantity BETWEEN 20 AND 50)
+""",
+    doc="disjunctive-predicate join (TPC-H Q19 shape): OR-of-ANDs mixing "
+    "build-side and probe-side columns. Catalyst's CNF conversion extracts "
+    "the common implications — the brand/size disjunction (part-only) "
+    "pushes to the part scan and the quantity disjunction (lineitem-only) "
+    "pushes to the lineitem scan BEFORE the join, so the join input is "
+    "pre-filtered on both sides even though no single conjunct spans the "
+    "whole WHERE; the filtered part side then broadcasts. The residual "
+    "cross-side OR evaluates post-join on the reduced pairs",
+)
+def q_disjunctive_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_size"
+    )
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(10, 30)
+            & F.col("l_quantity").between(10, 35)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(20, 50)
+            & F.col("l_quantity").between(20, 50)
+        )
+    )
+    return (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .where(cond)
+        .agg(
+            F.sum(_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount")))
+            .cast("double")
+            .alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "q_salted_join",
+    oracle="""SELECT o_orderpriority,
+       count(*) AS n_lines,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+ GROUP BY o_orderpriority
+""",
+    doc="skew-safe salted join: the fact side keys on (orderkey, "
+    "hash(lineno) % R) and the build side explodes into R replicas per "
+    "key, so ONE hot join key spreads over R reducers instead of stalling "
+    "a single task — the manual form of what AQE skew-join does "
+    "reactively, needed when skew is known up front (and on the map-side "
+    "partial agg, which AQE cannot split). Semantically identical to the "
+    "plain equi-join the oracle runs — salting only changes the physical "
+    "key space",
+)
+def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    R = 8
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_extendedprice",
+        F.pmod(F.xxhash64("l_linenumber"), F.lit(R)).cast("int").alias("salt"),
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    o_rep = o.withColumn(
+        "salt", F.explode(F.sequence(F.lit(0), F.lit(R - 1)))
+    )
+    joined = li.join(
+        o_rep,
+        (F.col("o_orderkey") == F.col("l_orderkey"))
+        & (o_rep["salt"] == li["salt"]),
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_lines"),
+        F.sum(_dec("l_extendedprice")).cast("double").alias("revenue"),
+    )

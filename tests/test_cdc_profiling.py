@@ -28,6 +28,8 @@ NEW_QUERIES = [
     "q_retention",
     "q_char_entropy",
     "q_embed_quantize",
+    "q_disjunctive_join",
+    "q_salted_join",
 ]
 
 
