@@ -317,3 +317,74 @@ def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         "metric",
         F.expr("substring(metric, 3)"),  # l_quantity -> quantity
     )
+
+
+@register(
+    "q_mad",
+    oracle="""WITH med AS (
+  SELECT l_returnflag, quantile_cont(l_extendedprice, 0.5) AS m
+    FROM lineitem GROUP BY l_returnflag
+)
+SELECT l.l_returnflag,
+       round(any_value(med.m), 4) AS median_price,
+       round(quantile_cont(abs(l.l_extendedprice - med.m), 0.5), 4) AS mad
+  FROM lineitem l JOIN med ON med.l_returnflag = l.l_returnflag
+ GROUP BY l.l_returnflag
+""",
+    doc="robust dispersion: median absolute deviation per group — two "
+    "passes by construction (the deviation needs the median first), both "
+    "shuffling on the same tiny group key; the medians broadcast back "
+    "onto the fact scan. The outlier-resistant scale estimate a corpus "
+    "pipeline uses where stddev would chase heavy tails",
+)
+def q_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice"
+    )
+    med = li.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", 0.5).alias("m")
+    )
+    return (
+        li.join(F.broadcast(med), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.any_value("m"), 4).alias("median_price"),
+            F.round(
+                F.percentile(F.abs(F.col("l_extendedprice") - F.col("m")), 0.5),
+                4,
+            ).alias("mad"),
+        )
+    )
+
+
+@register(
+    "q_window_edges",
+    oracle="""SELECT o_orderkey, o_custkey,
+       first_value(o_totalprice) OVER w AS first_price,
+       last_value(o_totalprice) OVER (PARTITION BY o_custkey
+                                      ORDER BY o_orderdate ASC, o_orderkey ASC
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                               AND UNBOUNDED FOLLOWING)
+         AS last_price,
+       nth_value(o_totalprice, 2) OVER w AS second_price
+  FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
+""",
+    doc="window edge values: first_value / last_value / nth_value per "
+    "customer order history. last_value gets an explicit unbounded frame — "
+    "the default frame stops at CURRENT ROW, the classic silent-wrong-"
+    "answer; all three specs share one (custkey, orderdate) shuffle+sort",
+)
+def q_window_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc(), F.col("o_orderkey").asc()
+    )
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.first("o_totalprice").over(w).alias("first_price"),
+        F.last("o_totalprice").over(w_full).alias("last_price"),
+        F.nth_value("o_totalprice", 2).over(w).alias("second_price"),
+    )

@@ -30,6 +30,8 @@ NEW_QUERIES = [
     "q_embed_quantize",
     "q_disjunctive_join",
     "q_salted_join",
+    "q_mad",
+    "q_window_edges",
 ]
 
 
