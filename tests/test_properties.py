@@ -134,3 +134,75 @@ def test_doc_actions_routing_property(spark, rows):
             assert r["_op_type"] == "delete" and r["_source"] is None
         else:
             assert r["_op_type"] == "index" and r["_source"] == doc
+
+
+@settings(**PROP_SETTINGS)
+@given(
+    stream=st.lists(
+        st.sampled_from("abcdefgh"), min_size=1, max_size=300
+    ),
+    cap=st.integers(2, 8),
+)
+def test_misra_gries_bound_property(stream, cap):
+    """For ANY stream and capacity: counters never overcount, and every
+    estimate is within n/(cap+1) of the true count — including items the
+    sketch dropped entirely (estimate 0)."""
+    import pandas as pd
+
+    from prefect_flow_arc_indexer_spark.operators.sketches import _mg_partition
+
+    [summary] = list(
+        _mg_partition(cap)(iter([pd.DataFrame({"token": stream})]))
+    )
+    est = dict(zip(summary["token"], summary["est"]))
+    n = len(stream)
+    true = {}
+    for t in stream:
+        true[t] = true.get(t, 0) + 1
+    assert len(est) <= cap
+    for t, c in true.items():
+        e = est.get(t, 0)
+        assert e <= c, f"{t}: overcounted {e} > {c}"
+        assert e >= c - n / (cap + 1), f"{t}: {e} < {c} - {n/(cap+1):.2f}"
+
+
+@settings(**PROP_SETTINGS)
+@given(
+    vec=st.lists(
+        st.floats(
+            min_value=-100.0,
+            max_value=100.0,
+            allow_nan=False,
+            allow_infinity=False,
+            width=32,
+        ),
+        min_size=1,
+        max_size=16,
+    )
+)
+def test_quantization_error_bound_property(spark, vec):
+    """Symmetric int8 quantization: codes stay in [-127, 127] and every
+    component reconstructs within half a quantization step (0.5/scale)."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(vec,)], "embedding array<float>")
+    emb = F.col("embedding").cast("array<double>")
+    max_abs = F.array_max(F.transform(emb, F.abs))
+    scaled = df.select(
+        emb.alias("emb"),
+        F.when(max_abs == 0, F.lit(1.0))
+        .otherwise(F.lit(127.0) / max_abs)
+        .alias("scale"),
+    )
+    s = F.col("scale")
+    row = scaled.select(
+        "emb",
+        "scale",
+        F.transform(F.col("emb"), lambda x: F.round(x * s).cast("int")).alias(
+            "q8"
+        ),
+    ).collect()[0]
+    step = 0.5 / row["scale"]
+    for x, q in zip(row["emb"], row["q8"]):
+        assert -127 <= q <= 127
+        assert abs(x - q / row["scale"]) <= step + 1e-12
