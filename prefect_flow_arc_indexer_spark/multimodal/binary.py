@@ -195,3 +195,77 @@ SELECT doc_id,
 )
 def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_frames(media_frame(spark, sf_dir))
+
+
+RESIZE_STRIDE = 4
+
+
+def _resize_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker producing the resized payload (1->1 binary->binary
+    transform): every RESIZE_STRIDE-th payload byte, plus integrity
+    metadata. Byte striding plays the decoder+scaler; a production build
+    swaps a real resample in behind the same signature — the contract that
+    matters (binary in, smaller binary out, new payload carried as a
+    column, metadata typed) is exercised for real."""
+    for pdf in batches:
+        out = {
+            "doc_id": [],
+            "media_type": [],
+            "n_bytes": [],
+            "resized_payload": [],
+            "resized_bytes": [],
+            "checksum": [],
+        }
+        for doc_id, mt, payload in zip(
+            pdf["doc_id"], pdf["media_type"], pdf["payload"]
+        ):
+            if payload is None:  # NULL-text docs: filtered Spark-side too —
+                continue  # keep exact parity with the oracle's NULL filter
+            small = bytes(payload[::RESIZE_STRIDE])
+            out["doc_id"].append(doc_id)
+            out["media_type"].append(mt)
+            out["n_bytes"].append(len(payload))
+            out["resized_payload"].append(small)
+            out["resized_bytes"].append(len(small))
+            out["checksum"].append(sum(small) % 1_000_000_000)
+        yield pd.DataFrame(out)
+
+
+RESIZE_SCHEMA = (
+    "doc_id long, media_type string, n_bytes long, "
+    "resized_payload binary, resized_bytes long, checksum long"
+)
+
+
+def resize_media(media: DataFrame) -> DataFrame:
+    """Resize the image subset; Arrow-batched, payload->payload."""
+    return media.where(F.col("media_type") == "image/png").mapInPandas(
+        _resize_batches, schema=RESIZE_SCHEMA
+    )
+
+
+@register(
+    "q_media_resize",
+    # images are doc_id % 3 == 0 (media_frame routing); ASCII text keeps
+    # byte striding and the checksum expressible in SQL, so the oracle
+    # verifies the RESIZED CONTENT, not just its length
+    oracle=f"""SELECT doc_id,
+       length(text) AS n_bytes,
+       (length(text) + {RESIZE_STRIDE - 1}) // {RESIZE_STRIDE} AS resized_bytes,
+       list_aggregate(
+           list_transform(generate_series(1, length(text), {RESIZE_STRIDE}),
+                          i -> ascii(substr(text, i, 1))),
+           'sum') % 1000000000 AS checksum
+  FROM documents WHERE doc_id % 3 = 0 AND text IS NOT NULL
+""",
+    doc="multimodal resize: image payloads -> strided-byte downsample "
+    "(mapInPandas binary->binary; stride plays the scaler), resized bytes "
+    "carried as a real binary column and content-checksummed against the "
+    "oracle",
+)
+def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return resize_media(media_frame(spark, sf_dir)).select(
+        "doc_id", "n_bytes", "resized_bytes", "checksum"
+    )
