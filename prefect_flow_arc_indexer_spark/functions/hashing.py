@@ -47,8 +47,12 @@ def stable_hash(col: Column | str) -> Column:
 
 
 def dd_stable_hash(expr: str) -> str:
-    """The identical hash as a DuckDB SQL fragment."""
-    return f"CAST(concat('0x', substr(md5({expr}), 1, 7)) AS BIGINT)"
+    """The identical hash as a DuckDB SQL fragment.
+
+    ``||`` rather than ``concat()``: DuckDB's concat IGNORES NULL arguments,
+    so a NULL input would yield the string ``'0x'`` (a cast error) instead of
+    propagating NULL the way Spark's md5→conv chain does."""
+    return f"CAST('0x' || substr(md5({expr}), 1, 7) AS BIGINT)"
 
 
 def minhash_perm(hash_col: Column, i: int) -> Column:

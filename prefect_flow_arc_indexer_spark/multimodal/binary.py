@@ -82,17 +82,23 @@ def _fake_decode_features(payload: bytes) -> tuple[int, int, int, float]:
 def _decode_batches(
     batches: Iterator[pd.DataFrame],
 ) -> Iterator[pd.DataFrame]:
-    """mapInPandas worker: Arrow batch in -> typed feature batch out."""
+    """mapInPandas worker: Arrow batch in -> typed feature batch out.
+    NULL payloads (undecodable) are routed out — the oracle filters the
+    same rows with ``text IS NOT NULL``."""
     for pdf in batches:
-        feats = [_fake_decode_features(p) for p in pdf["payload"]]
+        keep = [
+            (d, n, _fake_decode_features(p))
+            for d, n, p in zip(pdf["doc_id"], pdf["n_bytes"], pdf["payload"])
+            if p is not None
+        ]
         yield pd.DataFrame(
             {
-                "doc_id": pdf["doc_id"].values,
-                "n_bytes": pdf["n_bytes"].values,
-                "fake_width": [f[0] for f in feats],
-                "fake_height": [f[1] for f in feats],
-                "fake_n_frames": [f[2] for f in feats],
-                "byte_mean": [f[3] for f in feats],
+                "doc_id": [k[0] for k in keep],
+                "n_bytes": [k[1] for k in keep],
+                "fake_width": [k[2][0] for k in keep],
+                "fake_height": [k[2][1] for k in keep],
+                "fake_n_frames": [k[2][2] for k in keep],
+                "byte_mean": [k[2][3] for k in keep],
             }
         )
 
@@ -109,15 +115,15 @@ def extract_features(media: DataFrame) -> DataFrame:
     # prefix uses ord() via the ascii() function.
     oracle="""WITH m AS (
   SELECT doc_id, length(text) AS n_bytes, substr(text, 1, 32) AS prefix
-    FROM documents
+    FROM documents WHERE text IS NOT NULL
 )
 SELECT doc_id,
        n_bytes,
        CAST(16 + (n_bytes % 640) AS INT) AS fake_width,
        CAST(16 + ((n_bytes * 7) % 480) AS INT) AS fake_height,
        CAST(1 + (n_bytes % 24) AS INT) AS fake_n_frames,
-       round(CAST(list_aggregate(list_transform(generate_series(1, length(prefix)),
-                 i -> ascii(substr(prefix, i, 1))), 'sum') AS DOUBLE)
+       round(CAST(coalesce(list_aggregate(list_transform(generate_series(1, length(prefix)),
+                 i -> ascii(substr(prefix, i, 1))), 'sum'), 0) AS DOUBLE)
              / greatest(length(prefix), 1), 6) AS byte_mean
   FROM m
 """,
@@ -148,6 +154,9 @@ def _sample_frame_batches(
     for pdf in batches:
         out_doc, out_idx, out_off, out_byte = [], [], [], []
         for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            if payload is None or len(payload) == 0:
+                # no decodable frames; oracle filters the same rows
+                continue
             n = len(payload)
             n_frames = 1 + (n % 24)
             stride_bytes = n // n_frames
@@ -181,7 +190,8 @@ def sample_frames(media: DataFrame) -> DataFrame:
     oracle=f"""WITH v AS (
   SELECT doc_id, text, length(text) AS n,
          1 + (length(text) % 24) AS n_frames
-    FROM documents WHERE doc_id % 3 = 2
+    FROM documents
+   WHERE doc_id % 3 = 2 AND text IS NOT NULL AND length(text) > 0
 )
 SELECT doc_id,
        CAST(f.i AS INT) AS frame_idx,
@@ -254,10 +264,10 @@ def resize_media(media: DataFrame) -> DataFrame:
     oracle=f"""SELECT doc_id,
        length(text) AS n_bytes,
        (length(text) + {RESIZE_STRIDE - 1}) // {RESIZE_STRIDE} AS resized_bytes,
-       list_aggregate(
+       coalesce(list_aggregate(
            list_transform(generate_series(1, length(text), {RESIZE_STRIDE}),
                           i -> ascii(substr(text, i, 1))),
-           'sum') % 1000000000 AS checksum
+           'sum'), 0) % 1000000000 AS checksum
   FROM documents WHERE doc_id % 3 = 0 AND text IS NOT NULL
 """,
     doc="multimodal resize: image payloads -> strided-byte downsample "

@@ -118,15 +118,22 @@ def q_date_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_array_profile",
     oracle="""SELECT source,
        count(*) AS n_docs,
-       list_sort(list(DISTINCT lang)) AS langs,
-       list_sort(list(DISTINCT lang))[1] AS first_lang,
-       length(list_sort(list(DISTINCT lang))) AS n_langs
+       coalesce(list_sort(list(DISTINCT lang) FILTER (lang IS NOT NULL)), [])
+         AS langs,
+       coalesce(list_sort(list(DISTINCT lang) FILTER (lang IS NOT NULL)), [])[1]
+         AS first_lang,
+       len(coalesce(list_sort(list(DISTINCT lang) FILTER (lang IS NOT NULL)), []))
+         AS n_langs
   FROM documents
  GROUP BY source
 """,
     doc="grouped array building: collect_set per group, canonicalized with "
     "array_sort so set semantics hash stably; element access and size "
-    "exercise the array scalar surface",
+    "exercise the array scalar surface. NULL langs are excluded on BOTH "
+    "engines (Spark collect_set drops NULLs; DuckDB list() keeps them — "
+    "the FILTER + coalesce aligns the all-NULL group to an empty array), "
+    "and first_lang uses try_element_at so an empty set yields NULL "
+    "instead of an ANSI index error",
 )
 def q_array_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
@@ -134,6 +141,6 @@ def q_array_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.groupBy("source").agg(
         F.count("*").alias("n_docs"),
         langs.alias("langs"),
-        F.element_at(langs, 1).alias("first_lang"),
+        F.try_element_at(langs, F.lit(1)).alias("first_lang"),
         F.size(langs).alias("n_langs"),
     )

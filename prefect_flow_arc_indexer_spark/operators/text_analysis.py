@@ -83,7 +83,7 @@ _EN = STOPWORDS["en"]
 @register(
     "q_text_quality",
     oracle=f"""WITH toks AS (
-  SELECT doc_id, text, {dd_tokens("text")} AS tok FROM documents
+  SELECT doc_id, text, coalesce({dd_tokens("text")}, []) AS tok FROM documents
 )
 SELECT doc_id,
        len(tok) AS n_tokens,
@@ -105,9 +105,13 @@ SELECT doc_id,
 )
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     # project the token array once — every expression below references it,
-    # and an inline tokens(text) would be re-split per reference
+    # and an inline tokens(text) would be re-split per reference. NULL text
+    # canonicalizes to an EMPTY array on both engines: Spark size(NULL)=-1
+    # vs DuckDB len(NULL)=NULL would silently split the hash otherwise
+    # (same family as the round-1 q_lang_id finding).
     docs = load_table(spark, sf_dir, "documents", fan_out=True).withColumn(
-        "tok", tokens(F.col("text"))
+        "tok",
+        F.coalesce(tokens(F.col("text")), F.array().cast("array<string>")),
     )
     tok = F.col("tok")
     n_tokens = F.size(tok)

@@ -1,0 +1,75 @@
+"""Adversarial NULL/empty-text robustness: every document-touching query
+keeps exact oracle parity on a corpus containing NULL text, empty text,
+whitespace-only text, and an all-NULL row — the fixture shape the round-1
+advisory used to break q_lang_id (local test data happens to contain no
+NULL texts, so without this sweep those paths are never exercised)."""
+
+from __future__ import annotations
+
+import shutil
+
+import duckdb
+import pytest
+
+from prefect_flow_arc_indexer_spark.plans import all_queries
+from prefect_flow_arc_indexer_spark.sources.parquet import TABLES
+from tests.conftest import SF_DIR
+from tests.helpers import signature
+
+DOC_QUERIES = [
+    "q_text_quality",
+    "q_lang_id",
+    "q_token_count",
+    "q_doc_fingerprint",
+    "q_char_entropy",
+    "q_regex_features",
+    "q_array_profile",
+    "q_multimodal_meta",
+    "q_frame_sample",
+    "q_media_resize",
+    "q_dedup_exact",
+    "q_chunk_dedup",
+]
+
+
+@pytest.fixture(scope="module")
+def null_dir(tmp_path_factory):
+    dst = tmp_path_factory.mktemp("sf_nulls")
+    con = duckdb.connect()
+    for t in TABLES:
+        if t == "documents":
+            con.execute(
+                f"""COPY (
+  SELECT * FROM '{SF_DIR}/documents.parquet'
+  UNION ALL SELECT 900001, NULL, 'en', 'synthetic', 0
+  UNION ALL SELECT 900002, '', 'de', 'synthetic', 0
+  UNION ALL SELECT 900003, '   ', 'es', 'synthetic', 3
+  UNION ALL SELECT 900004, NULL, NULL, NULL, NULL
+) TO '{dst}/documents.parquet' (FORMAT PARQUET)"""
+            )
+        else:
+            shutil.copy(f"{SF_DIR}/{t}.parquet", f"{dst}/{t}.parquet")
+    return str(dst)
+
+
+@pytest.fixture(scope="module")
+def null_duck(null_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{null_dir}/{t}.parquet'"
+        )
+    return con
+
+
+@pytest.mark.parametrize("name", DOC_QUERIES)
+def test_null_text_oracle_parity(spark, null_dir, null_duck, name):
+    rq = all_queries()[name]
+    assert rq.oracle is not None
+    sdf = rq.builder(spark, null_dir)
+    got = signature(sdf.columns, [tuple(r) for r in sdf.collect()])
+    res = null_duck.execute(rq.oracle)
+    want = signature(
+        [d[0] for d in res.description], [tuple(r) for r in res.fetchall()]
+    )
+    assert got == want, f"{name} diverges on NULL/empty-text rows"
