@@ -37,10 +37,22 @@ FEATURE_SCHEMA = (
 )
 
 
+ASCII_ONLY = r"^[\x00-\x7F]*$"
+
+
 def media_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Build a typed media table from ``documents`` (text bytes play the
-    opaque payload; schema mirrors what an image/audio lake table carries)."""
-    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    opaque payload; schema mirrors what an image/audio lake table carries).
+
+    Restricted to single-byte (ASCII) texts: the DuckDB oracles address the
+    payload bytes through character functions, which only coincide with
+    byte offsets when every char is one byte — a multibyte doc would make
+    Spark (byte-true) and the oracle (char-based) silently diverge. Real
+    deployments carry real binaries here; the filter is a property of the
+    text-as-payload DEMO corpus, applied identically on both engines."""
+    docs = load_table(spark, sf_dir, "documents", fan_out=True).where(
+        F.col("text").rlike(ASCII_ONLY)
+    )
     payload = F.encode("text", "UTF-8")
     return docs.select(
         "doc_id",
@@ -115,7 +127,7 @@ def extract_features(media: DataFrame) -> DataFrame:
     # prefix uses ord() via the ascii() function.
     oracle="""WITH m AS (
   SELECT doc_id, length(text) AS n_bytes, substr(text, 1, 32) AS prefix
-    FROM documents WHERE text IS NOT NULL
+    FROM documents WHERE text IS NOT NULL AND regexp_matches(text, '^[\\x00-\\x7f]*$')
 )
 SELECT doc_id,
        n_bytes,
@@ -192,6 +204,7 @@ def sample_frames(media: DataFrame) -> DataFrame:
          1 + (length(text) % 24) AS n_frames
     FROM documents
    WHERE doc_id % 3 = 2 AND text IS NOT NULL AND length(text) > 0
+     AND regexp_matches(text, '^[\\x00-\\x7f]*$')
 )
 SELECT doc_id,
        CAST(f.i AS INT) AS frame_idx,
@@ -269,6 +282,7 @@ def resize_media(media: DataFrame) -> DataFrame:
                           i -> ascii(substr(text, i, 1))),
            'sum'), 0) % 1000000000 AS checksum
   FROM documents WHERE doc_id % 3 = 0 AND text IS NOT NULL
+   AND regexp_matches(text, '^[\\x00-\\x7f]*$')
 """,
     doc="multimodal resize: image payloads -> strided-byte downsample "
     "(mapInPandas binary->binary; stride plays the scaler), resized bytes "

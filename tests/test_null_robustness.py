@@ -1,8 +1,11 @@
-"""Adversarial NULL/empty-text robustness: every document-touching query
-keeps exact oracle parity on a corpus containing NULL text, empty text,
-whitespace-only text, and an all-NULL row — the fixture shape the round-1
-advisory used to break q_lang_id (local test data happens to contain no
-NULL texts, so without this sweep those paths are never exercised)."""
+"""Adversarial corpus robustness: every document-touching query keeps
+exact oracle parity on a corpus containing NULL text, empty text,
+whitespace-only text, an all-NULL row, AND multibyte/unicode texts — the
+fixture shapes the round-1 advisory used to break q_lang_id (local test
+data is all-ASCII with no NULLs, so without this sweep those paths are
+never exercised). The unicode rows specifically pin the byte-vs-char
+contract of the multimodal oracles (restricted to single-byte texts on
+both engines)."""
 
 from __future__ import annotations
 
@@ -45,6 +48,9 @@ def null_dir(tmp_path_factory):
   UNION ALL SELECT 900002, '', 'de', 'synthetic', 0
   UNION ALL SELECT 900003, '   ', 'es', 'synthetic', 3
   UNION ALL SELECT 900004, NULL, NULL, NULL, NULL
+  UNION ALL SELECT 910000, 'héllo wörld ümlaut tæst', 'de', 'synthetic', 23
+  UNION ALL SELECT 910002, '中文文本测试 один два', 'zh', 'synthetic', 14
+  UNION ALL SELECT 910004, 'emoji 🎉 mix ascii', 'en', 'synthetic', 17
 ) TO '{dst}/documents.parquet' (FORMAT PARQUET)"""
             )
         else:
