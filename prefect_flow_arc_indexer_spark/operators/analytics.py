@@ -10,6 +10,11 @@ seven statements. Scale notes per operator:
   each; Spark's INTERSECT/EXCEPT keep distinct semantics like SQL's;
 - ROLLUP/CUBE expand grouping sets BEFORE the shuffle (the `Expand` physical
   node), so partial aggregation still applies — no per-level rescan;
+  KNOWN DIVERGENCE on empty input: the SQL standard (and DuckDB) emits the
+  grand-total grouping-set row for an empty relation; Spark's cube/rollup/
+  groupingSets emit zero rows. This engine follows Spark — the divergence
+  only materializes on an empty source table, which the oracle fixtures
+  never are;
 - window functions share one (partition, order) shuffle when their specs
   agree — the suite is written over a single window spec on purpose;
 - pivot with explicit value list avoids the extra distinct-scan Spark needs

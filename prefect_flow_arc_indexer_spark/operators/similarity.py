@@ -399,6 +399,12 @@ def q_knn_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_rows = sorted(
         e.where(F.col("vec_id") < N_QUERIES).collect(), key=lambda r: r["vec_id"]
     )
+    if not q_rows:
+        # empty corpus/query set: np.array([]) is 1-D, so the axis-1
+        # normalization below would crash instead of returning no neighbors
+        return e.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, cos_sim double, rank int"
+        )
     q_ids = np.array([r["vec_id"] for r in q_rows])
     q_mat = np.array([r["embedding"] for r in q_rows], dtype="float64")
     q_mat = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)

@@ -63,6 +63,12 @@ def load_table(
         # integer division: nano values (~1.7e18) exceed double's exact-int
         # range, so `ts / 1000` would drift by ±1us
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif name == "events" and dict(df.dtypes).get("ts") == "timestamp_ntz":
+        # events staged by another writer (DuckDB, plain Spark) carry
+        # micro timestamps with isAdjustedToUTC=false, which Spark 4 reads
+        # as TIMESTAMP_NTZ; downstream event-time ops (window(),
+        # session_window(), unix_micros()) require the instant type
+        df = df.withColumn("ts", F.to_timestamp("ts"))
     if fan_out:
         par = spark.sparkContext.defaultParallelism
         if df.rdd.getNumPartitions() < par:
