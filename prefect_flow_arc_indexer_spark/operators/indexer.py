@@ -297,3 +297,39 @@ def q_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     applied = batch.where(~F.col("is_deleted")).drop("is_deleted")
     return carried.unionByName(applied)
+
+
+@register(
+    "q_variant_stats",
+    oracle=f"""WITH {IDX_DOCS_CTE}
+SELECT "index",
+       count(*) AS n_docs,
+       count(CAST(json_extract_string(document, '$.k') AS BIGINT)) AS n_with_k,
+       sum(CAST(json_extract_string(document, '$.k') AS BIGINT)) AS sum_k,
+       max(CAST(json_extract_string(document, '$.k') AS BIGINT)) AS max_k
+  FROM index_documents
+ GROUP BY "index"
+""",
+    doc="Spark 4 VARIANT over the reference's dynamic JSONB payload "
+    "(flows/main_flow.py:319 selects the blob whole; :69 pokes one path "
+    "with ->/->>): parse_json once into the typed binary VARIANT "
+    "encoding, then try_variant_get per field — unlike per-path "
+    "get_json_object calls, the document is PARSED ONCE regardless of "
+    "how many fields are extracted, which is the 100 TB difference for "
+    "wide extraction over big JSONB blobs. try_ semantics (NULL on "
+    "missing/mistyped) mirror ->> exactly; integer sums stay exact",
+)
+def q_variant_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = index_documents(spark, sf_dir)
+    v = F.parse_json("document")
+    k = F.try_variant_get(v, "$.k", "long")
+    return (
+        docs.select("index", k.alias("k"))
+        .groupBy("index")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.count("k").alias("n_with_k"),
+            F.sum("k").alias("sum_k"),
+            F.max("k").alias("max_k"),
+        )
+    )

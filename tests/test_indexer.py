@@ -24,6 +24,7 @@ PHASE1 = [
     "q_index_name",
     "q_doc_charlen",
     "q_cdc_merge",
+    "q_variant_stats",
 ]
 
 
