@@ -508,24 +508,37 @@ def q_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # connected components over the near-dup graph -> dedup clusters
 # --------------------------------------------------------------------------
-CC_MAX_ITERS = 15
+CC_MAX_ITERS = 20
+CC_JUMP_AFTER = 4
 
 
-def connected_components(edges: DataFrame, max_iters: int = CC_MAX_ITERS) -> DataFrame:
+def connected_components(
+    edges: DataFrame,
+    max_iters: int = CC_MAX_ITERS,
+    jump_after: int = CC_JUMP_AFTER,
+) -> DataFrame:
     """(id, comp) for every node incident to an edge; comp = min node id in
     the node's connected component.
 
-    The MapReduce CC recipe (min-label propagation + pointer jumping, the
-    same contraction the large-star/small-star algorithm performs): each
-    round every node takes the min label over itself and its neighbors, then
-    jumps through its label's own label — halving chain depth, so rounds are
-    O(log diameter), not O(diameter). State per round is one (node, comp)
-    row per *edge-incident* node (singleton docs never enter the loop — at
-    a healthy dedup threshold that keeps the frontier a small fraction of
-    the corpus). Convergence is detected with a 1-scalar action per round:
-    sum(comp) is strictly decreasing until the fixpoint, so no change-count
-    join is needed. The converged labels are localCheckpoint'ed so the
-    returned plan is shallow instead of replaying the whole loop lineage.
+    Adaptive MapReduce CC: each round every node takes the min label over
+    itself and its neighbors (one union + hash-agg on the cached edge
+    partitioning); from round ``jump_after`` onward the round ALSO jumps
+    through its label's own label (the large-star/small-star contraction),
+    halving chain depth so late rounds are O(log diameter). Why adaptive:
+    real near-dup graphs are unions of small cliques-ish clusters (diameter
+    1-3), where plain propagation converges in 2-3 rounds and the jump's
+    extra self-join per round is pure overhead — measured 3.1s vs 7.6s at
+    sf0.1 with identical labels. A pathological chain still converges: at
+    most ``jump_after`` linear rounds, then doubling, so ``max_iters``
+    rounds cover diameter ~ jump_after * 2^(max_iters - jump_after).
+
+    State per round is one (node, comp) row per *edge-incident* node
+    (singleton docs never enter the loop — at a healthy dedup threshold
+    that keeps the frontier a small fraction of the corpus). Convergence is
+    detected with a 1-scalar action per round: sum(comp) is strictly
+    decreasing until the fixpoint, so no change-count join is needed. The
+    converged labels are localCheckpoint'ed so the returned plan is shallow
+    instead of replaying the whole loop lineage.
     """
     # The edge list is the loop's big invariant side: hash-partition it on
     # the join key ONCE and persist that layout. Every round's
@@ -548,7 +561,7 @@ def connected_components(edges: DataFrame, max_iters: int = CC_MAX_ITERS) -> Dat
     prev_total = None
     converged = False
     try:
-        for _ in range(max_iters):
+        for it in range(max_iters):
             # min over {self} ∪ {neighbors} in ONE aggregation: union the
             # current labels with the propagated neighbor labels and take
             # the per-node min — no separate left join against nbr_min.
@@ -560,17 +573,23 @@ def connected_components(edges: DataFrame, max_iters: int = CC_MAX_ITERS) -> Dat
                 .groupBy("id")
                 .agg(F.min("comp").alias("comp"))
             )
-            ptr = stepped.select(
-                F.col("id").alias("comp"), F.col("comp").alias("jcomp")
-            )
-            new_labels = (
-                stepped.join(ptr, "comp", "left")
-                .select(
+            if it >= jump_after:
+                ptr = stepped.select(
+                    F.col("id").alias("comp"), F.col("comp").alias("jcomp")
+                )
+                stepped = stepped.join(ptr, "comp", "left").select(
                     "id",
                     F.least("comp", F.coalesce("jcomp", "comp")).alias("comp"),
                 )
-                .persist()
-            )
+            # localCheckpoint, not persist: each round references `labels`
+            # TWICE (self ∪ neighbor propagation), so an un-truncated
+            # lineage DOUBLES per round — by round ~10 the logical plan is
+            # 2^10 nodes and the driver OOMs in plan processing before any
+            # data moves. Checkpointing materializes the same rows a cache
+            # would (the convergence action runs regardless) and resets the
+            # plan to a flat scan. (Caught by the chain-graph test, not the
+            # LSH corpora — shallow graphs never reached the deep rounds.)
+            new_labels = stepped.localCheckpoint(eager=True)
             total = new_labels.agg(F.sum("comp")).collect()[0][0]
             labels.unpersist()
             labels = new_labels
@@ -581,14 +600,14 @@ def connected_components(edges: DataFrame, max_iters: int = CC_MAX_ITERS) -> Dat
         if not converged:
             # A silent exit here would return partially-propagated labels on
             # a high-diameter graph — wrong clusters with no signal (ADVICE
-            # r1, low). Pointer jumping makes rounds O(log diameter), so
-            # max_iters=15 covers diameter ~2^15; anything beyond that is an
-            # input anomaly the caller must hear about.
+            # r1, low). Jumped rounds double reach, so the default covers
+            # diameter ~ jump_after * 2^(max_iters - jump_after); anything
+            # beyond that is an input anomaly the caller must hear about.
             raise RuntimeError(
                 f"connected_components did not converge within {max_iters} "
                 "iterations (sum(comp) still decreasing); raise max_iters — "
-                "rounds are O(log diameter), so this graph's diameter "
-                f"exceeds ~2^{max_iters}"
+                "post-warmup rounds are O(log diameter), so this graph's "
+                f"diameter exceeds ~{jump_after} * 2^{max_iters - jump_after}"
             )
         return labels.localCheckpoint(eager=True)
     finally:

@@ -325,3 +325,21 @@ def test_pii_pseudonymize_masks_and_is_deterministic(spark):
     again = q_pii_pseudonymize(spark, SF_DIR).collect()
     assert {r.pseudo_id for r in rows} == {r.pseudo_id for r in again}
     assert len({r.pseudo_id for r in rows}) == len(rows)  # injective here
+
+
+def test_connected_components_deep_chain(spark):
+    """A path graph forces the adaptive loop past its plain-propagation
+    warmup into pointer-jumped rounds, and the per-round localCheckpoint
+    keeps the doubled-per-round lineage from exploding (a 40-chain OOMed
+    the driver before the fix). Labels must be the global min id."""
+    from prefect_flow_arc_indexer_spark.operators.dedup import (
+        connected_components,
+    )
+
+    n = 64
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "src long, dst long"
+    )
+    rows = connected_components(edges).collect()
+    assert len(rows) == n + 1
+    assert all(r["comp"] == 0 for r in rows)
