@@ -144,3 +144,45 @@ def q_array_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.try_element_at(langs, F.lit(1)).alias("first_lang"),
         F.size(langs).alias("n_langs"),
     )
+
+
+FUZZY_MAX_DIST = 2
+
+
+@register(
+    "q_fuzzy_match",
+    oracle=f"""SELECT a.c_custkey AS key_a, b.c_custkey AS key_b,
+       levenshtein(a.c_name, b.c_name) AS edit_dist
+  FROM customer a JOIN customer b
+    ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+ WHERE levenshtein(a.c_name, b.c_name) <= {FUZZY_MAX_DIST}
+""",
+    doc="entity-resolution fuzzy match: candidate pairs BLOCKED on an "
+    "equi-key (nation) so the edit-distance predicate only runs within "
+    "blocks — the join is a plain hash join on the blocking key and the "
+    "quadratic Levenshtein work is |block|^2, never |table|^2. The "
+    "100 TB discipline for fuzzy joins: block first (sorted "
+    "neighborhood / phonetic / LSH keys all slot into the same shape), "
+    "then score pairs; scoring is JVM levenshtein, no UDF",
+)
+def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+    a = cust.select(
+        F.col("c_custkey").alias("key_a"),
+        F.col("c_name").alias("name_a"),
+        F.col("c_nationkey").alias("nk"),
+    )
+    b = cust.select(
+        F.col("c_custkey").alias("key_b"),
+        F.col("c_name").alias("name_b"),
+        F.col("c_nationkey").alias("nk"),
+    )
+    dist = F.levenshtein("name_a", "name_b")
+    return (
+        a.join(b, "nk")
+        .where(F.col("key_a") < F.col("key_b"))
+        .where(dist <= FUZZY_MAX_DIST)
+        .select("key_a", "key_b", dist.alias("edit_dist"))
+    )

@@ -32,6 +32,7 @@ NEW_QUERIES = [
     "q_salted_join",
     "q_mad",
     "q_window_edges",
+    "q_fuzzy_match",
 ]
 
 
