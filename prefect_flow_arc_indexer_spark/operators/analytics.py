@@ -393,3 +393,25 @@ def q_window_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("o_totalprice").over(w_full).alias("last_price"),
         F.nth_value("o_totalprice", 2).over(w).alias("second_price"),
     )
+
+
+@register(
+    "q_approx_percentiles",
+    oracle=None,  # Greenwald-Khanna sketch bounds are engine-specific; the
+    # driver does a rows-only check and tests assert rank-error tolerance
+    # against the exact quantiles
+    doc="approximate percentiles: percentile_approx (Greenwald-Khanna "
+    "sketch, mergeable, bounded memory) next to the exact values — the "
+    "bounded-memory quantile path at 100 TB, where exact percentile "
+    "buffers every value of a group in one task. accuracy=10000 bounds "
+    "rank error at 1/accuracy = 0.01%",
+)
+def q_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile_approx(
+            "l_extendedprice", [0.25, 0.5, 0.75], 10000
+        ).alias("approx_quartiles"),
+        F.percentile("l_extendedprice", F.lit(0.5)).alias("exact_median"),
+        F.count("*").alias("n"),
+    )

@@ -122,3 +122,31 @@ def test_rolling_revenue_frame_widens_over_gaps(spark):
     assert got[datetime.date(2024, 1, 10)] == 40.0, (
         "gap must age out old rows (ROWS frame would give 70.0)"
     )
+
+
+def test_approx_percentiles_within_tolerance(spark):
+    """Greenwald-Khanna with accuracy=10000 bounds RANK error at 0.01%;
+    translate to a value tolerance by checking the approx quartiles land
+    between the exact quantiles at ranks +/- 2*n/accuracy."""
+    from prefect_flow_arc_indexer_spark.plans import all_queries
+
+    rows = (
+        all_queries()["q_approx_percentiles"]
+        .builder(spark, SF_DIR)
+        .collect()
+    )
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    for r in rows:
+        flag, n = r["l_returnflag"], r["n"]
+        vals = sorted(
+            x["l_extendedprice"]
+            for x in li.where(F.col("l_returnflag") == flag)
+            .select("l_extendedprice")
+            .collect()
+        )
+        slack = max(2, 2 * n // 10000)
+        for q, approx in zip((0.25, 0.5, 0.75), r["approx_quartiles"]):
+            rank = int(q * (n - 1))
+            lo = vals[max(0, rank - slack)]
+            hi = vals[min(n - 1, rank + slack)]
+            assert lo <= approx <= hi, (flag, q, approx, lo, hi)
