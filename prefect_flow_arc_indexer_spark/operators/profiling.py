@@ -179,10 +179,14 @@ def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_name").alias("name_b"),
         F.col("c_nationkey").alias("nk"),
     )
-    dist = F.levenshtein("name_a", "name_b")
+    # threshold form: banded O(threshold * len) per pair with early exit
+    # (returns -1 past the bound) instead of the full O(len^2) DP — the
+    # unbounded form measured 13.3s at sf0.1 on ~9M in-block pairs; most
+    # pairs blow the bound in the first rows of the band
+    dist = F.levenshtein("name_a", "name_b", FUZZY_MAX_DIST)
     return (
         a.join(b, "nk")
         .where(F.col("key_a") < F.col("key_b"))
-        .where(dist <= FUZZY_MAX_DIST)
+        .where(dist >= 0)
         .select("key_a", "key_b", dist.alias("edit_dist"))
     )
