@@ -415,3 +415,55 @@ def q_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile("l_extendedprice", F.lit(0.5)).alias("exact_median"),
         F.count("*").alias("n"),
     )
+
+
+@register(
+    "q_rank_suite",
+    oracle="""SELECT o_orderkey, o_custkey,
+       dense_rank() OVER w AS price_dense_rank,
+       round(percent_rank() OVER w, 6) AS price_pct_rank,
+       round(cume_dist() OVER w, 6) AS price_cume_dist
+  FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice ASC, o_orderkey ASC)
+""",
+    doc="cumulative rank suite: dense_rank / percent_rank / cume_dist over "
+    "one shared (custkey, price) window sort; the relative-position "
+    "functions round 6dp because their divisions are the only float step",
+)
+def q_rank_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").asc(), F.col("o_orderkey").asc()
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.dense_rank().over(w).alias("price_dense_rank"),
+        F.round(F.percent_rank().over(w), 6).alias("price_pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("price_cume_dist"),
+    )
+
+
+@register(
+    "q_string_agg",
+    oracle="""SELECT o_orderpriority,
+       string_agg(DISTINCT o_orderstatus, '|' ORDER BY o_orderstatus)
+         AS statuses,
+       count(*) AS n_orders
+  FROM orders
+ GROUP BY o_orderpriority
+""",
+    doc="ordered string aggregation: LISTAGG ... WITHIN GROUP (ORDER BY) — "
+    "deterministic by explicit order (an unordered listagg concatenates in "
+    "partition-arrival order, a nondeterminism trap); DISTINCT collapses "
+    "before the concat so the shuffle carries the tiny distinct set",
+)
+def q_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.expr(
+            "listagg(DISTINCT o_orderstatus, '|') "
+            "WITHIN GROUP (ORDER BY o_orderstatus)"
+        ).alias("statuses"),
+        F.count("*").alias("n_orders"),
+    )

@@ -190,3 +190,32 @@ def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(dist >= 0)
         .select("key_a", "key_b", dist.alias("edit_dist"))
     )
+
+
+@register(
+    "q_regr_stats",
+    oracle="""SELECT l_returnflag,
+       round(regr_slope(l_extendedprice, l_quantity), 6) AS slope,
+       round(regr_intercept(l_extendedprice, l_quantity), 6) AS intercept,
+       round(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+       regr_count(l_extendedprice, l_quantity) AS n_pairs
+  FROM lineitem
+ GROUP BY l_returnflag
+""",
+    doc="linear-regression aggregates: regr_slope / intercept / r2 / count "
+    "per group in one hash-agg pass (co-moment partials merge map-side, "
+    "like corr) — the cheap trend-fit a profiling pass runs before any "
+    "modeling; rounded 6dp against merge-order float noise",
+)
+def q_regr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.regr_slope("l_extendedprice", "l_quantity"), 6).alias(
+            "slope"
+        ),
+        F.round(F.regr_intercept("l_extendedprice", "l_quantity"), 6).alias(
+            "intercept"
+        ),
+        F.round(F.regr_r2("l_extendedprice", "l_quantity"), 6).alias("r2"),
+        F.regr_count("l_extendedprice", "l_quantity").alias("n_pairs"),
+    )

@@ -33,6 +33,9 @@ NEW_QUERIES = [
     "q_mad",
     "q_window_edges",
     "q_fuzzy_match",
+    "q_rank_suite",
+    "q_string_agg",
+    "q_regr_stats",
 ]
 
 
