@@ -254,3 +254,91 @@ def stream_click_to_purchase(
         "purchase_ts",
         "purchase_value",
     )
+
+
+_SESSION_STATE_SCHEMA = StructType(
+    [
+        StructField("n", LongType()),
+        StructField("total", DoubleType()),
+        StructField("last_ms", LongType()),
+    ]
+)
+_SESSION_OUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("total_value", DoubleType()),
+        StructField("closed_by_timeout", StringType()),
+    ]
+)
+
+
+def _flush_idle_sessions(gap_ms: int):
+    def update(
+        key: tuple, pdf_iter: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            # the watermark passed last_event + gap with no new rows: the
+            # session is CLOSED — emit the final aggregate and drop state
+            n, total, _ = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "total_value": [round(total, 2)],
+                    "closed_by_timeout": ["yes"],
+                }
+            )
+            return
+        n, total, last_ms = state.get if state.exists else (0, 0.0, 0)
+        for pdf in pdf_iter:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+            # pandas datetime64[ns] -> EPOCH MILLISECONDS: setTimeoutTimestamp
+            # interprets a bare int as ms; feeding it microseconds silently
+            # arms a timeout in year ~56k that never fires
+            last_ms = max(
+                last_ms, int(pdf["ts"].astype("int64").max()) // 1_000_000
+            )
+        state.update((n, total, last_ms))
+        # arm the event-time timeout: fire once the WATERMARK (not the wall
+        # clock) passes last event + gap — deterministic under replay,
+        # unlike ProcessingTimeTimeout
+        state.setTimeoutTimestamp(last_ms + gap_ms)
+        yield pd.DataFrame(
+            {
+                "user_id": [],
+                "n_events": [],
+                "total_value": [],
+                "closed_by_timeout": [],
+            }
+        )
+
+    return update
+
+
+def stream_session_flush(
+    events: DataFrame, gap: str = "30 minutes", gap_ms: int = 30 * 60 * 1000
+) -> DataFrame:
+    """Custom stateful sessionization with EVENT-TIME TIMEOUT: per-user
+    state accumulates until the watermark passes ``last event + gap``, then
+    the timed-out branch emits the closed session exactly once and frees
+    the state — the applyInPandasWithState surface session_window() hides.
+
+    Why this exists next to ``stream_user_sessions``: the built-in session
+    window can only EMIT aggregates; the timeout callback is the hook for
+    side effects and custom close logic (flush to a sink, emit a tombstone,
+    start a downstream job) at the moment a key goes idle. State stays
+    bounded by active keys x gap horizon, identical to the built-in."""
+    return (
+        events.withWatermark("ts", gap)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _flush_idle_sessions(gap_ms),
+            outputStructType=_SESSION_OUT_SCHEMA,
+            stateStructType=_SESSION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

@@ -307,3 +307,64 @@ def test_stream_stream_join_time_range(spark, tmp_path):
     # click 100 (10:00) is within an hour of purchase 200 (10:30);
     # click 101 (08:00) aged out; user-2 click and user-3 purchase unmatched
     assert pairs == {(100, 200)}
+
+
+def test_stream_session_flush_event_time_timeout(spark, tmp_path):
+    """Event-time timeout closes an idle user's session exactly once when
+    the watermark (driven by OTHER users' later events) passes
+    last_event + gap; active users stay open (no emission)."""
+    src = tmp_path / "flush_src"
+    src.mkdir()
+    # batch 0: user 1 has two events early; user 2 appears much later,
+    # dragging the watermark far past user 1's last event + 30min gap
+    _write_cdc_file(
+        src / "b0.json",
+        [
+            {"user_id": 1, "value": 10.0, "ts": "2024-01-01 00:00:00"},
+            {"user_id": 1, "value": 5.0, "ts": "2024-01-01 00:10:00"},
+        ],
+    )
+    _write_cdc_file(
+        src / "b1.json",
+        [
+            {"user_id": 2, "value": 1.0, "ts": "2024-01-01 06:00:00"},
+        ],
+    )
+    # timeouts fire in the micro-batch AFTER the one that advanced the
+    # watermark — a third batch carries the trigger
+    _write_cdc_file(
+        src / "b2.json",
+        [
+            {"user_id": 2, "value": 2.0, "ts": "2024-01-01 06:30:00"},
+        ],
+    )
+    # the file source orders batches by MODIFICATION TIME, not name — all
+    # three files share a writing second, so stagger mtimes or user 1's
+    # early events can arrive after the watermark and be dropped as late
+    import os as _os
+    import time as _time
+
+    base = _time.time() - 300
+    for i, name in enumerate(["b0.json", "b1.json", "b2.json"]):
+        _os.utime(src / name, (base + i * 100, base + i * 100))
+    stream = (
+        spark.readStream.schema("user_id long, value double, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    out = []
+    q = (
+        jobs.stream_session_flush(stream)
+        .writeStream.foreachBatch(lambda b, i: out.extend(b.collect()))
+        .option("checkpointLocation", str(tmp_path / "ckpt_flush"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    closed = {r["user_id"]: r for r in out}
+    assert 1 in closed, f"user 1's idle session must flush; got {out}"
+    r = closed[1]
+    assert r["n_events"] == 2 and r["total_value"] == 15.0
+    assert r["closed_by_timeout"] == "yes"
+    # user 2's session is still open: watermark never passed its last+gap
+    assert 2 not in closed
