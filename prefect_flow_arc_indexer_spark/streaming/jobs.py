@@ -342,3 +342,74 @@ def stream_session_flush(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+def stream_user_profile_tws(events: DataFrame) -> DataFrame:
+    """Per-user running profile on the Spark 4 ``transformWithStateInPandas``
+    API — the successor to ``applyInPandasWithState`` with TYPED state
+    primitives instead of one tuple: a ValueState for the running totals
+    and a MapState for per-event-type counts. Requires the RocksDB state
+    store provider (the default HDFS-backed store does not implement the
+    new operator's column-family layout).
+
+    Emits one row per (user, batch) with the running totals — the same
+    contract as ``stream_user_running_totals``, so tests can diff the two
+    implementations against each other.
+
+    ENVIRONMENT GATE: the operator's Python state server speaks protobuf;
+    containers without ``google.protobuf`` fail at query start with
+    STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE (the test skips itself
+    accordingly — ``applyInPandasWithState`` above is the
+    dependency-free fallback with equivalent semantics).
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class UserProfile(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState(
+                "totals", "n BIGINT, total DOUBLE"
+            )
+            self._by_type = handle.getMapState(
+                "by_type", "event_type STRING", "cnt BIGINT"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, total = (
+                self._totals.get() if self._totals.exists() else (0, 0.0)
+            )
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+                for et, cnt in pdf["event_type"].value_counts().items():
+                    prev = (
+                        self._by_type.getValue((et,))[0]
+                        if self._by_type.containsKey((et,))
+                        else 0
+                    )
+                    self._by_type.updateValue((et,), (prev + int(cnt),))
+            self._totals.update((n, total))
+            n_types = sum(1 for _ in self._by_type.keys())
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "total_value": [round(total, 2)],
+                    "n_event_types": [n_types],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=UserProfile(),
+        outputStructType=(
+            "user_id long, n_events long, total_value double, "
+            "n_event_types long"
+        ),
+        outputMode="Update",
+        timeMode="None",
+    )

@@ -368,3 +368,82 @@ def test_stream_session_flush_event_time_timeout(spark, tmp_path):
     assert r["closed_by_timeout"] == "yes"
     # user 2's session is still open: watermark never passed its last+gap
     assert 2 not in closed
+
+
+def _protobuf_available() -> bool:
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(
+    not _protobuf_available(),
+    reason="transformWithStateInPandas speaks a protobuf state-server "
+    "protocol; this container ships no google.protobuf (the job itself is "
+    "the forward-looking surface and is exercised wherever protobuf "
+    "exists)",
+)
+def test_stream_user_profile_transform_with_state(spark, tmp_path):
+    """Spark 4 transformWithStateInPandas: ValueState totals + MapState
+    per-type counts survive across micro-batches (RocksDB state store)."""
+    src = tmp_path / "tws_src"
+    src.mkdir()
+    _write_cdc_file(
+        src / "b0.json",
+        [
+            {"user_id": 1, "event_type": "click", "value": 10.0, "ts": "2024-01-01 00:00:00"},
+            {"user_id": 1, "event_type": "view", "value": 5.0, "ts": "2024-01-01 00:01:00"},
+        ],
+    )
+    _write_cdc_file(
+        src / "b1.json",
+        [
+            {"user_id": 1, "event_type": "click", "value": 1.0, "ts": "2024-01-01 00:02:00"},
+        ],
+    )
+    import os as _os
+    import time as _time
+
+    base = _time.time() - 300
+    for i, name in enumerate(["b0.json", "b1.json"]):
+        _os.utime(src / name, (base + i * 100, base + i * 100))
+
+    prior = spark.conf.get("spark.sql.streaming.stateStore.providerClass", "")
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        stream = (
+            spark.readStream.schema(
+                "user_id long, event_type string, value double, ts timestamp"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .json(str(src))
+        )
+        out = []
+        q = (
+            jobs.stream_user_profile_tws(stream)
+            .writeStream.foreachBatch(lambda b, i: out.append((i, b.collect())))
+            .option("checkpointLocation", str(tmp_path / "ckpt_tws"))
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(240)
+    finally:
+        if prior:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prior
+            )
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    rows = {i: {r["user_id"]: r for r in batch} for i, batch in out if batch}
+    first = rows[0][1]
+    assert (first["n_events"], first["total_value"], first["n_event_types"]) == (2, 15.0, 2)
+    last = rows[max(rows)][1]
+    assert (last["n_events"], last["total_value"], last["n_event_types"]) == (3, 16.0, 2)
