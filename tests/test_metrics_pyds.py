@@ -86,3 +86,34 @@ def test_cdc_feed_uneven_partition_split(spark):
         .load()
     )
     assert df.count() == 10  # ceil-split must not duplicate or drop rows
+
+
+def test_full_sync_from_python_datasource(spark, tmp_path):
+    """Integration seam: the pipeline's full-sync driver consumes the
+    custom Python DataSource exactly like any DataFrame source — the feed
+    generates executor-side, actions route, generations publish, and
+    counts reconcile per index."""
+    from prefect_flow_arc_indexer_spark.pipeline.runner import full_sync
+    from prefect_flow_arc_indexer_spark.pipeline.sinks import VersionedSink
+
+    register_cdc_feed(spark)
+    docs = (
+        spark.read.format("cdc_feed")
+        .option("rows", 300)
+        .option("partitions", 4)
+        .load()
+    )
+    sink = VersionedSink(str(tmp_path / "sink"))
+    report = full_sync(spark, docs, sink)
+    # every generated index publishes, counts reconcile, nothing rolls back
+    assert sorted(report.indexes) == ["alpha", "beta", "gamma"]
+    assert all(report.reconcile_ok.values())
+    assert not report.rolled_back
+    live_total = sum(report.written.values())
+    want = docs.where(~F.col("is_deleted")).count()
+    assert live_total == want
+    # published aliases read back the same live documents
+    read_back = sum(
+        sink.read_alias(spark, idx).count() for idx in report.indexes
+    )
+    assert read_back == want
