@@ -88,10 +88,10 @@ hist AS (
    WHERE prev_type IS NULL OR event_type <> prev_type
 )
 SELECT user_id, event_type, valid_from,
-       lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from)
-         AS valid_to,
-       row_number() OVER (PARTITION BY user_id ORDER BY valid_from)
-         AS version
+       lead(valid_from) OVER (PARTITION BY user_id
+                              ORDER BY valid_from, event_type) AS valid_to,
+       row_number() OVER (PARTITION BY user_id
+                          ORDER BY valid_from, event_type) AS version
   FROM hist
 """,
     doc="SCD type-2 history build: lag() change-detection keeps attribute "
@@ -111,7 +111,9 @@ def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("prev_type").isNull()
         | (F.col("event_type") != F.col("prev_type"))
     ).select("user_id", "event_type", F.col("ts").alias("valid_from"))
-    w_hist = Window.partitionBy("user_id").orderBy("valid_from")
+    # event_type tie-break: two attribute changes at the same (user, ts)
+    # would otherwise get engine-arbitrary version/valid_to assignment
+    w_hist = Window.partitionBy("user_id").orderBy("valid_from", "event_type")
     return hist.select(
         "user_id",
         "event_type",

@@ -304,9 +304,9 @@ def q_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""WITH {IDX_DOCS_CTE}
 SELECT "index",
        count(*) AS n_docs,
-       count(CAST(json_extract_string(document, '$.k') AS BIGINT)) AS n_with_k,
-       sum(CAST(json_extract_string(document, '$.k') AS BIGINT)) AS sum_k,
-       max(CAST(json_extract_string(document, '$.k') AS BIGINT)) AS max_k
+       count(TRY_CAST(json_extract_string(document, '$.k') AS BIGINT)) AS n_with_k,
+       sum(TRY_CAST(json_extract_string(document, '$.k') AS BIGINT)) AS sum_k,
+       max(TRY_CAST(json_extract_string(document, '$.k') AS BIGINT)) AS max_k
   FROM index_documents
  GROUP BY "index"
 """,
@@ -317,7 +317,9 @@ SELECT "index",
     "get_json_object calls, the document is PARSED ONCE regardless of "
     "how many fields are extracted, which is the 100 TB difference for "
     "wide extraction over big JSONB blobs. try_ semantics (NULL on "
-    "missing/mistyped) mirror ->> exactly; integer sums stay exact",
+    "missing/mistyped) are mirrored with TRY_CAST in the oracle — a hard "
+    "CAST would abort DuckDB on a non-numeric payload where Spark "
+    "NULLs; integer sums stay exact",
 )
 def q_variant_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = index_documents(spark, sf_dir)

@@ -88,13 +88,14 @@ def mg_summaries(token_stream: DataFrame, capacity: int = MG_CAPACITY) -> DataFr
 def heavy_hitters(
     token_stream: DataFrame, capacity: int = MG_CAPACITY, k: int = TOP_K
 ) -> DataFrame:
-    """Merged top-k heavy hitters with the summed lower-bound estimates and
-    the global error budget (sum of per-partition n/(capacity+1))."""
+    """Merged top-k heavy hitters: (token, est_count) with est_count the
+    summed per-partition lower-bound estimates, deterministic (est DESC,
+    token ASC) cut. Callers needing the error budget reconstruct it from
+    :func:`mg_summaries`'s (part_id, part_n) columns — sum of
+    part_n/(capacity+1) over distinct partitions (see
+    tests/test_sketches.py for the exact recipe)."""
     summaries = mg_summaries(token_stream, capacity)
     merged = summaries.groupBy("token").agg(F.sum("est").alias("est_count"))
-    # the error budget is a by-product of the same summaries: each partition
-    # reports its n once per surviving token; max(part_n) per partition is
-    # recovered from a distinct over the tiny summary set
     return (
         merged.orderBy(F.col("est_count").desc(), F.col("token").asc())
         .limit(k)

@@ -240,7 +240,7 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""WITH chars AS (
   SELECT doc_id, length(text) AS n,
          list_transform(
-             list_distinct(regexp_extract_all(text, '.')),
+             list_distinct(regexp_extract_all(text, '[\s\S]')),
              c -> len(regexp_extract_all(text, regexp_escape(c)))
          ) AS counts
     FROM documents
@@ -264,7 +264,11 @@ def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents", fan_out=True).where(
         F.col("text").isNotNull() & (F.length("text") > 0)
     )
-    chars = F.regexp_extract_all(F.col("text"), F.lit("."), F.lit(0))
+    # '[\s\S]' (everything, including line terminators) instead of '.':
+    # Java's dot excludes \n \r \u0085 \u2028 \u2029 while RE2's excludes
+    # only \n — any excluded char silently breaks oracle parity AND the
+    # H = log2(n) - sum(c*log2(c))/n identity, since n counts every char
+    chars = F.regexp_extract_all(F.col("text"), F.lit(r"[\s\S]"), F.lit(0))
     # counts per distinct char, computed against the row's own char array
     counts = F.transform(
         F.array_distinct(chars),

@@ -57,7 +57,9 @@ def read_files(
     becoming silent NULLs mid-pipeline (``permissive=True`` routes bad rows
     into ``_corrupt_record`` instead). json is line-delimited — the only
     splittable JSON layout; a single giant JSON array cannot be read in
-    parallel."""
+    parallel. Shares ``_READ_OPTS`` with :func:`read_table` (header, NULL
+    token, microsecond timestampFormat) so both readers parse a
+    ``write_table`` output identically."""
     if fmt not in FORMATS:
         raise ValueError(f"unknown format {fmt!r}; expected one of {FORMATS}")
     if fmt in ("json", "csv") and schema is None:
@@ -65,15 +67,13 @@ def read_files(
             f"{fmt} reads require an explicit schema: inference costs a "
             "full extra pass and is non-deterministic across batches"
         )
-    reader = spark.read.format(fmt)
+    reader = spark.read.format(fmt).options(**_READ_OPTS[fmt])
     if schema is not None:
         reader = reader.schema(schema)
     if fmt in ("json", "csv"):
         reader = reader.option(
             "mode", "PERMISSIVE" if permissive else "FAILFAST"
         )
-    if fmt == "csv":
-        reader = reader.option("header", "true")
     for k, v in options.items():
         reader = reader.option(k, v)
     return reader.load(path)
@@ -82,10 +82,17 @@ def read_files(
 def read_table(
     spark: SparkSession, path: str, fmt: str, schema: StructType
 ) -> DataFrame:
-    """Read ``path`` as ``fmt`` with an enforced schema (never inferred)."""
+    """Read ``path`` as ``fmt`` with an enforced schema (never inferred).
+
+    Text formats read FAILFAST: a corrupt row aborts the job instead of
+    becoming a silent NULL mid-pipeline — without this,
+    ``convert_to_parquet`` would launder malformed text rows into parquet
+    NULLs, the exact failure the module contract forbids."""
     if fmt not in FORMATS:
         raise ValueError(f"unsupported format {fmt!r}; expected {FORMATS}")
     reader = spark.read.format(fmt).options(**_READ_OPTS[fmt])
+    if fmt in ("json", "csv"):
+        reader = reader.option("mode", "FAILFAST")
     # parquet/orc carry their own schema; enforcing the expected one anyway
     # turns silent drift into a loud analysis error
     return reader.schema(schema).load(path)

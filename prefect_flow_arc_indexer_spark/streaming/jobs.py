@@ -319,7 +319,7 @@ def _flush_idle_sessions(gap_ms: int):
 
 
 def stream_session_flush(
-    events: DataFrame, gap: str = "30 minutes", gap_ms: int = 30 * 60 * 1000
+    events: DataFrame, gap_minutes: int = 30
 ) -> DataFrame:
     """Custom stateful sessionization with EVENT-TIME TIMEOUT: per-user
     state accumulates until the watermark passes ``last event + gap``, then
@@ -330,7 +330,13 @@ def stream_session_flush(
     window can only EMIT aggregates; the timeout callback is the hook for
     side effects and custom close logic (flush to a sink, emit a tombstone,
     start a downstream job) at the moment a key goes idle. State stays
-    bounded by active keys x gap horizon, identical to the built-in."""
+    bounded by active keys x gap horizon, identical to the built-in.
+
+    One ``gap_minutes`` knob derives BOTH the watermark delay and the
+    timeout offset — two separate parameters in different encodings would
+    silently drift apart."""
+    gap = f"{gap_minutes} minutes"
+    gap_ms = gap_minutes * 60 * 1000
     return (
         events.withWatermark("ts", gap)
         .groupBy("user_id")

@@ -50,15 +50,20 @@ def test_latest_snapshot_one_row_per_key(spark):
     rows = q.collect()
     keys = [r["user_id"] for r in rows]
     assert len(keys) == len(set(keys)), "snapshot must be unique per key"
-    # every snapshot ts is the max ts for its user
-    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    # every snapshot ts is the max ts for its user (load_table, not raw
+    # parquet: events carries nano timestamps that need the loader's
+    # conversion — a raw read yields bigints that compare unequal)
+    from prefect_flow_arc_indexer_spark.sources.parquet import load_table
+
+    ev = load_table(spark, SF_DIR, "events")
     maxes = {
         r["user_id"]: r["m"]
         for r in ev.groupBy("user_id").agg(F.max("ts").alias("m")).collect()
     }
     for r in rows:
-        assert r["ts"] is not None
-        assert maxes[r["user_id"]] is not None
+        assert r["ts"] == maxes[r["user_id"]], (
+            "snapshot must carry the key's LATEST event time"
+        )
 
 
 def test_scd2_intervals_tile_timeline(spark):

@@ -1,24 +1,50 @@
+"""Inventory hygiene: the registry, the judge-facing SURVEY ledger, and the
+oracle SQL table references must stay in sync."""
+
+from __future__ import annotations
+
+import re
+
+from prefect_flow_arc_indexer_spark.plans import all_queries
+from prefect_flow_arc_indexer_spark.sources.parquet import TABLES
+
+
 def test_every_query_in_survey_ledger():
     """SURVEY.md §8 is the judge-facing inventory: every registered query
     must appear there (drift means an operator shipped undocumented)."""
-    import re
-
-    from prefect_flow_arc_indexer_spark.plans import all_queries
-
     survey = open("/root/repo/SURVEY.md").read()
     missing = [q for q in all_queries() if q not in survey]
     assert not missing, f"queries absent from SURVEY.md §8: {missing}"
 
 
 def test_every_oracle_references_known_tables():
-    """Oracle SQL may only reference the pre-registered driver views."""
-    import re
-
-    from prefect_flow_arc_indexer_spark.plans import all_queries
-    from prefect_flow_arc_indexer_spark.sources.parquet import TABLES
-
+    """Oracle SQL may only read the pre-registered driver views (or its own
+    CTEs) — a literal parquet path or an unknown table name would surface
+    later as an opaque DuckDB error in an unrelated parity run."""
+    ident = r"[A-Za-z_][A-Za-z0-9_.]*"
     for name, rq in all_queries().items():
         if rq.oracle is None:
             continue
-        for m in re.findall(r"FROM\s+'([^']+)'", rq.oracle):
-            assert False, f"{name}: oracle reads a literal path {m!r}"
+        assert not re.search(
+            r"FROM\s+'", rq.oracle
+        ), f"{name}: oracle reads a literal path"
+        # CTE names defined in this oracle are legal FROM targets
+        ctes = set(re.findall(rf"({ident})\s+AS\s*\(", rq.oracle))
+        ctes |= {"reach"}  # recursive CTE head (q_dedup_components)
+        # \b(?!\s*\() skips table functions like arg_max(...) — the word
+        # boundary stops the lookahead from backtracking into a shorter
+        # identifier prefix
+        froms = re.findall(
+            rf"\b(?:FROM|JOIN)\s+({ident})\b(?!\s*\()",
+            rq.oracle,
+            flags=re.IGNORECASE,
+        )
+        froms = [f for f in froms if f.upper() not in ("FROM", "JOIN")]
+        unknown = {
+            f
+            for f in froms
+            if f.split(".")[0] not in TABLES
+            and f.split(".")[0] not in ctes
+            and f.lower() not in ("generate_series", "unnest")
+        }
+        assert not unknown, f"{name}: oracle references unknown {unknown}"
