@@ -117,3 +117,39 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents", fan_out=True)
     stream = docs.select(F.explode(tokens(F.col("text"))).alias("token"))
     return heavy_hitters(stream)
+
+
+@register(
+    "q_hll_merge",
+    oracle=None,  # Datasketches HLL binary layout is engine-specific; the
+    # driver does a rows-only check and tests assert estimate tolerance
+    # against exact distinct counts
+    doc="mergeable HLL sketches (Apache DataSketches): per-segment "
+    "customer-key sketches built in one pass (hll_sketch_agg), then "
+    "UNIONED (hll_union_agg) into a global estimate WITHOUT rescanning — "
+    "the two-level pattern that lets 100 TB pipelines keep per-partition/"
+    "per-day sketches and answer any rollup by merging kilobyte sketches "
+    "instead of re-reading data. Output: per-segment estimate + exact, "
+    "plus one 'ALL' row whose estimate comes only from the merge",
+)
+def q_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    sketches = orders.groupBy("o_orderpriority").agg(
+        F.hll_sketch_agg("o_custkey").alias("sk"),
+        F.count_distinct("o_custkey").alias("exact_customers"),
+    )
+    per_seg = sketches.select(
+        F.col("o_orderpriority").alias("segment"),
+        F.hll_sketch_estimate("sk").alias("approx_customers"),
+        "exact_customers",
+    )
+    merged = sketches.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias(
+            "approx_customers"
+        ),
+    ).select(
+        F.lit("ALL").alias("segment"),
+        "approx_customers",
+        F.lit(None).cast("long").alias("exact_customers"),
+    )
+    return per_seg.unionByName(merged)

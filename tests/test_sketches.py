@@ -73,3 +73,34 @@ def test_q_heavy_hitters_registered_shape(spark):
     rows = df.collect()
     assert len(rows) == sketches.TOP_K
     assert df.columns == ["token", "est_count"]
+
+
+def test_hll_merge_estimates_within_tolerance(spark):
+    """Per-segment estimates within 5% of exact; the merged ALL estimate
+    within 5% of the global exact distinct (union must not double-count
+    customers appearing in several segments)."""
+    from pyspark.sql import functions as F
+
+    from prefect_flow_arc_indexer_spark.plans import all_queries
+    from prefect_flow_arc_indexer_spark.sources.parquet import load_table
+
+    rows = all_queries()["q_hll_merge"].builder(spark, SF_DIR).collect()
+    by_seg = {r["segment"]: r for r in rows}
+    orders = load_table(spark, SF_DIR, "orders")
+    for seg, r in by_seg.items():
+        if seg == "ALL":
+            continue
+        exact = r["exact_customers"]
+        assert abs(r["approx_customers"] - exact) <= max(0.05 * exact, 2), seg
+    global_exact = orders.select("o_custkey").distinct().count()
+    got = by_seg["ALL"]["approx_customers"]
+    assert abs(got - global_exact) <= max(0.05 * global_exact, 2)
+    # the union is over overlapping segments: a naive sum of per-segment
+    # estimates would be far above the global exact
+    naive_sum = sum(
+        r["approx_customers"] for s, r in by_seg.items() if s != "ALL"
+    )
+    assert naive_sum > 1.5 * global_exact, (
+        "fixture should have heavy cross-segment overlap for this test "
+        "to be meaningful"
+    )
