@@ -277,10 +277,10 @@ def resize_media(media: DataFrame) -> DataFrame:
     oracle=f"""SELECT doc_id,
        length(text) AS n_bytes,
        (length(text) + {RESIZE_STRIDE - 1}) // {RESIZE_STRIDE} AS resized_bytes,
-       coalesce(list_aggregate(
+       CAST(coalesce(list_aggregate(
            list_transform(generate_series(1, length(text), {RESIZE_STRIDE}),
                           i -> ascii(substr(text, i, 1))),
-           'sum'), 0) % 1000000000 AS checksum
+           'sum'), 0) % 1000000000 AS BIGINT) AS checksum
   FROM documents WHERE doc_id % 3 = 0 AND text IS NOT NULL
    AND regexp_matches(text, '^[\\x00-\\x7f]*$')
 """,

@@ -408,10 +408,13 @@ def q_window_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
+    q = F.percentile_approx("l_extendedprice", [0.25, 0.5, 0.75], 10000)
+    # scalar columns only: the driver's comparator sorts raw result cells
+    # and an ndarray cell is unhashable (r2 harness crash on q_embed_quantize)
     return li.groupBy("l_returnflag").agg(
-        F.percentile_approx(
-            "l_extendedprice", [0.25, 0.5, 0.75], 10000
-        ).alias("approx_quartiles"),
+        q.getItem(0).alias("approx_p25"),
+        q.getItem(1).alias("approx_p50"),
+        q.getItem(2).alias("approx_p75"),
         F.percentile("l_extendedprice", F.lit(0.5)).alias("exact_median"),
         F.count("*").alias("n"),
     )

@@ -112,16 +112,17 @@ activity AS (
          CAST(date_trunc('week', e.ts) AS DATE) AS active_week
     FROM events e JOIN firsts f ON f.user_id = e.user_id
 )
-SELECT cohort_week,
+SELECT strftime(cohort_week, '%Y-%m-%d') AS cohort_week,
        CAST(datediff('day', cohort_week, active_week) / 7 AS BIGINT)
          AS week_offset,
        count(*) AS n_active_users
   FROM activity
- GROUP BY cohort_week, week_offset
+ GROUP BY 1, 2
 """,
     doc="weekly cohort retention: cohort = week of first event, one cell "
     "per (cohort, week offset) with active-user counts — one scan, two "
-    "user-keyed shuffles, tiny |weeks|^2 output",
+    "user-keyed shuffles, tiny |weeks|^2 output; cohort_week surfaced as "
+    "ISO string for pandas-path date parity",
 )
 def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
@@ -138,7 +139,7 @@ def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return activity.groupBy(
-        "cohort_week",
+        F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
         (F.datediff("active_week", "cohort_week") / 7)
         .cast("long")
         .alias("week_offset"),

@@ -141,14 +141,17 @@ daily AS (
     FROM orders
    GROUP BY 1
 )
-SELECT s.day,
+SELECT strftime(s.day, '%Y-%m-%d') AS day,
        coalesce(d.revenue, 0.0) AS revenue,
        coalesce(d.n_orders, 0) AS n_orders
   FROM spine s LEFT JOIN daily d ON s.day = d.day
 """,
     doc="date densification: sequence()+explode day spine from the 1-row "
     "min/max bounds, left-joined to the daily aggregate, gaps zero-filled "
-    "— spine side broadcasts, only shuffle is the bounded daily groupBy",
+    "— spine side broadcasts, only shuffle is the bounded daily groupBy. "
+    "day is surfaced as an ISO string: pandas-path harnesses turn DuckDB "
+    "DATE into datetime64 ('… 00:00:00') but Spark DATE into date objects, "
+    "splitting the hash on otherwise-equal values",
 )
 def q_calendar_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
@@ -170,7 +173,7 @@ def q_calendar_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_orders"),
     )
     return spine.join(daily, "day", "left").select(
-        "day",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
         F.coalesce("revenue", F.lit(0.0)).alias("revenue"),
         F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
     )
@@ -186,7 +189,7 @@ def q_calendar_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM orders
    GROUP BY 1, 2
 )
-SELECT day,
+SELECT strftime(day, '%Y-%m-%d') AS day,
        CAST(rev AS DOUBLE) AS revenue,
        CAST(sum(rev) OVER (ORDER BY day_num
                            RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
@@ -196,7 +199,7 @@ SELECT day,
     doc="trailing 7-day revenue: RANGE frame on integer day numbers so "
     "calendar gaps widen the frame instead of sliding past it; DECIMAL "
     "through the rolling sum (association-order-proof), cast double at "
-    "the edge",
+    "the edge; day surfaced as ISO string for pandas-path date parity",
 )
 def q_rolling_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
@@ -208,7 +211,7 @@ def q_rolling_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev"))
     w = Window.orderBy("day_num").rangeBetween(-6, Window.currentRow)
     return daily.select(
-        "day",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
         F.col("rev").cast("double").alias("revenue"),
         F.sum("rev").over(w).cast("double").alias("rolling_7d"),
     )

@@ -305,7 +305,7 @@ def q_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT "index",
        count(*) AS n_docs,
        count(TRY_CAST(json_extract_string(document, '$.k') AS BIGINT)) AS n_with_k,
-       sum(TRY_CAST(json_extract_string(document, '$.k') AS BIGINT)) AS sum_k,
+       CAST(sum(TRY_CAST(json_extract_string(document, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
        max(TRY_CAST(json_extract_string(document, '$.k') AS BIGINT)) AS max_k
   FROM index_documents
  GROUP BY "index"

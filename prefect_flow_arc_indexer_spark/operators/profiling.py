@@ -89,14 +89,15 @@ def q_regex_features(spark: SparkSession, sf_dir: str) -> DataFrame:
        month(o_orderdate) AS mon,
        dayofmonth(o_orderdate) AS dom,
        dayofweek(o_orderdate) + 1 AS dow,
-       CAST(last_day(CAST(o_orderdate AS DATE)) AS DATE) AS month_end,
-       CAST(o_orderdate AS DATE) + 30 AS due_date,
-       CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start
+       strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end,
+       strftime(CAST(o_orderdate AS DATE) + 30, '%Y-%m-%d') AS due_date,
+       strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start
   FROM orders
 """,
     doc="calendar feature extraction: year/quarter/month/day parts, "
     "day-of-week (Spark 1=Sunday; oracle shifts DuckDB's 0-based), "
-    "last_day, fixed-offset due date, month truncation — pure projection",
+    "last_day, fixed-offset due date, month truncation — pure projection; "
+    "date outputs surfaced as ISO strings for pandas-path date parity",
 )
 def q_date_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
@@ -108,9 +109,13 @@ def q_date_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.month("o_orderdate").alias("mon"),
         F.dayofmonth("o_orderdate").alias("dom"),
         F.dayofweek("o_orderdate").alias("dow"),
-        F.last_day("o_orderdate").alias("month_end"),
-        F.date_add(d, 30).alias("due_date"),
-        F.to_date(F.date_trunc("month", "o_orderdate")).alias("month_start"),
+        F.date_format(F.last_day("o_orderdate"), "yyyy-MM-dd").alias(
+            "month_end"
+        ),
+        F.date_format(F.date_add(d, 30), "yyyy-MM-dd").alias("due_date"),
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias(
+            "month_start"
+        ),
     )
 
 
@@ -118,7 +123,8 @@ def q_date_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_array_profile",
     oracle="""SELECT source,
        count(*) AS n_docs,
-       coalesce(list_sort(list(DISTINCT lang) FILTER (lang IS NOT NULL)), [])
+       coalesce(array_to_string(
+         list_sort(list(DISTINCT lang) FILTER (lang IS NOT NULL)), ','), '')
          AS langs,
        coalesce(list_sort(list(DISTINCT lang) FILTER (lang IS NOT NULL)), [])[1]
          AS first_lang,
@@ -133,14 +139,16 @@ def q_date_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     "engines (Spark collect_set drops NULLs; DuckDB list() keeps them — "
     "the FILTER + coalesce aligns the all-NULL group to an empty array), "
     "and first_lang uses try_element_at so an empty set yields NULL "
-    "instead of an ANSI index error",
+    "instead of an ANSI index error. The set is surfaced comma-joined "
+    "(scalar) because the driver's comparator sorts raw cells and ndarray "
+    "cells are unhashable",
 )
 def q_array_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     langs = F.array_sort(F.collect_set("lang"))
     return docs.groupBy("source").agg(
         F.count("*").alias("n_docs"),
-        langs.alias("langs"),
+        F.array_join(langs, ",").alias("langs"),
         F.try_element_at(langs, F.lit(1)).alias("first_lang"),
         F.size(langs).alias("n_langs"),
     )

@@ -87,7 +87,7 @@ def q_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 SELECT source,
        count(*) AS total_docs,
-       sum(keep) AS sampled_docs
+       CAST(sum(keep) AS BIGINT) AS sampled_docs
   FROM marked GROUP BY source
 """,
     doc=f"deterministic {SAMPLE_PCT}%-per-stratum sample over source strata "

@@ -544,7 +544,11 @@ def q_embed_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 SELECT vec_id,
        round(scale, 6) AS scale_r,
-       list_transform(emb, x -> CAST(round(x * scale) AS INTEGER)) AS q8,
+       array_to_string(list_transform(emb, x -> CAST(round(x * scale) AS INTEGER)), ',') AS q8,
+       CAST(list_aggregate(
+           list_transform(list_zip(emb, range(1, len(emb) + 1)),
+                          p -> CAST(round(p[1] * scale) AS BIGINT) * p[2]),
+           'sum') AS BIGINT) AS q8_checksum,
        round(list_aggregate(
            list_transform(emb, x -> (x - round(x * scale) / scale)
                                   * (x - round(x * scale) / scale)),
@@ -558,7 +562,11 @@ SELECT vec_id,
     "it in the transform would re-reduce the array per element, O(d^2)); "
     "Spark round() and DuckDB round() both use half-away-from-zero, and "
     "the fold order is left-to-right in both engines, so quantized codes "
-    "AND the error sum match bit-exactly before the final rounding",
+    "AND the error sum match bit-exactly before the final rounding. The "
+    "code vector is surfaced as a comma-joined STRING plus a "
+    "position-weighted BIGINT checksum, not a raw array column: the "
+    "driver's comparator sorts raw result values and ndarray cells are "
+    "unhashable (r2 harness crash); scalars certify the same bits",
 )
 def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings", fan_out=True)
@@ -573,6 +581,15 @@ def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     s = F.col("scale")
     q = F.transform(F.col("emb"), lambda x: F.round(x * s).cast("int"))
+    checksum = F.aggregate(
+        F.zip_with(
+            q.cast("array<bigint>"),
+            F.sequence(F.lit(1), F.size("emb")).cast("array<bigint>"),
+            lambda c, i: c * i,
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
     err = F.aggregate(
         F.transform(
             F.col("emb"),
@@ -584,6 +601,7 @@ def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scaled.select(
         "vec_id",
         F.round(s, 6).alias("scale_r"),
-        q.alias("q8"),
+        F.array_join(q.cast("array<string>"), ",").alias("q8"),
+        checksum.alias("q8_checksum"),
         F.round(err / F.size("emb") * 1e6, 6).alias("mse_ppm"),
     )

@@ -159,7 +159,7 @@ scored AS (
        {hits}
     FROM toks
 )
-SELECT doc_id, {case} AS predicted_lang, {best} AS best_hits
+SELECT doc_id, {case} AS predicted_lang, CAST({best} AS BIGINT) AS best_hits
   FROM scored
 """
 

@@ -293,7 +293,7 @@ per_doc AS (
 )
 SELECT term,
        count(*) AS doc_freq,
-       sum(cnt) AS occurrences,
+       CAST(sum(cnt) AS BIGINT) AS occurrences,
        array_to_string(list_slice(list(doc_id ORDER BY doc_id), 1, {POSTING_PREVIEW}), ',') AS posting_preview
   FROM per_doc
  GROUP BY term

@@ -96,7 +96,7 @@ def test_calendar_spine_dense(spark):
         .orderBy("day")
         .collect()
     )
-    days = [r["day"] for r in rows]
+    days = [datetime.date.fromisoformat(r["day"]) for r in rows]
     assert (days[-1] - days[0]).days + 1 == len(days), "spine must be gapless"
     assert all(
         (b - a).days == 1 for a, b in zip(days, days[1:])
@@ -153,7 +153,8 @@ def test_approx_percentiles_within_tolerance(spark):
             .collect()
         )
         slack = max(2, 2 * n // 10000)
-        for q, approx in zip((0.25, 0.5, 0.75), r["approx_quartiles"]):
+        quartiles = (r["approx_p25"], r["approx_p50"], r["approx_p75"])
+        for q, approx in zip((0.25, 0.5, 0.75), quartiles):
             rank = int(q * (n - 1))
             lo = vals[max(0, rank - slack)]
             hi = vals[min(n - 1, rank + slack)]
