@@ -1,0 +1,649 @@
+"""Corpus-quality / training-data-prep operators (north-star extension
+surface, ABSENT in the reference — SURVEY §7 Phase 4 family).
+
+These are the remaining pieces of the standard LLM-corpus pipeline around
+the dedup/text-analysis operators that already exist:
+
+- `q_bm25`: BM25 term-document ranking — the Spark-owned analog of the
+  QUERY side of the reference's Elasticsearch sink (ES's default relevance
+  function is BM25; the reference delegates scoring to ES at
+  flows/main_flow.py:413 the same way it delegates inverted-index builds).
+- `q_gopher_rules`: composite Gopher-style quality filter — the
+  keep/drop verdict plus the first failed rule per document.
+- `q_ks_drift` / `q_psi_drift`: distribution-drift monitors between the
+  deterministic train/holdout splits (two-sample Kolmogorov-Smirnov
+  statistic; population-stability index over fixed bins) — the checks a
+  pipeline runs before accepting a new crawl snapshot into training.
+- `q_winsorize`: per-language p05/p95 winsorization of a length feature —
+  robust-preprocessing companion to q_mad.
+- `q_cooccurrence`: within-document term co-occurrence with PMI — the
+  embedding-training / phrase-mining prep aggregate.
+- `q_pack_sequences`: greedy document->context-window packing map
+  (pack id + offset per doc) — the batch-assembly step of LLM training.
+- `q_reservoir_sample`: deterministic k-per-stratum uniform sample
+  (hash-ordered "reservoir") — exact-k companion to the percentage-based
+  q_stratified_sample.
+
+Scale notes are per-operator; the common theme is that every aggregate
+here shuffles SUMMARIES (per-term, per-bin, per-group rows), never raw
+text, and every per-row decision is a scan-side projection.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
+
+from prefect_flow_arc_indexer_spark.functions.hashing import (
+    dd_stable_hash,
+    stable_hash,
+)
+from prefect_flow_arc_indexer_spark.functions.textfns import (
+    STOPWORDS,
+    dd_tokens,
+    tokens,
+)
+from prefect_flow_arc_indexer_spark.operators.sampling import (
+    TRAIN_PCT,
+    SPLIT_SALT,
+    _dd_bucket,
+    split_bucket,
+)
+from prefect_flow_arc_indexer_spark.plans.registry import register
+from prefect_flow_arc_indexer_spark.sources.parquet import load_table
+
+# BM25 constants (the Lucene/ES defaults — the reference's sink scores with
+# exactly these via ES's default similarity)
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOP_K = 10
+
+_TOKS_CTE = f"""toks AS (
+  SELECT doc_id, {dd_tokens("text")} AS tok
+    FROM documents WHERE text IS NOT NULL
+)"""
+
+
+def _toks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "documents", fan_out=True)
+        .where(F.col("text").isNotNull())
+        .select("doc_id", tokens(F.col("text")).alias("tok"))
+    )
+
+
+# --------------------------------------------------------------------------
+# BM25 ranking
+# --------------------------------------------------------------------------
+@register(
+    "q_bm25",
+    oracle=f"""WITH {_TOKS_CTE},
+dl AS (SELECT doc_id, len(tok) AS dl FROM toks),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+tf AS (
+  SELECT doc_id, t.term, count(*) AS tf
+    FROM toks, unnest(tok) AS t(term) GROUP BY doc_id, t.term
+),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.term, tf.doc_id, tf.tf,
+         round(ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+               * tf.tf * ({BM25_K1} + 1)
+               / (tf.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * d.dl / s.avgdl)),
+               6) AS bm25
+    FROM tf
+    JOIN df USING (term)
+    JOIN dl d USING (doc_id)
+    CROSS JOIN stats s
+)
+SELECT term, doc_id, tf, bm25, rk FROM (
+  SELECT *, row_number() OVER (PARTITION BY term
+                               ORDER BY bm25 DESC, doc_id ASC) AS rk
+    FROM scored
+) WHERE rk <= {BM25_TOP_K}
+""",
+    doc="BM25 term-document ranking (Lucene/ES defaults k1=1.2 b=0.75, the "
+    "scoring the reference delegates to its ES sink): tf and doc-length "
+    "from one tokenize pass, df from the per-term rollup of the SAME tf "
+    "aggregate (no second corpus scan), the 2-row stats side broadcast; "
+    f"top-{BM25_TOP_K} docs per term via a per-term window. Ranking "
+    "compares the 6dp-ROUNDED score (both engines), so rank order can "
+    "never diverge on a last-ulp ln() difference. At 100 TB the only "
+    "full-corpus shuffle is the (doc,term) tf aggregate — partial "
+    "aggregation compresses it map-side; everything after is per-term "
+    "summary traffic",
+)
+def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _toks(spark, sf_dir)
+    dl = t.select("doc_id", F.size("tok").alias("dl"))
+    stats = dl.agg(
+        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    tf = (
+        t.select("doc_id", F.explode("tok").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    norm = F.col("tf") + BM25_K1 * (
+        1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl")
+    )
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "term",
+            "doc_id",
+            "tf",
+            F.round(idf * F.col("tf") * (BM25_K1 + 1) / norm, 6).alias("bm25"),
+        )
+    )
+    w = Window.partitionBy("term").orderBy(
+        F.col("bm25").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= BM25_TOP_K)
+    )
+
+
+# --------------------------------------------------------------------------
+# Gopher-style composite quality filter
+# --------------------------------------------------------------------------
+_EN_STOP = STOPWORDS["en"]
+GOPHER_MIN_TOKENS = 50
+GOPHER_MAX_TOKENS = 100_000
+GOPHER_MIN_WORD_LEN = 3.0
+GOPHER_MAX_WORD_LEN = 10.0
+GOPHER_MAX_SYMBOL_RATIO = 0.1
+GOPHER_MIN_STOP_HITS = 2
+
+
+@register(
+    "q_gopher_rules",
+    oracle=f"""WITH {_TOKS_CTE},
+sig AS (
+  SELECT doc_id,
+         len(tok) AS n_tokens,
+         CAST(coalesce(list_aggregate(list_transform(tok, t -> length(t)), 'sum'), 0) AS DOUBLE)
+           / greatest(len(tok), 1) AS mean_word_len,
+         CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+           / greatest(length(text), 1) AS symbol_ratio,
+         len(list_filter(tok, t -> list_contains({list(_EN_STOP)!r}, t))) AS stop_hits
+    FROM toks JOIN documents USING (doc_id)
+)
+SELECT doc_id, n_tokens, round(mean_word_len, 4) AS mean_word_len,
+       round(symbol_ratio, 4) AS symbol_ratio, stop_hits,
+       CASE
+         WHEN n_tokens < {GOPHER_MIN_TOKENS} OR n_tokens > {GOPHER_MAX_TOKENS} THEN 'n_tokens'
+         WHEN mean_word_len < {GOPHER_MIN_WORD_LEN} OR mean_word_len > {GOPHER_MAX_WORD_LEN} THEN 'word_len'
+         WHEN symbol_ratio > {GOPHER_MAX_SYMBOL_RATIO} THEN 'symbol_ratio'
+         WHEN stop_hits < {GOPHER_MIN_STOP_HITS} THEN 'stopwords'
+         ELSE NULL
+       END AS fail_reason,
+       (n_tokens >= {GOPHER_MIN_TOKENS} AND n_tokens <= {GOPHER_MAX_TOKENS}
+        AND mean_word_len >= {GOPHER_MIN_WORD_LEN} AND mean_word_len <= {GOPHER_MAX_WORD_LEN}
+        AND symbol_ratio <= {GOPHER_MAX_SYMBOL_RATIO}
+        AND stop_hits >= {GOPHER_MIN_STOP_HITS}) AS keep
+  FROM sig
+""",
+    doc="composite Gopher-style quality filter (Rae et al. 2021 rule "
+    "family): token-count bounds, mean-word-length band, symbol ratio, "
+    "minimum stopword hits — each signal row-local over one token "
+    "projection, combined into a keep verdict plus the FIRST failed rule "
+    "(the triage field a curation dashboard aggregates). Pure scan-side "
+    "projection: zero shuffles at any scale. Ratio signals rounded 4dp in "
+    "the OUTPUT only; rule thresholds compare the raw values, which are "
+    "exact integer/length arithmetic on both engines",
+)
+def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = (
+        load_table(spark, sf_dir, "documents", fan_out=True)
+        .where(F.col("text").isNotNull())
+        .withColumn("tok", tokens(F.col("text")))
+    )
+    tok = F.col("tok")
+    n_tokens = F.size(tok)
+    char_sum = F.aggregate(
+        F.transform(tok, lambda t: F.length(t)), F.lit(0), lambda a, v: a + v
+    )
+    mean_word_len = char_sum.cast("double") / F.greatest(n_tokens, F.lit(1))
+    symbol_ratio = F.length(
+        F.regexp_replace("text", r"[A-Za-z0-9\s]", "")
+    ).cast("double") / F.greatest(F.length("text"), F.lit(1))
+    stop_hits = F.size(
+        F.filter(
+            tok,
+            lambda t: t.isin(*_EN_STOP),
+        )
+    )
+    sig = docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        mean_word_len.alias("mean_word_len"),
+        symbol_ratio.alias("symbol_ratio"),
+        stop_hits.alias("stop_hits"),
+    )
+    nt, mw, sr, sh = (
+        F.col("n_tokens"),
+        F.col("mean_word_len"),
+        F.col("symbol_ratio"),
+        F.col("stop_hits"),
+    )
+    fail = (
+        F.when(
+            (nt < GOPHER_MIN_TOKENS) | (nt > GOPHER_MAX_TOKENS),
+            F.lit("n_tokens"),
+        )
+        .when(
+            (mw < GOPHER_MIN_WORD_LEN) | (mw > GOPHER_MAX_WORD_LEN),
+            F.lit("word_len"),
+        )
+        .when(sr > GOPHER_MAX_SYMBOL_RATIO, F.lit("symbol_ratio"))
+        .when(sh < GOPHER_MIN_STOP_HITS, F.lit("stopwords"))
+    )
+    keep = (
+        (nt >= GOPHER_MIN_TOKENS)
+        & (nt <= GOPHER_MAX_TOKENS)
+        & (mw >= GOPHER_MIN_WORD_LEN)
+        & (mw <= GOPHER_MAX_WORD_LEN)
+        & (sr <= GOPHER_MAX_SYMBOL_RATIO)
+        & (sh >= GOPHER_MIN_STOP_HITS)
+    )
+    return sig.select(
+        "doc_id",
+        "n_tokens",
+        F.round(mw, 4).alias("mean_word_len"),
+        F.round(sr, 4).alias("symbol_ratio"),
+        "stop_hits",
+        fail.alias("fail_reason"),
+        keep.alias("keep"),
+    )
+
+
+# --------------------------------------------------------------------------
+# split drift: two-sample KS statistic
+# --------------------------------------------------------------------------
+_DD_MARKED = f"""marked AS (
+  SELECT n_chars,
+         CASE WHEN {_dd_bucket(SPLIT_SALT)} < {TRAIN_PCT} THEN 1 ELSE 0 END AS is_train
+    FROM documents WHERE n_chars IS NOT NULL
+)"""
+
+
+def _marked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("n_chars").isNotNull()
+    )
+    return docs.select(
+        "n_chars",
+        (split_bucket(F.col("doc_id"), SPLIT_SALT) < TRAIN_PCT)
+        .cast("int")
+        .alias("is_train"),
+    )
+
+
+@register(
+    "q_ks_drift",
+    oracle=f"""WITH {_DD_MARKED},
+per_v AS (
+  SELECT n_chars AS v,
+         CAST(sum(is_train) AS BIGINT) AS ca,
+         CAST(sum(1 - is_train) AS BIGINT) AS cb
+    FROM marked GROUP BY n_chars
+),
+tot AS (
+  SELECT CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT) AS nb
+    FROM per_v
+),
+cum AS (
+  SELECT CAST(sum(ca) OVER (ORDER BY v) AS BIGINT) AS cum_a,
+         CAST(sum(cb) OVER (ORDER BY v) AS BIGINT) AS cum_b
+    FROM per_v
+)
+SELECT t.na AS n_train, t.nb AS n_holdout,
+       max(round(abs(CAST(c.cum_a AS DOUBLE) / t.na
+                     - CAST(c.cum_b AS DOUBLE) / t.nb), 6)) AS ks_stat
+  FROM cum c CROSS JOIN tot t
+ GROUP BY t.na, t.nb
+""",
+    doc="two-sample Kolmogorov-Smirnov drift statistic between the "
+    "deterministic train/holdout splits on the n_chars feature: "
+    "D = max |ECDF_train - ECDF_holdout|, computed from per-value counts "
+    "(one bounded-cardinality aggregate) and a cumulative window over the "
+    "sorted distinct values. Every cum/total ratio is exact-integer-"
+    "derived, so the statistic is bit-stable; the abs difference is "
+    "rounded BEFORE max so both engines rank identical values. The "
+    "single-partition cumulative window runs over |distinct feature "
+    "values| rows, not corpus rows — at 100 TB you'd pre-bin a continuous "
+    "feature to keep that bounded (q_psi_drift is exactly that shape)",
+)
+def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    per_v = (
+        _marked(spark, sf_dir)
+        .groupBy(F.col("n_chars").alias("v"))
+        .agg(
+            F.sum("is_train").alias("ca"),
+            F.sum(1 - F.col("is_train")).alias("cb"),
+        )
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = per_v.select(
+        F.sum("ca").over(w).alias("cum_a"),
+        F.sum("cb").over(w).alias("cum_b"),
+    )
+    tot = per_v.agg(
+        F.sum("ca").alias("na"), F.sum("cb").alias("nb")
+    )
+    diff = F.round(
+        F.abs(
+            F.col("cum_a").cast("double") / F.col("na")
+            - F.col("cum_b").cast("double") / F.col("nb")
+        ),
+        6,
+    )
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .groupBy(F.col("na").alias("n_train"), F.col("nb").alias("n_holdout"))
+        .agg(F.max(diff).alias("ks_stat"))
+    )
+
+
+# --------------------------------------------------------------------------
+# split drift: population stability index over fixed bins
+# --------------------------------------------------------------------------
+PSI_BINS = 10
+
+
+@register(
+    "q_psi_drift",
+    oracle=f"""WITH {_DD_MARKED},
+bounds AS (SELECT min(n_chars) AS lo, max(n_chars) AS hi FROM marked),
+binned AS (
+  SELECT least({PSI_BINS - 1},
+               ((m.n_chars - b.lo) * {PSI_BINS}) // (b.hi - b.lo + 1)) AS bin,
+         m.is_train
+    FROM marked m CROSS JOIN bounds b
+),
+per_bin AS (
+  SELECT bin,
+         CAST(sum(is_train) AS BIGINT) AS ca,
+         CAST(sum(1 - is_train) AS BIGINT) AS cb
+    FROM binned GROUP BY bin
+),
+tot AS (
+  SELECT CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT) AS nb
+    FROM per_bin
+)
+SELECT p.bin, p.ca AS n_train, p.cb AS n_holdout,
+       round(((p.ca + 0.5) / (t.na + {PSI_BINS} * 0.5)
+              - (p.cb + 0.5) / (t.nb + {PSI_BINS} * 0.5))
+             * ln(((p.ca + 0.5) / (t.na + {PSI_BINS} * 0.5))
+                  / ((p.cb + 0.5) / (t.nb + {PSI_BINS} * 0.5))), 6)
+         AS psi_term
+  FROM per_bin p CROSS JOIN tot t
+""",
+    doc="population-stability-index drift monitor between the train/holdout "
+    f"splits: {PSI_BINS} equal-width bins over the global n_chars range "
+    "(integer bin arithmetic, exact on both engines), per-bin "
+    "(p_a - p_b) * ln(p_a / p_b) contributions with Laplace smoothing "
+    "(+0.5 per bin) so empty bins never divide by zero; sum of psi_term "
+    "is the PSI. Bin assignment is a scan-side projection against a "
+    "broadcast 1-row bounds frame; only per-bin summaries shuffle — the "
+    "bounded-cardinality companion to q_ks_drift at 100 TB",
+)
+def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    marked = _marked(spark, sf_dir)
+    bounds = marked.agg(
+        F.min("n_chars").alias("lo"), F.max("n_chars").alias("hi")
+    )
+    binned = marked.crossJoin(F.broadcast(bounds)).select(
+        F.least(
+            F.lit(PSI_BINS - 1),
+            F.expr(f"((n_chars - lo) * {PSI_BINS}) div (hi - lo + 1)"),
+        ).alias("bin"),
+        "is_train",
+    )
+    per_bin = binned.groupBy("bin").agg(
+        F.sum("is_train").alias("ca"),
+        F.sum(1 - F.col("is_train")).alias("cb"),
+    )
+    tot = per_bin.agg(F.sum("ca").alias("na"), F.sum("cb").alias("nb"))
+    pa = (F.col("ca") + 0.5) / (F.col("na") + PSI_BINS * 0.5)
+    pb = (F.col("cb") + 0.5) / (F.col("nb") + PSI_BINS * 0.5)
+    return per_bin.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        F.col("ca").alias("n_train"),
+        F.col("cb").alias("n_holdout"),
+        F.round((pa - pb) * F.log(pa / pb), 6).alias("psi_term"),
+    )
+
+
+# --------------------------------------------------------------------------
+# winsorization
+# --------------------------------------------------------------------------
+WINSOR_LO = 0.05
+WINSOR_HI = 0.95
+
+
+@register(
+    "q_winsorize",
+    oracle=f"""WITH q AS (
+  SELECT lang,
+         quantile_cont(n_chars, {WINSOR_LO}) AS p05,
+         quantile_cont(n_chars, {WINSOR_HI}) AS p95
+    FROM documents GROUP BY lang
+)
+SELECT d.lang,
+       round(any_value(q.p05), 4) AS p05,
+       round(any_value(q.p95), 4) AS p95,
+       count(*) AS n,
+       round(avg(CAST(d.n_chars AS DOUBLE)), 4) AS mean_raw,
+       round(avg(least(greatest(CAST(d.n_chars AS DOUBLE), q.p05), q.p95)), 4)
+         AS mean_winsorized
+  FROM documents d JOIN q USING (lang)
+ GROUP BY d.lang
+""",
+    doc="per-language winsorization of the n_chars feature: exact "
+    "p05/p95 per group (companion pass to q_mad's median), values clipped "
+    "into [p05, p95], mean before/after — the robust-preprocessing step "
+    "that tames heavy-tailed length features before normalization. Two "
+    "same-key passes; the tiny per-lang quantile frame broadcasts back "
+    "onto the fact scan. Means rounded 4dp (float sum order across "
+    "partitions is the only nondeterminism; at 4dp over 1e3-row groups "
+    "the bound is ~1e-9 relative, far inside the rounding)",
+)
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("lang", "n_chars")
+    q = docs.groupBy("lang").agg(
+        F.percentile("n_chars", WINSOR_LO).alias("p05"),
+        F.percentile("n_chars", WINSOR_HI).alias("p95"),
+    )
+    v = F.col("n_chars").cast("double")
+    clipped = F.least(F.greatest(v, F.col("p05")), F.col("p95"))
+    return (
+        docs.join(F.broadcast(q), "lang")
+        .groupBy("lang")
+        .agg(
+            F.round(F.any_value("p05"), 4).alias("p05"),
+            F.round(F.any_value("p95"), 4).alias("p95"),
+            F.count("*").alias("n"),
+            F.round(F.avg(v), 4).alias("mean_raw"),
+            F.round(F.avg(clipped), 4).alias("mean_winsorized"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# term co-occurrence + PMI
+# --------------------------------------------------------------------------
+COOCCUR_MIN_PAIRS = 5
+
+
+@register(
+    "q_cooccurrence",
+    oracle=f"""WITH {_TOKS_CTE},
+words AS (
+  SELECT DISTINCT doc_id, t.term FROM toks, unnest(tok) AS t(term)
+),
+n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM words),
+df AS (SELECT term, count(*) AS df FROM words GROUP BY term),
+pairs AS (
+  SELECT a.term AS term_a, b.term AS term_b, count(*) AS n_pair
+    FROM words a JOIN words b
+      ON a.doc_id = b.doc_id AND a.term < b.term
+   GROUP BY a.term, b.term
+)
+SELECT p.term_a, p.term_b, p.n_pair,
+       round(ln(CAST(p.n_pair AS DOUBLE) * n.n_docs
+                / (CAST(da.df AS DOUBLE) * db.df)), 6) AS pmi
+  FROM pairs p
+  JOIN df da ON da.term = p.term_a
+  JOIN df db ON db.term = p.term_b
+  CROSS JOIN n
+ WHERE p.n_pair >= {COOCCUR_MIN_PAIRS}
+""",
+    doc="within-document term co-occurrence with pointwise mutual "
+    "information (phrase-mining / embedding-prep aggregate): distinct "
+    "terms per doc, ordered pairs generated BUCKET-LOCALLY from each "
+    "doc's sorted term set (array combinatorics inside codegen — the "
+    "lsh_candidate_pairs pattern — instead of the oracle's doc-keyed "
+    "self-join, which would shuffle the word stream twice), then one "
+    "per-pair count whose cardinality is bounded by vocab^2, not corpus "
+    "size; document frequencies broadcast back onto the pair set. "
+    f"Pairs below {COOCCUR_MIN_PAIRS} occurrences are dropped",
+)
+def q_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _toks(spark, sf_dir)
+    words = t.select(
+        "doc_id", F.explode("tok").alias("term")
+    ).distinct()
+    n = words.agg(F.count_distinct("doc_id").alias("n_docs"))
+    df = words.groupBy("term").agg(F.count("*").alias("df"))
+    per_doc = words.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("term")).alias("terms")
+    )
+    pair_expr = F.expr(
+        "flatten(transform(terms, (x, i) -> "
+        "transform(slice(terms, i + 2, size(terms) - i - 1), "
+        "y -> struct(x AS term_a, y AS term_b))))"
+    )
+    pairs = (
+        per_doc.select(F.explode(pair_expr).alias("p"))
+        .groupBy("p.term_a", "p.term_b")
+        .agg(F.count("*").alias("n_pair"))
+        .where(F.col("n_pair") >= COOCCUR_MIN_PAIRS)
+    )
+    pmi = F.log(
+        F.col("n_pair").cast("double")
+        * F.col("n_docs")
+        / (F.col("da_df").cast("double") * F.col("db_df"))
+    )
+    return (
+        pairs.join(
+            F.broadcast(df.select(F.col("term").alias("term_a"),
+                                  F.col("df").alias("da_df"))),
+            "term_a",
+        )
+        .join(
+            F.broadcast(df.select(F.col("term").alias("term_b"),
+                                  F.col("df").alias("db_df"))),
+            "term_b",
+        )
+        .crossJoin(F.broadcast(n))
+        .select(
+            "term_a", "term_b", "n_pair", F.round(pmi, 6).alias("pmi")
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# sequence packing
+# --------------------------------------------------------------------------
+PACK_CONTEXT = 512
+
+
+@register(
+    "q_pack_sequences",
+    oracle=f"""WITH {_TOKS_CTE},
+t AS (SELECT doc_id, len(tok) AS n_tokens FROM toks)
+SELECT doc_id, n_tokens,
+       CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS BIGINT) // {PACK_CONTEXT} AS pack_id,
+       CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS BIGINT) % {PACK_CONTEXT} AS pack_offset
+  FROM t
+""",
+    doc=f"document->context-window packing map ({PACK_CONTEXT}-token "
+    "windows): docs concatenated in doc_id order, each doc assigned the "
+    "pack where its first token lands plus its offset — the deterministic "
+    "batch-assembly step of LLM training (GPT-style streaming concat). "
+    "Exact integer window arithmetic. The global-order cumulative window "
+    "is the DETERMINISM CONTRACT of this operator, so it is inherently "
+    "single-ordered; at 100 TB packing runs per shard (partitionBy on a "
+    "shard key) with the same code, which is how production packers keep "
+    "it parallel",
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _toks(spark, sf_dir).select(
+        "doc_id", F.size("tok").alias("n_tokens")
+    )
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
+    start = F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("bigint")
+    return t.select(
+        "doc_id", "n_tokens", start.alias("_start")
+    ).select(
+        "doc_id",
+        "n_tokens",
+        F.expr(f"_start div {PACK_CONTEXT}").alias("pack_id"),
+        (F.col("_start") % PACK_CONTEXT).alias("pack_offset"),
+    )
+
+
+# --------------------------------------------------------------------------
+# deterministic k-per-stratum reservoir sample
+# --------------------------------------------------------------------------
+RESERVOIR_K = 5
+RESERVOIR_SALT = "res:"
+
+
+@register(
+    "q_reservoir_sample",
+    oracle=f"""SELECT source, doc_id, rk FROM (
+  SELECT source, doc_id,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY {dd_stable_hash(f"concat('{RESERVOIR_SALT}', CAST(doc_id AS VARCHAR))")} ASC,
+                    doc_id ASC) AS rk
+    FROM documents
+) WHERE rk <= {RESERVOIR_K}
+""",
+    doc=f"deterministic {RESERVOIR_K}-per-stratum uniform sample: order "
+    "each source's docs by the salted engine-stable hash (a fixed random "
+    "permutation) and keep the first k — reservoir-sample semantics with "
+    "reproducibility across runs/cluster shapes, the exact-k companion "
+    "to the percentage-based q_stratified_sample. One per-stratum window; "
+    "at 100 TB the same result comes from a per-partition top-k "
+    "(takeOrdered per group) without a full sort — semantics identical "
+    "because the hash order is data-independent",
+)
+def q_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    order = stable_hash(
+        F.concat(F.lit(RESERVOIR_SALT), F.col("doc_id").cast("string"))
+    )
+    w = Window.partitionBy("source").orderBy(
+        order.asc(), F.col("doc_id").asc()
+    )
+    return (
+        docs.select(
+            "source", "doc_id", F.row_number().over(w).alias("rk")
+        )
+        .where(F.col("rk") <= RESERVOIR_K)
+    )

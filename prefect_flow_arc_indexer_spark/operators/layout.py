@@ -1,0 +1,133 @@
+"""Data-layout operators: clustering keys and equal-frequency binning.
+
+At 100 TB the dominant cost of every query in this repo is the scan, and the
+scan's cost is set by LAYOUT — which files a predicate can skip. These
+operators compute the two standard layout keys:
+
+- `q_zorder_key`: Morton (Z-order) interleave of two scan dimensions.
+  Writing the table sorted by this key gives multi-dimensional data
+  skipping: parquet row-group min/max on BOTH source columns stay tight, so
+  a predicate on either column (or a box on both) prunes row groups — the
+  technique behind Delta/Iceberg OPTIMIZE ZORDER. The key itself is pure
+  row-local bit arithmetic, identical on both engines.
+- `q_quantile_bins`: equal-frequency (ntile) binning per group with bin
+  summaries — the feature-bucketization step (quantile sketch -> bin id)
+  of a feature pipeline, and the partition-boundary computation of a range
+  writer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from prefect_flow_arc_indexer_spark.plans.registry import register
+from prefect_flow_arc_indexer_spark.sources.parquet import load_table
+
+ZORDER_BITS = 16
+ZORDER_EPOCH = "1992-01-01"
+
+
+def _interleave_sql(x: str, y: str, shift_fmt: str) -> str:
+    """SQL for bit-interleaving two ZORDER_BITS-wide ints; ``shift_fmt``
+    abstracts the dialect's shift syntax ('spark' or 'duckdb')."""
+    terms = []
+    for i in range(ZORDER_BITS):
+        if shift_fmt == "spark":
+            terms.append(f"shiftleft(shiftright({x}, {i}) & 1, {2 * i})")
+            terms.append(f"shiftleft(shiftright({y}, {i}) & 1, {2 * i + 1})")
+        else:
+            terms.append(f"((({x} >> {i}) & 1) << {2 * i})")
+            terms.append(f"((({y} >> {i}) & 1) << {2 * i + 1})")
+    return " + ".join(terms)
+
+
+@register(
+    "q_zorder_key",
+    oracle=f"""WITH dims AS (
+  SELECT o_orderkey,
+         CAST(datediff('day', DATE '{ZORDER_EPOCH}', CAST(o_orderdate AS DATE))
+              AS BIGINT) & {(1 << ZORDER_BITS) - 1} AS x,
+         CAST(o_custkey AS BIGINT) & {(1 << ZORDER_BITS) - 1} AS y
+    FROM orders
+)
+SELECT o_orderkey, x, y,
+       CAST({_interleave_sql("x", "y", "duckdb")} AS BIGINT) AS zkey
+  FROM dims
+""",
+    doc="Z-order (Morton) clustering key over the two hottest orders scan "
+    f"dimensions (order date as days since {ZORDER_EPOCH}, customer key), "
+    f"{ZORDER_BITS} bits each interleaved into one 32-bit key — sort the "
+    "table by zkey at write time and row-group min/max stats prune on "
+    "EITHER dimension (the Delta/Iceberg OPTIMIZE ZORDER technique). "
+    "Row-local bit arithmetic, zero shuffle, bit-identical across engines",
+)
+def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    mask = (1 << ZORDER_BITS) - 1
+    dims = orders.select(
+        "o_orderkey",
+        (
+            F.datediff(F.to_date("o_orderdate"), F.lit(ZORDER_EPOCH))
+            .cast("bigint")
+            .bitwiseAND(F.lit(mask))
+        ).alias("x"),
+        F.col("o_custkey").cast("bigint").bitwiseAND(F.lit(mask)).alias("y"),
+    )
+    return dims.select(
+        "o_orderkey",
+        "x",
+        "y",
+        F.expr(_interleave_sql("x", "y", "spark"))
+        .cast("bigint")
+        .alias("zkey"),
+    )
+
+
+QBIN_N = 10
+
+
+@register(
+    "q_quantile_bins",
+    oracle=f"""WITH binned AS (
+  SELECT l_returnflag, l_extendedprice,
+         ntile({QBIN_N}) OVER (PARTITION BY l_returnflag
+                               ORDER BY l_extendedprice ASC,
+                                        l_orderkey ASC,
+                                        l_linenumber ASC) AS bin
+    FROM lineitem
+)
+SELECT l_returnflag, bin,
+       count(*) AS n_items,
+       round(min(l_extendedprice), 2) AS bin_min,
+       round(max(l_extendedprice), 2) AS bin_max
+  FROM binned GROUP BY l_returnflag, bin
+""",
+    doc=f"equal-frequency binning: ntile({QBIN_N}) per return flag over a "
+    "fully tie-broken order (price, orderkey, linenumber — total order => "
+    "identical bin assignment on both engines), then per-bin count/min/max "
+    "— the quantile-bucketization step of a feature pipeline and the "
+    "boundary computation of a range-partitioned writer. The per-group "
+    "window sort is the cost; at 100 TB the same boundaries come from "
+    "percentile_approx (q_approx_percentiles) without a global sort, with "
+    "ntile kept as the exact-semantics reference",
+)
+def q_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_returnflag").orderBy(
+        F.col("l_extendedprice").asc(),
+        F.col("l_orderkey").asc(),
+        F.col("l_linenumber").asc(),
+    )
+    return (
+        li.select(
+            "l_returnflag",
+            "l_extendedprice",
+            F.ntile(QBIN_N).over(w).alias("bin"),
+        )
+        .groupBy("l_returnflag", "bin")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(F.min("l_extendedprice"), 2).alias("bin_min"),
+            F.round(F.max("l_extendedprice"), 2).alias("bin_max"),
+        )
+    )

@@ -235,6 +235,11 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # character-entropy quality signal
 # --------------------------------------------------------------------------
+def _clog2(cnt: Column) -> Column:
+    """c * log2(c) for a run count, 0 for the (initial) empty run."""
+    return F.when(cnt > 0.0, cnt * F.log2(cnt)).otherwise(F.lit(0.0))
+
+
 @register(
     "q_char_entropy",
     oracle="""WITH chars AS (
@@ -269,18 +274,32 @@ def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     # only \n — any excluded char silently breaks oracle parity AND the
     # H = log2(n) - sum(c*log2(c))/n identity, since n counts every char
     chars = F.regexp_extract_all(F.col("text"), F.lit(r"[\s\S]"), F.lit(0))
-    # counts per distinct char, computed against the row's own char array
-    counts = F.transform(
-        F.array_distinct(chars),
-        lambda c: F.size(F.filter(chars, lambda x: x == c)),
+    # one O(n log n) pass per row: sort the chars, then fold the sorted
+    # array once, closing each run with its c*log2(c) term as the char
+    # changes. The per-distinct-char recount (transform over
+    # array_distinct with a nested filter) is O(distinct * n) per row —
+    # measured 4.2s vs sub-second at sf0.1 for the same output.
+    # State: (prev char, current run length, accumulated sum).
+    run_sum = F.aggregate(
+        F.array_sort(chars),
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0.0).alias("cnt"),
+            F.lit(0.0).alias("acc"),
+        ),
+        lambda st, c: F.struct(
+            c.alias("prev"),
+            F.when(st.prev.isNotNull() & (c == st.prev), st.cnt + 1.0)
+            .otherwise(F.lit(1.0))
+            .alias("cnt"),
+            F.when(st.prev.isNotNull() & (c == st.prev), st.acc)
+            .otherwise(st.acc + _clog2(st.cnt))
+            .alias("acc"),
+        ),
+        lambda st: st.acc + _clog2(st.cnt),  # close the final run
     )
     n = F.length("text").cast("double")
-    sum_clog = F.aggregate(
-        counts,
-        F.lit(0.0),
-        lambda acc, c: acc + c.cast("double") * F.log2(c.cast("double")),
-    )
     return docs.select(
         "doc_id",
-        F.round(F.log2(n) - sum_clog / n, 6).alias("char_entropy"),
+        F.round(F.log2(n) - run_sum / n, 6).alias("char_entropy"),
     )

@@ -37,6 +37,8 @@ _OPERATOR_MODULES = (
     "prefect_flow_arc_indexer_spark.operators.sketches",
     "prefect_flow_arc_indexer_spark.operators.custom_udf",
     "prefect_flow_arc_indexer_spark.operators.sampling",
+    "prefect_flow_arc_indexer_spark.operators.corpus_quality",
+    "prefect_flow_arc_indexer_spark.operators.layout",
     "prefect_flow_arc_indexer_spark.multimodal.binary",
 )
 

@@ -32,6 +32,11 @@ DOC_QUERIES = [
     "q_media_resize",
     "q_dedup_exact",
     "q_chunk_dedup",
+    "q_bm25",
+    "q_gopher_rules",
+    "q_cooccurrence",
+    "q_pack_sequences",
+    "q_reservoir_sample",
 ]
 
 
