@@ -102,9 +102,11 @@ SELECT term, doc_id, tf, bm25, rk FROM (
 ) WHERE rk <= {BM25_TOP_K}
 """,
     doc="BM25 term-document ranking (Lucene/ES defaults k1=1.2 b=0.75, the "
-    "scoring the reference delegates to its ES sink): tf and doc-length "
-    "from one tokenize pass, df from the per-term rollup of the SAME tf "
-    "aggregate (no second corpus scan), the 2-row stats side broadcast; "
+    "scoring the reference delegates to its ES sink): per-doc (term, tf) "
+    "lists are computed ROW-LOCALLY on each doc's own token array and "
+    "exploded with doc length in the same row — no (doc,term) groupBy "
+    "shuffle and no doc-keyed dl join; df rolls up from that stream and "
+    "broadcasts back with the 1-row corpus stats; "
     f"top-{BM25_TOP_K} docs per term via a per-term window. Ranking "
     "compares the 6dp-ROUNDED score (both engines), so rank order can "
     "never diverge on a last-ulp ln() difference. At 100 TB the only "
@@ -114,14 +116,26 @@ SELECT term, doc_id, tf, bm25, rk FROM (
 )
 def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _toks(spark, sf_dir)
-    dl = t.select("doc_id", F.size("tok").alias("dl"))
-    stats = dl.agg(
-        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+    # tf computed ROW-LOCALLY: each doc's (term, tf) list is array math on
+    # its own token array, exploded with the doc length carried in the same
+    # row — this deletes both the (doc_id, term) groupBy shuffle and the
+    # doc-keyed dl join that a relational formulation pays (the oracle's
+    # shape). Per-doc cost is O(distinct * len), bounded by doc size.
+    tok = F.col("tok")
+    tf_entries = F.transform(
+        F.array_distinct(tok),
+        lambda term: F.struct(
+            term.alias("term"),
+            F.size(F.filter(tok, lambda x: x == term)).alias("tf"),
+        ),
     )
-    tf = (
-        t.select("doc_id", F.explode("tok").alias("term"))
-        .groupBy("doc_id", "term")
-        .agg(F.count("*").alias("tf"))
+    tf = t.select(
+        "doc_id",
+        F.size("tok").alias("dl"),
+        F.explode(tf_entries).alias("e"),
+    ).select("doc_id", "dl", "e.term", "e.tf")
+    stats = t.select(F.size("tok").alias("dl")).agg(
+        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
     )
     df = tf.groupBy("term").agg(F.count("*").alias("df"))
     idf = F.log(
@@ -133,7 +147,6 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     scored = (
         tf.join(F.broadcast(df), "term")
-        .join(dl, "doc_id")
         .crossJoin(F.broadcast(stats))
         .select(
             "term",
@@ -508,24 +521,35 @@ SELECT p.term_a, p.term_b, p.n_pair,
  WHERE p.n_pair >= {COOCCUR_MIN_PAIRS}
 """,
     doc="within-document term co-occurrence with pointwise mutual "
-    "information (phrase-mining / embedding-prep aggregate): distinct "
-    "terms per doc, ordered pairs generated BUCKET-LOCALLY from each "
-    "doc's sorted term set (array combinatorics inside codegen — the "
-    "lsh_candidate_pairs pattern — instead of the oracle's doc-keyed "
-    "self-join, which would shuffle the word stream twice), then one "
-    "per-pair count whose cardinality is bounded by vocab^2, not corpus "
-    "size; document frequencies broadcast back onto the pair set. "
-    f"Pairs below {COOCCUR_MIN_PAIRS} occurrences are dropped",
+    "information (phrase-mining / embedding-prep aggregate): each doc's "
+    "distinct term set is built ROW-LOCALLY (array_sort + array_distinct "
+    "on its own tokens — zero shuffles, vs the oracle's exploded "
+    "DISTINCT), ordered pairs are generated from that sorted set by "
+    "array combinatorics inside codegen (the lsh_candidate_pairs "
+    "pattern, not a doc-keyed self-join), then one per-pair count whose "
+    "cardinality is bounded by vocab^2, not corpus size; document "
+    "frequencies broadcast back onto the pair set. Pairs below "
+    f"{COOCCUR_MIN_PAIRS} occurrences are dropped",
 )
 def q_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _toks(spark, sf_dir)
-    words = t.select(
-        "doc_id", F.explode("tok").alias("term")
-    ).distinct()
-    n = words.agg(F.count_distinct("doc_id").alias("n_docs"))
-    df = words.groupBy("term").agg(F.count("*").alias("df"))
-    per_doc = words.groupBy("doc_id").agg(
-        F.sort_array(F.collect_list("term")).alias("terms")
+    # per-doc distinct term set built ROW-LOCALLY (array_sort+array_distinct
+    # on the doc's own tokens) — the relational formulation's
+    # explode+DISTINCT is a full word-stream shuffle that the plan would
+    # then recompute for each consumer; here set construction costs zero
+    # shuffles and the exploded stream below is already distinct-per-doc
+    per_doc = t.select(
+        "doc_id", F.array_distinct(F.array_sort("tok")).alias("terms")
+    )
+    # the oracle counts docs with >= 1 token (empty/whitespace-only texts
+    # produce no `words` rows there) — mirror that
+    n = per_doc.where(F.size("terms") > 0).agg(
+        F.count("*").alias("n_docs")
+    )
+    df = (
+        per_doc.select(F.explode("terms").alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("df"))
     )
     pair_expr = F.expr(
         "flatten(transform(terms, (x, i) -> "
