@@ -631,6 +631,65 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# dataset card
+# --------------------------------------------------------------------------
+@register(
+    "q_dataset_card",
+    oracle=f"""WITH {_TOKS_CTE},
+enriched AS (
+  SELECT d.source, d.lang, d.n_chars,
+         coalesce(len(t.tok), 0) AS n_tokens,
+         {dd_stable_hash("d.text")} AS text_h
+    FROM documents d LEFT JOIN toks t USING (doc_id)
+)
+SELECT source, lang,
+       count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       count(DISTINCT text_h) AS n_unique_texts,
+       round(1.0 - CAST(count(DISTINCT text_h) AS DOUBLE) / count(*), 6)
+         AS dup_rate,
+       CAST(min(n_tokens) AS BIGINT) AS min_tokens,
+       CAST(max(n_tokens) AS BIGINT) AS max_tokens
+  FROM enriched
+ GROUP BY source, lang
+""",
+    doc="dataset-card rollup: the per-(source, lang) summary a corpus "
+    "release ships — doc counts, token/char totals, distinct-content "
+    "count with duplicate rate, token-length extrema. One grouped "
+    "aggregate over scan-side projections (token counts and the content "
+    "hash are row-local); the distinct-count is per-group exact (the "
+    "shuffle carries one hash per row — at 100 TB swap in "
+    "approx_count_distinct / q_hll_merge for the summary-only path, "
+    "noted because dataset cards tolerate estimates). NULL lang/source "
+    "form their own groups; NULL text hashes to NULL (md5 propagates) and "
+    "both engines' COUNT(DISTINCT) skip NULLs identically, so an all-NULL "
+    "group reports 0 unique texts / dup_rate 1.0 on both sides",
+)
+def q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source",
+        "lang",
+        "n_chars",
+        F.coalesce(F.size(tokens(F.col("text"))), F.lit(0)).alias(
+            "n_tokens"
+        ),
+        stable_hash(F.col("text")).alias("text_h"),
+    )
+    return docs.groupBy("source", "lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.count_distinct("text_h").alias("n_unique_texts"),
+        F.round(
+            1.0 - F.count_distinct("text_h").cast("double") / F.count("*"), 6
+        ).alias("dup_rate"),
+        F.min("n_tokens").cast("bigint").alias("min_tokens"),
+        F.max("n_tokens").cast("bigint").alias("max_tokens"),
+    )
+
+
+# --------------------------------------------------------------------------
 # deterministic k-per-stratum reservoir sample
 # --------------------------------------------------------------------------
 RESERVOIR_K = 5

@@ -31,6 +31,7 @@ NEW_QUERIES = [
     "q_reservoir_sample",
     "q_zorder_key",
     "q_quantile_bins",
+    "q_dataset_card",
 ]
 
 
@@ -172,6 +173,21 @@ def test_zorder_key_bit_interleave(spark):
     z_same = r0["zkey"]
     z_flip_low = z_same ^ 1  # flipping x bit 0 flips zkey bit 0
     assert abs(z_flip_low - z_same) == 1
+
+
+def test_dataset_card_totals_reconcile(spark):
+    """Card totals must reconcile with the raw corpus (the card is the
+    artifact people trust without rechecking — make the build recheck)."""
+    rows = all_queries()["q_dataset_card"].builder(spark, SF_DIR).collect()
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    assert sum(r["n_docs"] for r in rows) == docs.count()
+    assert sum(r["total_chars"] for r in rows) == (
+        docs.agg(F.sum("n_chars")).collect()[0][0]
+    )
+    for r in rows:
+        assert 0 <= r["n_unique_texts"] <= r["n_docs"]
+        assert 0.0 <= r["dup_rate"] <= 1.0
+        assert r["min_tokens"] <= r["max_tokens"]
 
 
 def test_quantile_bins_equal_frequency(spark):

@@ -37,6 +37,7 @@ DOC_QUERIES = [
     "q_cooccurrence",
     "q_pack_sequences",
     "q_reservoir_sample",
+    "q_dataset_card",
 ]
 
 
