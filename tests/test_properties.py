@@ -206,3 +206,84 @@ def test_quantization_error_bound_property(spark, vec):
     for x, q in zip(row["emb"], row["q8"]):
         assert -127 <= q <= 127
         assert abs(x - q / row["scale"]) <= step + 1e-12
+
+
+@settings(**PROP_SETTINGS)
+@given(
+    pairs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=(1 << 16) - 1),
+            st.integers(min_value=0, max_value=(1 << 16) - 1),
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_zorder_interleave_roundtrip_property(spark, pairs):
+    """The Morton key must be a bijection: de-interleaving the Spark-computed
+    key recovers (x, y) exactly, and the key is monotone in each coordinate
+    when the other's bits above the changed bit are fixed."""
+    from prefect_flow_arc_indexer_spark.operators.layout import (
+        ZORDER_BITS,
+        _interleave_sql,
+    )
+
+    df = spark.createDataFrame(
+        [(i, x, y) for i, (x, y) in enumerate(pairs)], "i long, x long, y long"
+    )
+    rows = {
+        r["i"]: r["z"]
+        for r in df.select(
+            "i", F.expr(_interleave_sql("x", "y", "spark")).alias("z")
+        ).collect()
+    }
+    for i, (x, y) in enumerate(pairs):
+        z = rows[i]
+        rx = ry = 0
+        for b in range(ZORDER_BITS):
+            rx |= ((z >> (2 * b)) & 1) << b
+            ry |= ((z >> (2 * b + 1)) & 1) << b
+        assert (rx, ry) == (x, y), f"roundtrip broke for {(x, y)} -> {z}"
+
+
+@settings(**PROP_SETTINGS)
+@given(
+    token_counts=st.lists(
+        st.integers(min_value=0, max_value=1200), min_size=1, max_size=40
+    )
+)
+def test_pack_sequences_window_math_property(spark, token_counts):
+    """Packing arithmetic against a plain-Python accumulator: every doc's
+    (pack_id, pack_offset) must equal the running-total division, including
+    docs longer than the context window and zero-token docs."""
+    from prefect_flow_arc_indexer_spark.operators.corpus_quality import (
+        PACK_CONTEXT,
+    )
+    from pyspark.sql import Window
+
+    df = spark.createDataFrame(
+        [(i, n) for i, n in enumerate(token_counts)], "doc_id long, n long"
+    )
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
+    start = F.coalesce(F.sum("n").over(w), F.lit(0)).cast("bigint")
+    rows = {
+        r["doc_id"]: (r["pack_id"], r["off"])
+        for r in df.select(
+            "doc_id",
+            start.alias("_s"),
+        )
+        .select(
+            "doc_id",
+            F.expr(f"_s div {PACK_CONTEXT}").alias("pack_id"),
+            (F.col("_s") % PACK_CONTEXT).alias("off"),
+        )
+        .collect()
+    }
+    running = 0
+    for i, n in enumerate(token_counts):
+        assert rows[i] == (running // PACK_CONTEXT, running % PACK_CONTEXT), (
+            i,
+            n,
+            running,
+        )
+        running += n
