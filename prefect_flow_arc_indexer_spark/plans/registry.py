@@ -29,6 +29,7 @@ _OPERATOR_MODULES = (
     "prefect_flow_arc_indexer_spark.operators.textprep",
     "prefect_flow_arc_indexer_spark.operators.sessionize",
     "prefect_flow_arc_indexer_spark.operators.relational",
+    "prefect_flow_arc_indexer_spark.operators.relational_ext",
     "prefect_flow_arc_indexer_spark.operators.analytics",
     "prefect_flow_arc_indexer_spark.operators.temporal",
     "prefect_flow_arc_indexer_spark.operators.cdc",
