@@ -1,0 +1,194 @@
+"""Feature-engineering operators over the event stream and the corpus —
+the per-entity derived signals a training-data pipeline computes alongside
+dedup/quality (ABSENT in the reference, which never aggregates per user):
+activity islands, time-decayed values, dispersion-based outliers, and
+source-mixture sampling weights.
+
+Scale posture: every operator shuffles on the entity key exactly once (the
+window sort IS the shuffle sort, later aggs reuse the partitioning), or on a
+bounded key (sources: ~tens). Float outputs are rounded at the output
+boundary only, from exact-integer or single-division inputs, so the DuckDB
+oracle comparison is stable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from prefect_flow_arc_indexer_spark.functions.textfns import dd_tokens, tokens
+from prefect_flow_arc_indexer_spark.plans.registry import register
+from prefect_flow_arc_indexer_spark.sources.parquet import load_table
+
+EPOCH = "1970-01-01"
+DECAY_K = 16  # events per user entering the decayed sum (newest first)
+Z_MIN_EVENTS = 10
+Z_CUT = 2.5
+MIX_BUDGET = 0.3  # target corpus fraction for q_mixture_weights
+
+
+@register(
+    "q_gaps_islands",
+    oracle=f"""WITH days AS (
+  SELECT DISTINCT user_id,
+         date_diff('day', DATE '{EPOCH}', CAST(ts AS DATE)) AS d
+    FROM events
+),
+r AS (
+  SELECT user_id, d,
+         row_number() OVER (PARTITION BY user_id ORDER BY d) AS rn
+    FROM days
+),
+isl AS (
+  SELECT user_id, d - rn AS island, count(*) AS run_len
+    FROM r GROUP BY user_id, d - rn
+)
+SELECT user_id,
+       count(*) AS n_islands,
+       max(run_len) AS longest_run,
+       sum(run_len) AS active_days
+  FROM isl GROUP BY user_id
+""",
+    doc="gaps-and-islands: consecutive-active-day runs per user via the "
+    "day-number-minus-row-number trick — one shuffle on user_id (the "
+    "window sort), the island and user rollups reuse it; all-integer "
+    "arithmetic, no float drift",
+)
+def q_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id",
+        F.datediff(F.to_date("ts"), F.lit(EPOCH).cast("date")).alias("d"),
+    ).distinct()
+    rn = days.withColumn(
+        "rn", F.row_number().over(Window.partitionBy("user_id").orderBy("d"))
+    )
+    islands = rn.groupBy(
+        "user_id", (F.col("d") - F.col("rn")).alias("island")
+    ).agg(F.count("*").alias("run_len"))
+    return islands.groupBy("user_id").agg(
+        F.count("*").alias("n_islands"),
+        F.max("run_len").alias("longest_run"),
+        F.sum("run_len").alias("active_days"),
+    )
+
+
+@register(
+    "q_decayed_sum",
+    oracle=f"""WITH r AS (
+  SELECT user_id, value, event_id,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events
+)
+SELECT user_id,
+       round(sum(value * power(0.5, rn - 1)), 6) AS decayed_value,
+       count(*) AS n_used
+  FROM r WHERE rn <= {DECAY_K}
+ GROUP BY user_id
+""",
+    doc=f"time-decayed feature: half-per-step decayed sum over each user's "
+    f"latest {DECAY_K} events (recency rank from one user_id window sort; "
+    "truncation keeps the weight series finite so the sum is "
+    "reorder-tolerant at 6dp) — the batch form of a decaying user profile",
+)
+def q_decayed_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    r = ev.select("user_id", "value", F.row_number().over(w).alias("rn"))
+    return (
+        r.where(F.col("rn") <= DECAY_K)
+        .groupBy("user_id")
+        .agg(
+            F.round(
+                F.sum(F.col("value") * F.pow(F.lit(0.5), F.col("rn") - 1)), 6
+            ).alias("decayed_value"),
+            F.count("*").alias("n_used"),
+        )
+    )
+
+
+@register(
+    "q_anomaly_zscore",
+    oracle=f"""WITH s AS (
+  SELECT user_id, avg(value) AS m, stddev_samp(value) AS sd, count(*) AS n
+    FROM events GROUP BY user_id
+)
+SELECT e.event_id, e.user_id,
+       round((e.value - s.m) / s.sd, 6) AS z
+  FROM events e JOIN s ON e.user_id = s.user_id
+ WHERE s.n >= {Z_MIN_EVENTS} AND s.sd > 0
+   AND abs(round((e.value - s.m) / s.sd, 6)) >= {Z_CUT}
+""",
+    doc=f"per-entity outlier flagging: events beyond |z| >= {Z_CUT} against "
+    "their user's mean/stddev — stats and detail co-partition on user_id "
+    "(one shuffle each side, same key), the z comparison runs on the "
+    "6dp-rounded value so engine ulps can't flip a boundary row",
+)
+def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.groupBy("user_id").agg(
+        F.avg("value").alias("m"),
+        F.stddev_samp("value").alias("sd"),
+        F.count("*").alias("n"),
+    )
+    z = F.round((F.col("value") - F.col("m")) / F.col("sd"), 6)
+    return (
+        ev.join(s, "user_id")
+        .where((F.col("n") >= Z_MIN_EVENTS) & (F.col("sd") > 0))
+        .select("event_id", "user_id", z.alias("z"))
+        .where(F.abs(F.col("z")) >= Z_CUT)
+    )
+
+
+@register(
+    "q_mixture_weights",
+    oracle=f"""WITH per AS (
+  SELECT source,
+         count(*) AS n_docs,
+         sum(len({dd_tokens("text")})) AS tokens
+    FROM documents GROUP BY source
+),
+tot AS (
+  SELECT sum(tokens) AS total_tokens, sum(sqrt(tokens)) AS sum_w FROM per
+)
+SELECT per.source, per.n_docs, per.tokens,
+       round(sqrt(per.tokens) / tot.sum_w, 6) AS share,
+       round(least(1.0, {MIX_BUDGET} * tot.total_tokens
+                         * (sqrt(per.tokens) / tot.sum_w) / per.tokens),
+             6) AS sample_rate
+  FROM per, tot
+""",
+    doc=f"dataset mixture weights: per-source token totals -> sqrt-"
+    "proportional target shares -> per-source sampling rate hitting a "
+    f"{MIX_BUDGET:.0%}-of-corpus token budget (the rate table a weighted "
+    "training-mix sampler consumes); token counts are exact integers, the "
+    "two divisions round once at the output, and the 1-row totals frame "
+    "broadcasts back over the per-source rows",
+)
+def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    per = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(tokens(F.col("text")))).alias("tokens"),
+    )
+    tot = per.agg(
+        F.sum("tokens").alias("total_tokens"),
+        F.sum(F.sqrt(F.col("tokens"))).alias("sum_w"),
+    )
+    share = F.sqrt(F.col("tokens")) / F.col("sum_w")
+    rate = F.least(
+        F.lit(1.0),
+        F.lit(MIX_BUDGET) * F.col("total_tokens") * share / F.col("tokens"),
+    )
+    return (
+        per.join(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            "tokens",
+            F.round(share, 6).alias("share"),
+            F.round(rate, 6).alias("sample_rate"),
+        )
+    )

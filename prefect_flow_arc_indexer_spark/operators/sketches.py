@@ -153,3 +153,86 @@ def q_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("long").alias("exact_customers"),
     )
     return per_seg.unionByName(merged)
+
+
+# --------------------------------------------------------------------------
+# Count-Min sketch
+# --------------------------------------------------------------------------
+CM_WIDTH = 512
+CM_DEPTH = 4
+# fixed probe vocabulary: estimates are read for these terms (common corpus
+# words — the sketch itself covers the whole keyspace)
+CM_PROBES = (
+    "the", "spark", "data", "join", "merge",
+    "batch", "window", "key", "scan", "table",
+)
+
+
+def cm_cell(token: str, depth: int, width: int = CM_WIDTH) -> int:
+    """Engine-independent cell index: md5 of 'depth:token' mod width. Python
+    and the executor-side UDF share this single definition, so driver-side
+    probe hashing and executor-side counting can never diverge."""
+    import hashlib
+
+    h = hashlib.md5(f"{depth}:{token}".encode()).hexdigest()
+    return int(h[:8], 16) % width
+
+
+def _cm_partition(batches):
+    import numpy as np
+    import pandas as pd
+
+    # Zipfian streams repeat tokens constantly: count first (vectorized),
+    # hash each DISTINCT token once — md5 cost scales with vocabulary, not
+    # stream length.
+    counts = np.zeros((CM_DEPTH, CM_WIDTH), dtype=np.int64)
+    for pdf in batches:
+        for tok, n in pdf["token"].value_counts().items():
+            for d in range(CM_DEPTH):
+                counts[d, cm_cell(tok, d)] += n
+    d_idx, w_idx = counts.nonzero()
+    yield pd.DataFrame(
+        {"d": d_idx.astype("int32"), "w": w_idx.astype("int32"),
+         "cnt": counts[d_idx, w_idx]}
+    )
+
+
+@register(
+    "q_countmin",
+    oracle=None,  # the estimate depends on md5-derived cell hashing that
+    # DuckDB SQL can't reproduce; rows-only check here, while
+    # tests/test_sketches.py asserts est >= exact (CM never undercounts),
+    # the CM width error bound, and partitioning-independence of the merge
+    doc=f"Count-Min sketch ({CM_DEPTH}x{CM_WIDTH}): per-partition cell "
+    "grids built in one mapInPandas pass (O(depth*width) memory each), "
+    "merged by summing cells — unlike Misra-Gries the merge is exact and "
+    "partition-order-INDEPENDENT, so estimates are deterministic. Output: "
+    "probe-term estimates beside exact counts (est >= exact always)",
+)
+def q_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    stream = docs.select(F.explode(tokens(F.col("text"))).alias("token"))
+    cells = stream.mapInPandas(
+        _cm_partition, schema="d int, w int, cnt long"
+    )
+    merged = cells.groupBy("d", "w").agg(F.sum("cnt").alias("cnt"))
+    # driver-side probe hashing via the SAME cm_cell fn; tiny literal frame
+    probe_rows = [
+        (tok, d, cm_cell(tok, d)) for tok in CM_PROBES for d in range(CM_DEPTH)
+    ]
+    probes = spark.createDataFrame(probe_rows, "token string, d int, w int")
+    est = (
+        probes.join(F.broadcast(merged), ["d", "w"], "left")
+        .groupBy("token")
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est_count"))
+    )
+    exact = (
+        stream.where(F.col("token").isin(*CM_PROBES))
+        .groupBy("token")
+        .agg(F.count("*").alias("exact_count"))
+    )
+    return est.join(exact, "token", "left").select(
+        "token",
+        "est_count",
+        F.coalesce("exact_count", F.lit(0)).alias("exact_count"),
+    )

@@ -35,6 +35,7 @@ _OPERATOR_MODULES = (
     "prefect_flow_arc_indexer_spark.operators.cdc",
     "prefect_flow_arc_indexer_spark.operators.profiling",
     "prefect_flow_arc_indexer_spark.operators.behavior",
+    "prefect_flow_arc_indexer_spark.operators.feature_ops",
     "prefect_flow_arc_indexer_spark.operators.sketches",
     "prefect_flow_arc_indexer_spark.operators.custom_udf",
     "prefect_flow_arc_indexer_spark.operators.sampling",

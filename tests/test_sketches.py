@@ -104,3 +104,51 @@ def test_hll_merge_estimates_within_tolerance(spark):
         "fixture should have heavy cross-segment overlap for this test "
         "to be meaningful"
     )
+
+
+# --------------------------------------------------------------------------
+# Count-Min
+# --------------------------------------------------------------------------
+def test_countmin_never_undercounts_and_bound(spark):
+    """CM guarantees est >= exact always, and est <= exact + (n - exact) /
+    width * depth-min... the deterministic bound per probe is est - exact <=
+    total collisions in its min cell, itself <= stream length; the useful
+    assertion is the probabilistic-width bound with generous slack."""
+    from prefect_flow_arc_indexer_spark.operators.sketches import (
+        CM_WIDTH, q_countmin,
+    )
+
+    stream = _stream(spark)
+    n = stream.count()
+    rows = {r["token"]: r for r in q_countmin(spark, SF_DIR).collect()}
+    assert rows, "no probe rows"
+    for tok, r in rows.items():
+        assert r["est_count"] >= r["exact_count"], tok
+        # 3x the expected-collision bound eps*n = e/width * n
+        assert r["est_count"] - r["exact_count"] <= 3 * (n / CM_WIDTH) + 1, tok
+
+
+def test_countmin_partitioning_independent(spark):
+    """Unlike MG, CM cell grids merge exactly: estimates must not change
+    with the partition layout."""
+    from prefect_flow_arc_indexer_spark.operators.sketches import (
+        _cm_partition, cm_cell, CM_DEPTH,
+    )
+    import pandas as pd
+
+    toks = ["a", "b", "a", "c", "a", "b", "d"] * 10
+    whole = list(_cm_partition(iter([pd.DataFrame({"token": toks})])))[0]
+    split = pd.concat(
+        list(_cm_partition(iter([pd.DataFrame({"token": toks[:23]})])))
+        + list(_cm_partition(iter([pd.DataFrame({"token": toks[23:]})])))
+    )
+    merged = split.groupby(["d", "w"], as_index=False)["cnt"].sum()
+    a = whole.sort_values(["d", "w"]).reset_index(drop=True)
+    b = merged.sort_values(["d", "w"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    # probe read-out equals the true count when no collision exists
+    est_a = min(
+        int(whole.loc[(whole.d == d) & (whole.w == cm_cell("a", d)), "cnt"].iloc[0])
+        for d in range(CM_DEPTH)
+    )
+    assert est_a >= toks.count("a")
