@@ -38,6 +38,9 @@ DOC_QUERIES = [
     "q_pack_sequences",
     "q_reservoir_sample",
     "q_dataset_card",
+    "q_mixture_weights",
+    "q_unigram_surprisal",
+    "q_triangle_count",
 ]
 
 
