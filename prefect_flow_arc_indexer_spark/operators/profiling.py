@@ -232,3 +232,129 @@ def q_regr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.regr_r2("l_extendedprice", "l_quantity"), 6).alias("r2"),
         F.regr_count("l_extendedprice", "l_quantity").alias("n_pairs"),
     )
+
+
+# --------------------------------------------------------------------------
+# declarative data-quality gate (Deequ-style)
+# --------------------------------------------------------------------------
+@register(
+    "q_dq_checks",
+    oracle="""WITH m AS (
+  SELECT CAST(count(*) AS BIGINT) AS row_count,
+         CAST(count(*) - count(o_orderkey) AS BIGINT) AS key_nulls,
+         CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) AS key_dups,
+         CAST(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS nonpos_price,
+         CAST(sum(CASE WHEN o_orderstatus NOT IN ('F','O','P') THEN 1
+                       ELSE 0 END) AS BIGINT) AS bad_status,
+         CAST(sum(CASE WHEN o_orderdate <  TIMESTAMP '1990-01-01 00:00:00'
+                         OR o_orderdate >= TIMESTAMP '2005-01-01 00:00:00'
+                       THEN 1 ELSE 0 END) AS BIGINT) AS date_out_of_range
+    FROM orders
+)
+SELECT c.check_name, c.observed, c.passed FROM m, LATERAL (VALUES
+  ('row_count_min_1',        m.row_count,         m.row_count >= 1),
+  ('o_orderkey_complete',    m.key_nulls,         m.key_nulls = 0),
+  ('o_orderkey_unique',      m.key_dups,          m.key_dups = 0),
+  ('o_totalprice_positive',  m.nonpos_price,      m.nonpos_price = 0),
+  ('o_orderstatus_in_set',   m.bad_status,        m.bad_status = 0),
+  ('o_orderdate_in_range',   m.date_out_of_range, m.date_out_of_range = 0)
+) AS c(check_name, observed, passed)
+""",
+    doc="declarative data-quality gate (Deequ-style): completeness, "
+    "uniqueness, positivity, value-set and range constraints over orders, "
+    "ALL metrics computed in ONE aggregation pass (one scan, one 1-row "
+    "reduce — adding checks adds columns, not jobs), then unpivoted into "
+    "(check, observed, passed) verdict rows — the generalization of the "
+    "reference's count-reconciliation gate (flows/main_flow.py:216-257)",
+)
+def q_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    lo = F.lit("1990-01-01 00:00:00").cast("timestamp")
+    hi = F.lit("2005-01-01 00:00:00").cast("timestamp")
+    m = o.agg(
+        F.count("*").alias("row_count"),
+        (F.count("*") - F.count("o_orderkey")).alias("key_nulls"),
+        (F.count("*") - F.count_distinct("o_orderkey")).alias("key_dups"),
+        F.sum(
+            F.when(F.col("o_totalprice") <= 0, 1).otherwise(0)
+        ).cast("long").alias("nonpos_price"),
+        F.sum(
+            F.when(~F.col("o_orderstatus").isin("F", "O", "P"), 1).otherwise(0)
+        ).cast("long").alias("bad_status"),
+        F.sum(
+            F.when(
+                (F.col("o_orderdate") < lo) | (F.col("o_orderdate") >= hi), 1
+            ).otherwise(0)
+        ).cast("long").alias("date_out_of_range"),
+    )
+    return m.selectExpr(
+        """stack(6,
+           'row_count_min_1',       row_count,         row_count >= 1,
+           'o_orderkey_complete',   key_nulls,         key_nulls = 0,
+           'o_orderkey_unique',     key_dups,          key_dups = 0,
+           'o_totalprice_positive', nonpos_price,      nonpos_price = 0,
+           'o_orderstatus_in_set',  bad_status,        bad_status = 0,
+           'o_orderdate_in_range',  date_out_of_range, date_out_of_range = 0
+        ) AS (check_name, observed, passed)"""
+    )
+
+
+# --------------------------------------------------------------------------
+# mergeable moment statistics via exact power sums
+# --------------------------------------------------------------------------
+@register(
+    "q_stats_merge",
+    oracle="""WITH seg AS (
+  SELECT o_orderpriority AS segment,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS s,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))
+                  * CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS s2
+    FROM orders GROUP BY o_orderpriority
+),
+allrow AS (
+  SELECT 'ALL' AS segment, CAST(sum(n) AS BIGINT) AS n,
+         CAST(sum(s) AS DECIMAL(38,2)) AS s,
+         CAST(sum(s2) AS DECIMAL(38,4)) AS s2
+    FROM seg
+),
+u AS (SELECT * FROM seg UNION ALL SELECT * FROM allrow)
+SELECT segment, n,
+       round(CAST(s AS DOUBLE) / n, 6) AS mean_price,
+       round(sqrt((CAST(s2 AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                   / n) / (n - 1)), 6) AS sd_price
+  FROM u
+""",
+    doc="mergeable moment statistics: per-segment (n, sum, sum-of-squares) "
+    "power sums in EXACT decimal, merged into a global row by pure "
+    "addition — the algebraic-aggregate-state pattern (same shape as the "
+    "HLL merge, but exact) that lets 100 TB pipelines keep per-partition/"
+    "per-day summaries and answer any rollup's mean/variance without "
+    "rescanning; mean/stddev derive from the sums AFTER the merge (stddev "
+    "rather than variance on the output: sqrt compresses the magnitude so "
+    "6dp rounding sits far above decimal->double cast ulps)",
+)
+def q_stats_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    p = F.col("o_totalprice").cast("decimal(18,2)")
+    seg = o.groupBy(F.col("o_orderpriority").alias("segment")).agg(
+        F.count("*").alias("n"),
+        F.sum(p).cast("decimal(38,2)").alias("s"),
+        F.sum(p * p).cast("decimal(38,4)").alias("s2"),
+    )
+    allrow = seg.agg(
+        F.sum("n").alias("n"),
+        F.sum("s").cast("decimal(38,2)").alias("s"),
+        F.sum("s2").cast("decimal(38,4)").alias("s2"),
+    ).select(F.lit("ALL").alias("segment"), "n", "s", "s2")
+    u = seg.unionByName(allrow)
+    sd, s2d = F.col("s").cast("double"), F.col("s2").cast("double")
+    return u.select(
+        "segment",
+        "n",
+        F.round(sd / F.col("n"), 6).alias("mean_price"),
+        F.round(
+            F.sqrt((s2d - sd * sd / F.col("n")) / (F.col("n") - 1)), 6
+        ).alias("sd_price"),
+    )
