@@ -25,7 +25,7 @@ Scale posture shared by all twelve:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from prefect_flow_arc_indexer_spark.plans.registry import register
 from prefect_flow_arc_indexer_spark.sources.parquet import load_table
@@ -552,9 +552,8 @@ SELECT s.s_suppkey, s.s_name, count(*) AS numwait
 """,
     doc="TPC-H Q21 shape (suppliers who kept orders waiting): the sole "
     "returning supplier on multi-supplier orders — the exists/not-exists "
-    "pair decorrelated into one per-(order,supplier) agg plus one "
-    "per-order rollup of that agg (same-key, AQE-coalesced), never a "
-    "self-join of the raw fact",
+    "pair decorrelated into one per-(order,supplier) agg plus a per-order "
+    "WINDOW over that agg — one scan of the fact, never a self-join of it",
 )
 def q_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
@@ -563,13 +562,17 @@ def q_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
         ).alias("has_ret")
     )
-    ord_ = per.groupBy("l_orderkey").agg(
-        F.count("*").alias("n_supp"), F.sum("has_ret").alias("n_ret")
+    # per-order rollup as a WINDOW over the same aggregate: one fact scan
+    # (a groupBy+join-back formulation evaluates the agg subtree twice)
+    w = Window.partitionBy("l_orderkey")
+    per = per.select(
+        "*",
+        F.count("*").over(w).alias("n_supp"),
+        F.sum("has_ret").over(w).alias("n_ret"),
     )
     s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
-        per.join(ord_, "l_orderkey")
-        .where(
+        per.where(
             (F.col("has_ret") == 1)
             & (F.col("n_supp") > 1)
             & (F.col("n_ret") == 1)

@@ -1,0 +1,70 @@
+"""Plan-shape and semantics tests for the TPC-H-completion module
+(`operators/relational_ext.py`): dimensions must broadcast with their
+filters pushed into the scans, global thresholds must be broadcast (never
+collected), and the decorrelated Q21 must not self-join the raw fact."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from prefect_flow_arc_indexer_spark.plans import all_queries
+from tests.conftest import SF_DIR
+
+
+def _plan(spark, name: str) -> str:
+    df = all_queries()[name].builder(spark, SF_DIR)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_volume_shipping_broadcasts_all_dims(spark):
+    plan = _plan(spark, "q_volume_shipping")
+    assert "SortMergeJoin" not in plan
+    # nation-pair filter reaches the nation scans, shipdate reaches the fact
+    assert "In(n_name, [NATION_1,NATION_2])" in plan
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+
+
+def test_market_share_prefilters_build_sides(spark):
+    plan = _plan(spark, "q_market_share")
+    assert "(r_name#" in plan and "= ASIA)" in plan
+    assert "= ECONOMY)" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_important_stock_threshold_is_broadcast_not_collected(spark):
+    """The global total must enter the plan as a broadcast join of a 1-row
+    aggregate — a collect would serialize the threshold into a literal."""
+    plan = _plan(spark, "q_important_stock")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_parts_supplier_counts_anti_join(spark):
+    plan = _plan(spark, "q_parts_supplier_counts")
+    assert "LeftAnti" in plan
+    assert "LessThan(s_acctbal,0.0)" in plan
+
+
+def test_waiting_suppliers_never_self_joins_raw_fact(spark):
+    """Q21's exists/not-exists decorrelation: exactly one scan of lineitem
+    (the per-order rollup is a window over the per-(order,supplier) agg) —
+    the textbook formulation scans it three times."""
+    plan = _plan(spark, "q_waiting_suppliers")
+    assert plan.count("lineitem.parquet") == 1
+    assert "Window" in plan
+
+
+def test_customer_distribution_keeps_zero_order_customers(spark):
+    out = all_queries()["q_customer_distribution"].builder(spark, SF_DIR)
+    rows = {r["c_count"]: r["custdist"] for r in out.collect()}
+    total_custs = sum(rows.values())
+    c = spark.read.parquet(f"{SF_DIR}/customer.parquet").count()
+    assert total_custs == c  # left join: every customer counted exactly once
+
+
+def test_top_supplier_ties_on_exact_decimal(spark):
+    """The max-revenue equality must compare decimals, not doubles."""
+    df = all_queries()["q_top_supplier"].builder(spark, SF_DIR)
+    schema = dict(df.dtypes)
+    assert schema["total_revenue"] == "double"  # output boundary only
+    rows = df.collect()
+    assert len(rows) >= 1
