@@ -68,3 +68,38 @@ def test_top_supplier_ties_on_exact_decimal(spark):
     assert schema["total_revenue"] == "double"  # output boundary only
     rows = df.collect()
     assert len(rows) >= 1
+
+
+def test_corpus_pipeline_two_exchanges(spark):
+    """The fused dedup->filter->split->rollup pipeline must plan exactly two
+    exchanges: the content-hash window shuffle and the final rollup."""
+    df = all_queries()["q_corpus_pipeline"].builder(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # fan_out's round-robin repartition is a test-data artifact (single
+    # row-group files); don't count it against the pipeline
+    n = plan.count("Exchange") - plan.count("ReusedExchange") - plan.count(
+        "RoundRobinPartitioning"
+    )
+    assert n == 2, f"expected 2 data exchanges, plan has {n}"
+
+
+def test_corpus_pipeline_split_matches_standalone(spark):
+    """Composite split assignment must be bit-identical to q_train_split."""
+    from prefect_flow_arc_indexer_spark.operators.sampling import (
+        SPLIT_SALT, TRAIN_PCT, VAL_PCT, split_bucket,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    bucket = split_bucket(F.col("doc_id"), SPLIT_SALT)
+    mine = docs.select(
+        "doc_id",
+        F.when(bucket < TRAIN_PCT, "train")
+        .when(bucket < TRAIN_PCT + VAL_PCT, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+    standalone = all_queries()["q_train_split"].builder(spark, SF_DIR).select(
+        "doc_id", "split"
+    )
+    assert mine.exceptAll(standalone).count() == 0
+    assert standalone.exceptAll(mine).count() == 0
