@@ -605,3 +605,67 @@ def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         checksum.alias("q8_checksum"),
         F.round(err / F.size("emb") * 1e6, 6).alias("mse_ppm"),
     )
+
+
+# --------------------------------------------------------------------------
+# ANN quality metric: IVF recall against the exact top-k
+# --------------------------------------------------------------------------
+def _register_ivf_recall():
+    """Registered via a closure so the oracle can EMBED the already-
+    registered exact/IVF oracles as subqueries — the metric definition
+    stays in lockstep with the operators it measures."""
+    from prefect_flow_arc_indexer_spark.plans.registry import _REGISTRY
+
+    exact_sql = _REGISTRY["q_knn_cosine"].oracle
+    approx_sql = _REGISTRY["q_knn_ivf"].oracle
+    oracle = f"""WITH exact AS (SELECT * FROM ({exact_sql})),
+approx AS (SELECT * FROM ({approx_sql}))
+SELECT e.query_id,
+       count(*) AS k_exact,
+       CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_hits,
+       round(CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                  AS DOUBLE) / count(*), 6) AS recall_at_k
+  FROM exact e
+  LEFT JOIN approx a
+    ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+ GROUP BY e.query_id
+"""
+
+    @register(
+        "q_ivf_recall",
+        oracle=oracle,
+        doc="ANN quality metric: per-query recall@k of the IVF index "
+        "against the exact cosine top-k — the acceptance gate a pipeline "
+        "runs before swapping brute force for the bucketed index; both "
+        "sides are the registered operators themselves (deterministic "
+        "tie-breaks), joined on (query, neighbor)",
+    )
+    def q_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+        exact = q_knn_cosine(spark, sf_dir).select("query_id", "neighbor_id")
+        approx = q_knn_ivf(spark, sf_dir).select(
+            F.col("query_id").alias("a_qid"),
+            F.col("neighbor_id").alias("a_nid"),
+        )
+        hit = F.sum(
+            F.when(F.col("a_nid").isNotNull(), 1).otherwise(0)
+        ).cast("long")
+        return (
+            exact.join(
+                approx,
+                (F.col("query_id") == F.col("a_qid"))
+                & (F.col("neighbor_id") == F.col("a_nid")),
+                "left",
+            )
+            .groupBy("query_id")
+            .agg(
+                F.count("*").alias("k_exact"),
+                hit.alias("n_hits"),
+                F.round(
+                    hit.cast("double") / F.count("*"), 6
+                ).alias("recall_at_k"),
+            )
+        )
+
+
+_register_ivf_recall()
