@@ -114,3 +114,56 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stratified_sample(docs: DataFrame, pct: int = SAMPLE_PCT) -> DataFrame:
     """The reusable sample itself (rows kept), for pipeline composition."""
     return docs.where(split_bucket(F.col("doc_id"), SAMPLE_SALT) < pct)
+
+
+# --------------------------------------------------------------------------
+# weighted sampling: integer-exact systematic (size-proportional) draw
+# --------------------------------------------------------------------------
+WEIGHTED_K = 50
+
+
+@register(
+    "q_weighted_sample",
+    oracle=f"""WITH w AS (
+  SELECT doc_id, lang, n_chars,
+         sum(n_chars) OVER (ORDER BY doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) AS cum
+    FROM documents
+),
+tot AS (SELECT CAST(sum(n_chars) AS BIGINT) AS total FROM documents)
+SELECT doc_id, lang, n_chars,
+       CAST((cum * {WEIGHTED_K}) // total AS BIGINT) AS ticket
+  FROM w, tot
+ WHERE (cum * {WEIGHTED_K}) // total
+     > ((cum - n_chars) * {WEIGHTED_K}) // total
+""",
+    doc=f"weighted sampling, probability proportional to size: systematic "
+    f"draw of ~{WEIGHTED_K} docs along the exact integer cumulative-weight "
+    "axis (a doc is picked iff a ticket boundary falls inside its weight "
+    "span — ALL-integer arithmetic, so unlike the classic -ln(u)/w "
+    "exponential-rank trick there is no float ordering to drift across "
+    "engines); the global cumsum window is the operator's determinism "
+    "contract, sharded per stratum in production like q_pack_sequences",
+)
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    cum = F.sum("n_chars").over(
+        Window.orderBy("doc_id").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+    )
+    tot = docs.agg(F.sum("n_chars").cast("long").alias("total"))
+    w = docs.select("doc_id", "lang", "n_chars", cum.alias("cum")).join(
+        F.broadcast(tot)
+    )
+    ticket = F.expr(f"(cum * {WEIGHTED_K}) div total")
+    prev_ticket = F.expr(f"((cum - n_chars) * {WEIGHTED_K}) div total")
+    return (
+        w.where(ticket > prev_ticket)
+        .select("doc_id", "lang", "n_chars", ticket.cast("long").alias("ticket"))
+    )
