@@ -419,3 +419,45 @@ def stream_user_profile_tws(events: DataFrame) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+def stream_click_purchase_outer(
+    clicks: DataFrame, purchases: DataFrame, horizon: str = "1 hour"
+) -> DataFrame:
+    """Stream-stream LEFT OUTER join: like :func:`stream_click_to_purchase`
+    but clicks that find no purchase within ``horizon`` still emit (with
+    null purchase columns) once the watermark passes their expiry — the
+    attribution shape ("which clicks converted, which didn't") that an
+    inner join can't answer.
+
+    The null rows are produced by STATE EVICTION: a click buffers until
+    watermark > click_ts + horizon, then flushes as unmatched. That makes
+    the outer result eventually-complete per watermark, not instant — and
+    is exactly why the range condition is mandatory (without it, state
+    never expires and null rows never emit)."""
+    c = clicks.select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    ).withWatermark("click_ts", horizon)
+    p = purchases.select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    ).withWatermark("purchase_ts", horizon)
+    return c.join(
+        p,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("click_ts") + F.expr(f"INTERVAL {horizon}")
+        ),
+        "leftOuter",
+    ).select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "click_ts",
+        "purchase_id",
+        "purchase_ts",
+    )

@@ -447,3 +447,54 @@ def test_stream_user_profile_transform_with_state(spark, tmp_path):
     assert (first["n_events"], first["total_value"], first["n_event_types"]) == (2, 15.0, 2)
     last = rows[max(rows)][1]
     assert (last["n_events"], last["total_value"], last["n_event_types"]) == (3, 16.0, 2)
+
+
+def test_stream_stream_outer_join_flushes_unmatched(spark, tmp_path):
+    """LEFT OUTER stream-stream join: unconverted clicks emit with null
+    purchase columns once the watermark passes their expiry (state
+    eviction), converted clicks pair exactly as the inner join."""
+    c_src, p_src = tmp_path / "clicks_o", tmp_path / "purch_o"
+    c_src.mkdir(), p_src.mkdir()
+    _write_cdc_file(
+        c_src / "b0.json",
+        [
+            {"user_id": 1, "event_id": 100, "ts": "2024-01-01 10:00:00"},
+            {"user_id": 2, "event_id": 101, "ts": "2024-01-01 10:05:00"},  # never converts
+        ],
+    )
+    _write_cdc_file(
+        p_src / "b0.json",
+        [{"user_id": 1, "event_id": 200, "ts": "2024-01-01 10:30:00"}],
+    )
+    # batch 2: far-future events on BOTH streams advance the combined
+    # watermark past every batch-1 expiry, forcing the unmatched flush
+    _write_cdc_file(
+        c_src / "b1.json",
+        [{"user_id": 9, "event_id": 199, "ts": "2024-01-01 20:00:00"}],
+    )
+    _write_cdc_file(
+        p_src / "b1.json",
+        [{"user_id": 9, "event_id": 299, "ts": "2024-01-01 20:00:00"}],
+    )
+    schema = "user_id long, event_id long, ts timestamp"
+    clicks = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(c_src))
+    )
+    purchases = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(p_src))
+    )
+    out = []
+    q = (
+        jobs.stream_click_purchase_outer(clicks, purchases)
+        .writeStream.foreachBatch(lambda b, i: out.extend(b.collect()))
+        .option("checkpointLocation", str(tmp_path / "ckpt_oj"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    pairs = sorted((r["click_id"], r["purchase_id"]) for r in out)
+    assert pairs == [(100, 200), (101, None), (199, 299)]
