@@ -103,3 +103,29 @@ def test_corpus_pipeline_split_matches_standalone(spark):
     )
     assert mine.exceptAll(standalone).count() == 0
     assert standalone.exceptAll(mine).count() == 0
+
+
+def test_dq_checks_single_pass(spark):
+    """All six constraint metrics must come from ONE scan + ONE aggregate
+    (adding checks adds columns, not jobs)."""
+    df = all_queries()["q_dq_checks"].builder(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("orders.parquet") == 1
+    rows = {r["check_name"]: r for r in df.collect()}
+    assert len(rows) == 6 and all(r["passed"] for r in rows.values())
+
+
+def test_stats_merge_global_equals_direct(spark):
+    """The merged ALL row must equal a direct whole-table computation —
+    the algebraic-merge guarantee."""
+    out = {r["segment"]: r for r in
+           all_queries()["q_stats_merge"].builder(spark, SF_DIR).collect()}
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    direct = o.agg(
+        F.count("*").alias("n"),
+        F.round(F.avg("o_totalprice"), 6).alias("mean"),
+        F.round(F.stddev_samp("o_totalprice"), 6).alias("sd"),
+    ).collect()[0]
+    assert out["ALL"]["n"] == direct["n"]
+    assert abs(out["ALL"]["mean_price"] - direct["mean"]) < 1e-4
+    assert abs(out["ALL"]["sd_price"] - direct["sd"]) < 1e-2
