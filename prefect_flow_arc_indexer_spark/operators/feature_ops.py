@@ -45,7 +45,7 @@ isl AS (
 SELECT user_id,
        count(*) AS n_islands,
        max(run_len) AS longest_run,
-       sum(run_len) AS active_days
+       CAST(sum(run_len) AS BIGINT) AS active_days
   FROM isl GROUP BY user_id
 """,
     doc="gaps-and-islands: consecutive-active-day runs per user via the "
@@ -147,7 +147,7 @@ def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""WITH per AS (
   SELECT source,
          count(*) AS n_docs,
-         sum(len({dd_tokens("text")})) AS tokens
+         CAST(sum(len({dd_tokens("text")})) AS BIGINT) AS tokens
     FROM documents GROUP BY source
 ),
 tot AS (
