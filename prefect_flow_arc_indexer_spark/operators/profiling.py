@@ -358,3 +358,82 @@ def q_stats_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sqrt((s2d - sd * sd / F.col("n")) / (F.col("n") - 1)), 6
         ).alias("sd_price"),
     )
+
+
+# --------------------------------------------------------------------------
+# shuffle-skew diagnostics
+# --------------------------------------------------------------------------
+@register(
+    "q_skew_metrics",
+    oracle="""WITH per_key AS (
+  SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n
+    FROM lineitem GROUP BY l_orderkey
+),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_keys,
+         CAST(sum(n) AS BIGINT) AS n_rows,
+         CAST(max(n) AS BIGINT) AS max_key_rows
+    FROM per_key
+),
+top1 AS (
+  SELECT l_orderkey AS hottest_key FROM per_key
+   ORDER BY n DESC, l_orderkey ASC LIMIT 1
+),
+p AS (
+  SELECT CAST(quantile_disc(n, 0.99) AS BIGINT) AS p99_key_rows,
+         CAST(quantile_disc(n, 0.50) AS BIGINT) AS p50_key_rows
+    FROM per_key
+)
+SELECT tot.n_keys, tot.n_rows, tot.max_key_rows,
+       top1.hottest_key, p.p50_key_rows, p.p99_key_rows,
+       round(CAST(tot.max_key_rows AS DOUBLE) / tot.n_rows, 6)
+           AS max_key_share,
+       round(CAST(tot.max_key_rows AS DOUBLE) * tot.n_keys / tot.n_rows, 6)
+           AS skew_factor
+  FROM tot, top1, p
+""",
+    doc="shuffle-skew diagnostics for a join/agg key: per-key cardinality "
+    "profile (max/p50/p99 key rows, hottest key, max-key share, skew "
+    "factor = hottest/mean) — the pre-flight a 100 TB pipeline runs "
+    "before shuffling on a key, deciding between a plain join, AQE skew "
+    "splitting, or explicit salting (q_salted_join); one groupBy plus a "
+    "constant-size summary",
+)
+def q_skew_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    per_key = li.groupBy("l_orderkey").agg(F.count("*").alias("n"))
+    tot = per_key.agg(
+        F.count("*").alias("n_keys"),
+        F.sum("n").cast("long").alias("n_rows"),
+        F.max("n").alias("max_key_rows"),
+    )
+    top1 = (
+        per_key.orderBy(F.col("n").desc(), F.col("l_orderkey").asc())
+        .limit(1)
+        .select(F.col("l_orderkey").alias("hottest_key"))
+    )
+    # exact discrete quantiles of the per-key counts: the count frame is
+    # |keys|-bounded, far smaller than the fact table
+    p = per_key.agg(
+        F.expr("percentile_disc(0.50) WITHIN GROUP (ORDER BY n)")
+        .cast("long")
+        .alias("p50_key_rows"),
+        F.expr("percentile_disc(0.99) WITHIN GROUP (ORDER BY n)")
+        .cast("long")
+        .alias("p99_key_rows"),
+    )
+    share = F.col("max_key_rows").cast("double") / F.col("n_rows")
+    return (
+        tot.join(F.broadcast(top1))
+        .join(F.broadcast(p))
+        .select(
+            "n_keys",
+            "n_rows",
+            "max_key_rows",
+            "hottest_key",
+            "p50_key_rows",
+            "p99_key_rows",
+            F.round(share, 6).alias("max_key_share"),
+            F.round(share * F.col("n_keys"), 6).alias("skew_factor"),
+        )
+    )
