@@ -131,3 +131,83 @@ def q_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("l_extendedprice"), 2).alias("bin_max"),
         )
     )
+
+
+HILBERT_BITS = 16
+
+
+def hilbert_d(x: int, y: int, bits: int = HILBERT_BITS) -> int:
+    """Reference scalar Hilbert xy->d (the classic rotate-and-fold walk).
+    Tests and the executor kernel share this module as the single source of
+    the curve definition."""
+    rx = ry = 0
+    d = 0
+    s = 1 << (bits - 1)
+    while s > 0:
+        rx = 1 if (x & s) > 0 else 0
+        ry = 1 if (y & s) > 0 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x = s - 1 - x
+                y = s - 1 - y
+            x, y = y, x
+        s >>= 1
+    return d
+
+
+def _hilbert_batches(batches):
+    import numpy as np
+    import pandas as pd
+
+    for pdf in batches:
+        x = pdf["x"].to_numpy(dtype=np.int64).copy()
+        y = pdf["y"].to_numpy(dtype=np.int64).copy()
+        d = np.zeros_like(x)
+        s = np.int64(1 << (HILBERT_BITS - 1))
+        while s > 0:
+            rx = ((x & s) > 0).astype(np.int64)
+            ry = ((y & s) > 0).astype(np.int64)
+            d += s * s * ((3 * rx) ^ ry)
+            # rotate the quadrant frame (vectorized branch-free form)
+            flip = (ry == 0) & (rx == 1)
+            x_f = np.where(flip, s - 1 - x, x)
+            y_f = np.where(flip, s - 1 - y, y)
+            swap = ry == 0
+            x, y = np.where(swap, y_f, x_f), np.where(swap, x_f, y_f)
+            s >>= 1
+        out = pdf.copy()
+        out["hkey"] = d
+        yield out
+
+
+@register(
+    "q_hilbert_key",
+    oracle=None,  # the rotate-and-fold walk is a data-dependent loop SQL
+    # can't express compactly; tests assert equality to the scalar
+    # reference, bijectivity on a full grid, and the unit-step adjacency
+    # property that distinguishes Hilbert from Morton
+    doc="Hilbert clustering key over the same two orders dimensions as "
+    "q_zorder_key, via a vectorized numpy kernel in mapInPandas (Arrow "
+    "batches; per-row Python never runs). Hilbert beats Z-order on range "
+    "locality: CONSECUTIVE keys are always adjacent cells (no quadrant "
+    "jumps), so a key-range file maps to one compact spatial blob and "
+    "box predicates touch fewer files — the reason newer table formats "
+    "offer Hilbert alongside Z-order. Same write-time contract: sort by "
+    "hkey, prune row groups on either dimension",
+)
+def q_hilbert_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    mask = (1 << HILBERT_BITS) - 1
+    dims = orders.select(
+        "o_orderkey",
+        (
+            F.datediff(F.to_date("o_orderdate"), F.lit(ZORDER_EPOCH))
+            .cast("bigint")
+            .bitwiseAND(F.lit(mask))
+        ).alias("x"),
+        F.col("o_custkey").cast("bigint").bitwiseAND(F.lit(mask)).alias("y"),
+    )
+    return dims.mapInPandas(
+        _hilbert_batches, schema="o_orderkey long, x long, y long, hkey long"
+    )

@@ -287,3 +287,40 @@ def test_pack_sequences_window_math_property(spark, token_counts):
             running,
         )
         running += n
+
+
+# --------------------------------------------------------------------------
+# Hilbert key
+# --------------------------------------------------------------------------
+def test_hilbert_bijective_on_grid():
+    """Every cell of a 32x32 grid gets a distinct code in [0, 1024)."""
+    from prefect_flow_arc_indexer_spark.operators.layout import hilbert_d
+
+    codes = {hilbert_d(x, y, bits=5) for x in range(32) for y in range(32)}
+    assert codes == set(range(32 * 32))
+
+
+def test_hilbert_consecutive_codes_are_adjacent_cells():
+    """THE Hilbert property (Morton lacks it): walking the curve moves one
+    manhattan step at a time — no quadrant jumps."""
+    from prefect_flow_arc_indexer_spark.operators.layout import hilbert_d
+
+    inv = {hilbert_d(x, y, bits=5): (x, y) for x in range(32) for y in range(32)}
+    for d in range(32 * 32 - 1):
+        (x0, y0), (x1, y1) = inv[d], inv[d + 1]
+        assert abs(x0 - x1) + abs(y0 - y1) == 1, f"jump at d={d}"
+
+
+def test_hilbert_kernel_matches_scalar_reference():
+    import pandas as pd
+
+    from prefect_flow_arc_indexer_spark.operators.layout import (
+        _hilbert_batches, hilbert_d,
+    )
+
+    pdf = pd.DataFrame(
+        {"x": [0, 1, 5, 1000, 65535, 40000], "y": [0, 2, 7, 2000, 65535, 123]}
+    )
+    out = list(_hilbert_batches(iter([pdf])))[0]
+    for _, r in out.iterrows():
+        assert r["hkey"] == hilbert_d(int(r["x"]), int(r["y"]))
