@@ -693,3 +693,64 @@ def q_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.join(keepers, "doc_id", "left_semi").select(
         "doc_id", "lang", "source", "n_chars"
     )
+
+
+# --------------------------------------------------------------------------
+# LSH quality metric: candidate recall against true-Jaccard pairs
+# --------------------------------------------------------------------------
+def _register_lsh_recall():
+    """Registered via a closure embedding the two already-registered
+    oracles, so the metric stays in lockstep with the operators it
+    measures (same pattern as q_ivf_recall)."""
+    from prefect_flow_arc_indexer_spark.plans.registry import _REGISTRY
+
+    true_sql = _REGISTRY["q_ngram_jaccard"].oracle
+    cand_sql = _REGISTRY["q_dedup_minhash"].oracle
+    oracle = f"""WITH truth AS (SELECT * FROM ({true_sql})),
+cand AS (SELECT * FROM ({cand_sql}))
+SELECT count(*) AS n_true,
+       (SELECT count(*) FROM cand) AS n_candidates,
+       CAST(sum(CASE WHEN c.doc_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_hits,
+       round(CAST(sum(CASE WHEN c.doc_a IS NOT NULL THEN 1 ELSE 0 END)
+                  AS DOUBLE) / count(*), 6) AS recall
+  FROM truth t
+  LEFT JOIN cand c ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b
+"""
+
+    @register(
+        "q_lsh_recall",
+        oracle=oracle,
+        doc="dedup quality metric: recall of the MinHash-LSH candidate set "
+        "against the true above-threshold n-gram Jaccard pairs — the "
+        "acceptance gate for LSH band/row tuning (more bands -> higher "
+        "recall, more candidate pairs to verify); both sides are the "
+        "registered operators themselves, joined on the ordered pair",
+    )
+    def q_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+        truth = q_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+        cand = q_dedup_minhash(spark, sf_dir).select(
+            F.col("doc_a").alias("c_a"), F.col("doc_b").alias("c_b")
+        )
+        n_cand = cand.agg(F.count("*").alias("n_candidates"))
+        hit = F.sum(
+            F.when(F.col("c_a").isNotNull(), 1).otherwise(0)
+        ).cast("long")
+        return (
+            truth.join(
+                cand,
+                (F.col("doc_a") == F.col("c_a"))
+                & (F.col("doc_b") == F.col("c_b")),
+                "left",
+            )
+            .agg(
+                F.count("*").alias("n_true"),
+                hit.alias("n_hits"),
+                F.round(hit.cast("double") / F.count("*"), 6).alias("recall"),
+            )
+            .join(F.broadcast(n_cand))
+            .select("n_true", "n_candidates", "n_hits", "recall")
+        )
+
+
+_register_lsh_recall()
