@@ -730,3 +730,75 @@ def q_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("rk") <= RESERVOIR_K)
     )
+
+
+# --------------------------------------------------------------------------
+# categorical independence: chi-square + Cramér's V
+# --------------------------------------------------------------------------
+@register(
+    "q_chi_square",
+    oracle="""WITH obs AS (
+  SELECT source, lang, CAST(count(*) AS BIGINT) AS o
+    FROM documents GROUP BY source, lang
+),
+rows_ AS (SELECT source, CAST(sum(o) AS BIGINT) AS r FROM obs GROUP BY source),
+cols_ AS (SELECT lang, CAST(sum(o) AS BIGINT) AS c FROM obs GROUP BY lang),
+tot AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM obs),
+cells AS (
+  SELECT o.o, CAST(r.r AS DOUBLE) * c.c / t.n AS e
+    FROM obs o
+    JOIN rows_ r ON r.source = o.source
+    JOIN cols_ c ON c.lang = o.lang, tot t
+)
+SELECT round(sum((o - e) * (o - e) / e), 6) AS chi2,
+       (SELECT CAST((count(DISTINCT source) - 1)
+                    * (count(DISTINCT lang) - 1) AS BIGINT)
+          FROM documents) AS dof,
+       round(sqrt(sum((o - e) * (o - e) / e)
+                  / ((SELECT n FROM tot)
+                     * least((SELECT count(DISTINCT source) - 1 FROM documents),
+                             (SELECT count(DISTINCT lang) - 1 FROM documents)))),
+             6) AS cramers_v
+  FROM cells
+""",
+    doc="chi-square independence test between two categorical columns "
+    "(source x lang) with Cramér's V effect size — the 'is my corpus mix "
+    "confounded' check beside the KS/PSI drift monitors; observed and "
+    "marginal counts are exact integers (|sources| x |langs|-bounded "
+    "frames), expectations computed once per cell, one rounded statistic",
+)
+def q_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    obs = docs.groupBy("source", "lang").agg(F.count("*").alias("o"))
+    rows_ = obs.groupBy("source").agg(F.sum("o").cast("long").alias("r"))
+    cols_ = obs.groupBy("lang").agg(F.sum("o").cast("long").alias("c"))
+    tot = obs.agg(
+        F.sum("o").cast("long").alias("n"),
+        (F.count_distinct("source") - 1).alias("dr"),
+        (F.count_distinct("lang") - 1).alias("dc"),
+    )
+    cells = (
+        obs.join(F.broadcast(rows_), "source")
+        .join(F.broadcast(cols_), "lang")
+        .join(F.broadcast(tot))
+        .select(
+            "o",
+            (F.col("r").cast("double") * F.col("c") / F.col("n")).alias("e"),
+            "n",
+            "dr",
+            "dc",
+        )
+    )
+    chi2 = F.sum(
+        (F.col("o") - F.col("e")) * (F.col("o") - F.col("e")) / F.col("e")
+    )
+    return cells.groupBy("n", "dr", "dc").agg(chi2.alias("chi2_raw")).select(
+        F.round(F.col("chi2_raw"), 6).alias("chi2"),
+        (F.col("dr") * F.col("dc")).cast("long").alias("dof"),
+        F.round(
+            F.sqrt(
+                F.col("chi2_raw") / (F.col("n") * F.least("dr", "dc"))
+            ),
+            6,
+        ).alias("cramers_v"),
+    )

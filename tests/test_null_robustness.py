@@ -41,6 +41,8 @@ DOC_QUERIES = [
     "q_mixture_weights",
     "q_unigram_surprisal",
     "q_triangle_count",
+    "q_bigram_surprisal",
+    "q_chi_square",
 ]
 
 
