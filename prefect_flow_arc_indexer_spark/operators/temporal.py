@@ -167,3 +167,71 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("revenue"),
         )
     )
+
+
+ASOF_TOLERANCE_DAYS = 90
+
+
+@register(
+    "q_asof_tolerance",
+    oracle=f"""WITH r AS (
+  SELECT o_custkey AS k, o_orderdate AS t,
+         max_by(o_orderkey, o_orderkey) AS asof_orderkey,
+         max_by(o_totalprice, o_orderkey) AS asof_totalprice
+    FROM orders GROUP BY o_custkey, o_orderdate
+),
+l AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+)
+SELECT l.event_id, l.user_id, l.ts,
+       CASE WHEN r.t >= l.ts - INTERVAL {ASOF_TOLERANCE_DAYS} DAY
+            THEN r.asof_orderkey END AS asof_orderkey,
+       CASE WHEN r.t >= l.ts - INTERVAL {ASOF_TOLERANCE_DAYS} DAY
+            THEN r.asof_totalprice END AS asof_totalprice,
+       (r.t IS NOT NULL
+        AND r.t >= l.ts - INTERVAL {ASOF_TOLERANCE_DAYS} DAY) AS is_fresh
+  FROM l ASOF LEFT JOIN r ON l.user_id = r.k AND l.ts >= r.t
+""",
+    doc=f"as-of join with max-staleness tolerance ({ASOF_TOLERANCE_DAYS} "
+    "days): the feature-store variant — a match older than the tolerance "
+    "is treated as missing (payload nulled, is_fresh=false) so models "
+    "never train on stale features. Same union-and-carry plan as "
+    "q_asof_join (the carried right timestamp rides along as one more "
+    "payload column; the staleness check is a post-projection, not a "
+    "second join)",
+)
+def q_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("k"), F.col("o_orderdate").alias("t"))
+        .agg(
+            F.max_by("o_orderkey", "o_orderkey").alias("asof_orderkey"),
+            F.max_by("o_totalprice", "o_orderkey").alias("asof_totalprice"),
+        )
+        .withColumn("asof_t", F.col("t"))
+    )
+    events = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "ts")
+    )
+    joined = asof_join(
+        events,
+        orders,
+        left_key="user_id",
+        right_key="k",
+        left_ts="ts",
+        right_ts="t",
+        payload_cols=["asof_orderkey", "asof_totalprice", "asof_t"],
+    )
+    fresh = F.col("asof_t") >= F.col("ts") - F.expr(
+        f"INTERVAL {ASOF_TOLERANCE_DAYS} DAY"
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(fresh, F.col("asof_orderkey")).alias("asof_orderkey"),
+        F.when(fresh, F.col("asof_totalprice")).alias("asof_totalprice"),
+        F.coalesce(fresh, F.lit(False)).alias("is_fresh"),
+    )
