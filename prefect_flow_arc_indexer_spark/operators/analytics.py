@@ -470,3 +470,42 @@ def q_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("statuses"),
         F.count("*").alias("n_orders"),
     )
+
+
+@register(
+    "q_mom_growth",
+    oracle="""WITH monthly AS (
+  SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM orders GROUP BY date_trunc('month', o_orderdate)
+)
+SELECT month, revenue,
+       round(revenue / lag(revenue) OVER (ORDER BY month) - 1, 6)
+           AS mom_growth
+  FROM monthly
+""",
+    doc="month-over-month growth: the fact table pre-aggregates to "
+    "|months| rows (exact decimal sums), then lag/pct-change runs over "
+    "that tiny frame — the window's single-partition sort is over months, "
+    "never rows, so the time-series shape costs one partial-then-final "
+    "agg at any scale; month surfaced as ISO string for date parity",
+)
+def q_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias(
+            "month"
+        )
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("revenue")
+    )
+    prev = F.lag("revenue").over(Window.orderBy("month"))
+    return monthly.select(
+        "month",
+        "revenue",
+        F.round(F.col("revenue") / prev - 1, 6).alias("mom_growth"),
+    )

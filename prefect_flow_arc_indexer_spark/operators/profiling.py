@@ -437,3 +437,67 @@ def q_skew_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(share * F.col("n_keys"), 6).alias("skew_factor"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# one-pass column profiler
+# --------------------------------------------------------------------------
+@register(
+    "q_column_profile",
+    oracle="""WITH m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(count(o_custkey) AS BIGINT) AS nn_cust,
+         CAST(count(DISTINCT o_custkey) AS BIGINT) AS nd_cust,
+         CAST(min(o_custkey) AS VARCHAR) AS min_cust,
+         CAST(max(o_custkey) AS VARCHAR) AS max_cust,
+         CAST(count(o_orderstatus) AS BIGINT) AS nn_status,
+         CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS nd_status,
+         CAST(min(o_orderstatus) AS VARCHAR) AS min_status,
+         CAST(max(o_orderstatus) AS VARCHAR) AS max_status,
+         CAST(count(o_totalprice) AS BIGINT) AS nn_price,
+         CAST(count(DISTINCT o_totalprice) AS BIGINT) AS nd_price,
+         CAST(round(min(o_totalprice), 2) AS VARCHAR) AS min_price,
+         CAST(round(max(o_totalprice), 2) AS VARCHAR) AS max_price
+    FROM orders
+)
+SELECT c.col_name, m.n AS n_rows, c.n_nonnull, c.n_distinct,
+       c.min_value, c.max_value
+  FROM m, LATERAL (VALUES
+    ('o_custkey',     m.nn_cust,   m.nd_cust,   m.min_cust,   m.max_cust),
+    ('o_orderstatus', m.nn_status, m.nd_status, m.min_status, m.max_status),
+    ('o_totalprice',  m.nn_price,  m.nd_price,  m.min_price,  m.max_price)
+  ) AS c(col_name, n_nonnull, n_distinct, min_value, max_value)
+""",
+    doc="one-pass column profiler: per-column non-null/distinct counts and "
+    "min/max (stringified across types) for a table, ALL columns profiled "
+    "in a single scan + single aggregate (the describe/ANALYZE-statistics "
+    "shape), unpivoted to one verdict row per column — adding columns "
+    "adds agg expressions, never extra scans",
+)
+def q_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    m = o.agg(
+        F.count("*").alias("n"),
+        F.count("o_custkey").alias("nn_cust"),
+        F.count_distinct("o_custkey").alias("nd_cust"),
+        F.min("o_custkey").cast("string").alias("min_cust"),
+        F.max("o_custkey").cast("string").alias("max_cust"),
+        F.count("o_orderstatus").alias("nn_status"),
+        F.count_distinct("o_orderstatus").alias("nd_status"),
+        F.min("o_orderstatus").cast("string").alias("min_status"),
+        F.max("o_orderstatus").cast("string").alias("max_status"),
+        F.count("o_totalprice").alias("nn_price"),
+        F.count_distinct("o_totalprice").alias("nd_price"),
+        F.round(F.min("o_totalprice"), 2).cast("string").alias("min_price"),
+        F.round(F.max("o_totalprice"), 2).cast("string").alias("max_price"),
+    )
+    return m.selectExpr(
+        "n AS n_rows",
+        """stack(3,
+           'o_custkey',     nn_cust,   nd_cust,   min_cust,   max_cust,
+           'o_orderstatus', nn_status, nd_status, min_status, max_status,
+           'o_totalprice',  nn_price,  nd_price,  min_price,  max_price
+        ) AS (col_name, n_nonnull, n_distinct, min_value, max_value)"""
+    ).select(
+        "col_name", "n_rows", "n_nonnull", "n_distinct", "min_value", "max_value"
+    )
