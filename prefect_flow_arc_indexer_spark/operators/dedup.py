@@ -754,3 +754,106 @@ SELECT count(*) AS n_true,
 
 
 _register_lsh_recall()
+
+
+# --------------------------------------------------------------------------
+# incremental dedup: new batch vs existing corpus
+# --------------------------------------------------------------------------
+def _register_dedup_incremental():
+    """The daily-crawl production shape: dedup an incoming batch against the
+    STANDING corpus (and within itself) without re-deduping the corpus.
+    Membership comes from the engine-stable salted hash (a stand-in for the
+    'already ingested' flag a real pipeline reads from its manifest)."""
+    from prefect_flow_arc_indexer_spark.operators.sampling import _dd_bucket
+    from prefect_flow_arc_indexer_spark.plans.registry import _REGISTRY
+
+    CORPUS_SALT = "corpus:"
+    EXISTING_PCT = 80
+    cand_sql = _REGISTRY["q_dedup_minhash"].oracle
+    oracle = f"""WITH cand AS (SELECT * FROM ({cand_sql})),
+mem AS (
+  SELECT doc_id, ({_dd_bucket(CORPUS_SALT)}) < {EXISTING_PCT} AS is_existing
+    FROM documents
+),
+edges AS (
+  SELECT c.doc_b AS new_id, c.doc_a AS partner
+    FROM cand c JOIN mem mb ON mb.doc_id = c.doc_b
+   WHERE NOT mb.is_existing
+  UNION ALL
+  SELECT c.doc_a, c.doc_b
+    FROM cand c
+    JOIN mem ma ON ma.doc_id = c.doc_a
+    JOIN mem mb2 ON mb2.doc_id = c.doc_b
+   WHERE NOT ma.is_existing AND mb2.is_existing
+),
+verdict AS (SELECT new_id, min(partner) AS dup_of FROM edges GROUP BY new_id)
+SELECT m.doc_id,
+       v.dup_of IS NOT NULL AS is_dup,
+       v.dup_of
+  FROM mem m LEFT JOIN verdict v ON v.new_id = m.doc_id
+ WHERE NOT m.is_existing
+"""
+
+    @register(
+        "q_dedup_incremental",
+        oracle=oracle,
+        doc="incremental dedup (the daily-crawl pattern): LSH-dedup an "
+        "incoming batch against the standing corpus AND itself, without "
+        "re-deduping the corpus — existing docs always win as keepers, "
+        "within-batch ties keep the smallest id; candidate generation is "
+        "the same banded equi-join as q_dedup_minhash, so at 100 TB the "
+        "standing corpus contributes only its (precomputable, mergeable) "
+        "band buckets, never a rescan of its text",
+    )
+    def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from prefect_flow_arc_indexer_spark.operators.sampling import (
+            split_bucket,
+        )
+
+        docs = load_table(spark, sf_dir, "documents", fan_out=True)
+        mem = docs.select(
+            "doc_id",
+            (split_bucket(F.col("doc_id"), CORPUS_SALT) < EXISTING_PCT).alias(
+                "is_existing"
+            ),
+        )
+        pairs = lsh_candidate_pairs(minhash_signature(docs))
+        p = (
+            pairs.join(
+                mem.select(
+                    F.col("doc_id").alias("doc_a"),
+                    F.col("is_existing").alias("a_existing"),
+                ),
+                "doc_a",
+            )
+            .join(
+                mem.select(
+                    F.col("doc_id").alias("doc_b"),
+                    F.col("is_existing").alias("b_existing"),
+                ),
+                "doc_b",
+            )
+        )
+        edges = (
+            p.where(~F.col("b_existing"))
+            .select(F.col("doc_b").alias("new_id"), F.col("doc_a").alias("partner"))
+            .unionByName(
+                p.where(~F.col("a_existing") & F.col("b_existing")).select(
+                    F.col("doc_a").alias("new_id"),
+                    F.col("doc_b").alias("partner"),
+                )
+            )
+        )
+        verdict = edges.groupBy("new_id").agg(F.min("partner").alias("dup_of"))
+        return (
+            mem.where(~F.col("is_existing"))
+            .join(verdict, F.col("doc_id") == F.col("new_id"), "left")
+            .select(
+                "doc_id",
+                F.col("dup_of").isNotNull().alias("is_dup"),
+                "dup_of",
+            )
+        )
+
+
+_register_dedup_incremental()
