@@ -67,3 +67,29 @@ def test_mixture_weights_rates_bounded_and_shares_sum_to_one(spark):
     assert abs(sum(r["share"] for r in rows) - 1.0) < 1e-3
     for r in rows:
         assert 0.0 < r["sample_rate"] <= 1.0
+
+
+def test_dedup_incremental_invariants(spark):
+    """Existing docs never appear in the verdict; every within-batch dup
+    points at a smaller id or an existing keeper; verdict covers exactly
+    the new slice."""
+    from prefect_flow_arc_indexer_spark.operators.sampling import split_bucket
+
+    out = all_queries()["q_dedup_incremental"].builder(spark, SF_DIR)
+    rows = out.collect()
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    mem = {
+        r["doc_id"]: r["e"]
+        for r in docs.select(
+            "doc_id",
+            (split_bucket(F.col("doc_id"), "corpus:") < 80).alias("e"),
+        ).collect()
+    }
+    new_ids = {d for d, e in mem.items() if not e}
+    assert {r["doc_id"] for r in rows} == new_ids
+    for r in rows:
+        if r["is_dup"]:
+            partner = r["dup_of"]
+            assert mem[partner] or partner < r["doc_id"]
+        else:
+            assert r["dup_of"] is None
