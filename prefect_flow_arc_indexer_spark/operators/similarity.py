@@ -669,3 +669,56 @@ SELECT e.query_id,
 
 
 _register_ivf_recall()
+
+
+# --------------------------------------------------------------------------
+# cluster-separation diagnostics: pairwise centroid cosine
+# --------------------------------------------------------------------------
+@register(
+    "q_centroid_similarity",
+    oracle="""WITH comp AS (
+  SELECT label, i,
+         sum(CAST(round((embedding::DOUBLE[])[i] * 1000000) AS BIGINT)) AS s,
+         count(*) AS n
+    FROM embeddings CROSS JOIN range(1, 65) t(i)
+   GROUP BY label, i
+),
+cent AS (
+  SELECT label, list(CAST(s AS DOUBLE) / n ORDER BY i) AS centroid
+    FROM comp GROUP BY label
+)
+SELECT a.label AS label_a, b.label AS label_b,
+       round((list_aggregate(list_transform(generate_series(1, len(a.centroid)), i -> (a.centroid::DOUBLE[])[i] * (b.centroid::DOUBLE[])[i]), 'sum'))
+             / ((sqrt(list_aggregate(list_transform(a.centroid::DOUBLE[], x -> x * x), 'sum')))
+                * (sqrt(list_aggregate(list_transform(b.centroid::DOUBLE[], x -> x * x), 'sum')))),
+             6) AS cos_sim
+  FROM cent a JOIN cent b ON a.label < b.label
+""",
+    doc="cluster-separation diagnostics: pairwise cosine between the "
+    "per-label centroids — the post-clustering health check (centroids "
+    "too similar => merge cells / retrain). Centroids are the same "
+    "engine-stable quantized means the IVF index trains on; the pairwise "
+    "stage is a k x k self-join of a k-row frame, so the corpus "
+    "contributes exactly one (label, pos) aggregation scan",
+)
+def q_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings", fan_out=True).select(
+        "label", "embedding"
+    )
+    cent = ivf_centroids(e)
+    a = cent.select(
+        F.col("label").alias("label_a"), F.col("centroid").alias("cent_a")
+    )
+    b = cent.select(
+        F.col("label").alias("label_b"), F.col("centroid").alias("cent_b")
+    )
+    return (
+        a.join(F.broadcast(b), F.col("label_a") < F.col("label_b"))
+        .select(
+            "label_a",
+            "label_b",
+            F.round(
+                cosine_similarity(F.col("cent_a"), F.col("cent_b")), 6
+            ).alias("cos_sim"),
+        )
+    )
