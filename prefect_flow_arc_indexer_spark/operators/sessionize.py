@@ -100,3 +100,37 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+RATE_WINDOW_SEC = 3600
+
+
+@register(
+    "q_rolling_event_rate",
+    oracle=f"""SELECT event_id, user_id,
+       count(*) OVER (PARTITION BY user_id
+                      ORDER BY CAST(epoch(ts) AS BIGINT)
+                      RANGE BETWEEN {RATE_WINDOW_SEC} PRECEDING
+                                AND CURRENT ROW) AS events_last_hour
+  FROM events
+""",
+    doc="sliding event rate: per user, events in the trailing hour via a "
+    "RANGE frame over epoch seconds (value-based, so irregular event "
+    "spacing is handled exactly — a ROWS frame would be wrong) — the "
+    "rate-limiter / burst-detection feature; one shuffle on user_id, the "
+    "frame scan is per-user-ordered and O(events in window) per row",
+)
+def q_rolling_event_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-RATE_WINDOW_SEC, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count("*").over(w).alias("events_last_hour"),
+    )
