@@ -802,3 +802,55 @@ def q_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("cramers_v"),
     )
+
+
+# --------------------------------------------------------------------------
+# Zipf rank-frequency fit
+# --------------------------------------------------------------------------
+ZIPF_TOP_N = 30
+
+
+@register(
+    "q_zipf_fit",
+    oracle=f"""WITH {_TOKS_CTE},
+stream AS (SELECT t.term FROM toks, unnest(tok) AS t(term)),
+freq AS (SELECT term, CAST(count(*) AS BIGINT) AS n FROM stream GROUP BY term),
+ranked AS (
+  SELECT term, n,
+         row_number() OVER (ORDER BY n DESC, term ASC) AS rnk
+    FROM freq
+)
+SELECT CAST(count(*) AS BIGINT) AS n_terms,
+       round(regr_slope(ln(CAST(n AS DOUBLE)), ln(CAST(rnk AS DOUBLE))), 6)
+           AS zipf_slope,
+       round(regr_r2(ln(CAST(n AS DOUBLE)), ln(CAST(rnk AS DOUBLE))), 6)
+           AS fit_r2
+  FROM ranked WHERE rnk <= {ZIPF_TOP_N}
+""",
+    doc=f"Zipf rank-frequency fit: ln(freq) ~ ln(rank) regression slope "
+    f"over the top-{ZIPF_TOP_N} terms (natural corpora sit near -1; "
+    "word-salad or boilerplate-heavy corpora deviate) — a one-number "
+    "corpus health check; term counts are exact, the rank order is fully "
+    "tie-broken, and the regression runs over a "
+    f"{ZIPF_TOP_N}-row frame",
+)
+def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    stream = docs.where(F.col("text").isNotNull()).select(
+        F.explode(tokens(F.col("text"))).alias("term")
+    )
+    freq = stream.groupBy("term").agg(F.count("*").alias("n"))
+    ranked = freq.select(
+        "term",
+        "n",
+        F.row_number()
+        .over(Window.orderBy(F.col("n").desc(), F.col("term").asc()))
+        .alias("rnk"),
+    ).where(F.col("rnk") <= ZIPF_TOP_N)
+    ln_n = F.log(F.col("n").cast("double"))
+    ln_r = F.log(F.col("rnk").cast("double"))
+    return ranked.agg(
+        F.count("*").alias("n_terms"),
+        F.round(F.regr_slope(ln_n, ln_r), 6).alias("zipf_slope"),
+        F.round(F.regr_r2(ln_n, ln_r), 6).alias("fit_r2"),
+    )

@@ -192,3 +192,48 @@ def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(rate, 6).alias("sample_rate"),
         )
     )
+
+
+@register(
+    "q_interarrival",
+    oracle="""WITH gaps AS (
+  SELECT user_id,
+         (epoch_us(ts) - lag(epoch_us(ts))
+             OVER (PARTITION BY user_id ORDER BY ts, event_id))
+         // 1000000 AS gap_s
+    FROM events
+)
+SELECT user_id,
+       CAST(count(gap_s) AS BIGINT) AS n_gaps,
+       CAST(min(gap_s) AS BIGINT) AS min_gap_s,
+       CAST(quantile_disc(gap_s, 0.5) AS BIGINT) AS median_gap_s,
+       CAST(max(gap_s) AS BIGINT) AS max_gap_s
+  FROM gaps WHERE gap_s IS NOT NULL
+ GROUP BY user_id
+""",
+    doc="inter-arrival profile: per-user event gap statistics (min/median/"
+    "max seconds) from one user_id window sort — the burstiness feature "
+    "behind bot detection and session-gap tuning; all-integer seconds, "
+    "discrete median so no interpolation drift",
+)
+def q_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # integer MICROsecond epochs: unix_timestamp() truncates to seconds
+    # while DuckDB's epoch() rounds — micros are exact on both engines,
+    # floor-divided to whole seconds identically
+    epoch = F.unix_micros("ts")
+    gaps = ev.select(
+        "user_id",
+        F.floor((epoch - F.lag(epoch).over(w)) / 1_000_000)
+        .cast("long")
+        .alias("gap_s"),
+    ).where(F.col("gap_s").isNotNull())
+    return gaps.groupBy("user_id").agg(
+        F.count("gap_s").alias("n_gaps"),
+        F.min("gap_s").alias("min_gap_s"),
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY gap_s)")
+        .cast("long")
+        .alias("median_gap_s"),
+        F.max("gap_s").alias("max_gap_s"),
+    )
