@@ -237,3 +237,89 @@ def q_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("median_gap_s"),
         F.max("gap_s").alias("max_gap_s"),
     )
+
+
+AB_SALT = "exp1:"
+AB_CONV_VALUE = 150  # 'big purchase' conversion threshold (~45% of users)
+
+
+@register(
+    "q_abtest_lift",
+    oracle=f"""WITH assign AS (
+  SELECT user_id,
+         CASE WHEN (CAST('0x' || substr(md5('{AB_SALT}' || CAST(user_id AS VARCHAR)), 1, 7) AS BIGINT) % 100) < 50
+              THEN 'A' ELSE 'B' END AS grp,
+         max(CASE WHEN event_type = 'purchase' AND value > 150
+                  THEN 1 ELSE 0 END) AS conv
+    FROM events GROUP BY user_id
+),
+g AS (
+  SELECT grp, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(conv) AS BIGINT) AS conversions
+    FROM assign GROUP BY grp
+),
+w AS (
+  SELECT max(CASE WHEN grp = 'A' THEN n END) AS na,
+         max(CASE WHEN grp = 'A' THEN conversions END) AS ca,
+         max(CASE WHEN grp = 'B' THEN n END) AS nb,
+         max(CASE WHEN grp = 'B' THEN conversions END) AS cb
+    FROM g
+)
+SELECT na, ca, nb, cb,
+       round(CAST(cb AS DOUBLE) / nb - CAST(ca AS DOUBLE) / na, 6) AS lift,
+       round((CAST(cb AS DOUBLE) / nb - CAST(ca AS DOUBLE) / na)
+             / sqrt((CAST(ca + cb AS DOUBLE) / (na + nb))
+                    * (1 - CAST(ca + cb AS DOUBLE) / (na + nb))
+                    * (1.0 / na + 1.0 / nb)), 6) AS z_score
+  FROM w
+""",
+    doc="A/B experiment readout: users deterministically assigned to arms "
+    "by the salted id hash (reproducible across runs and cluster sizes — "
+    "the assignment IS the experiment's identity), per-user conversion "
+    "collapsed first so heavy users can't double-count, then the "
+    "two-proportion pooled z-test — all counts exact integers, the test "
+    "statistic one rounded expression over a 2-row frame",
+)
+def q_abtest_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from prefect_flow_arc_indexer_spark.functions.hashing import stable_hash
+
+    ev = load_table(spark, sf_dir, "events")
+    bucket = (
+        stable_hash(F.concat(F.lit(AB_SALT), F.col("user_id").cast("string")))
+        % 100
+    )
+    assign = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("value") > AB_CONV_VALUE),
+                1,
+            ).otherwise(0)
+        ).alias("conv"),
+        F.first(F.when(bucket < 50, "A").otherwise("B")).alias("grp"),
+    )
+    g = assign.groupBy("grp").agg(
+        F.count("*").alias("n"), F.sum("conv").cast("long").alias("conversions")
+    )
+    w = g.agg(
+        F.max(F.when(F.col("grp") == "A", F.col("n"))).alias("na"),
+        F.max(F.when(F.col("grp") == "A", F.col("conversions"))).alias("ca"),
+        F.max(F.when(F.col("grp") == "B", F.col("n"))).alias("nb"),
+        F.max(F.when(F.col("grp") == "B", F.col("conversions"))).alias("cb"),
+    )
+    ra = F.col("ca").cast("double") / F.col("na")
+    rb = F.col("cb").cast("double") / F.col("nb")
+    pooled = (F.col("ca") + F.col("cb")).cast("double") / (
+        F.col("na") + F.col("nb")
+    )
+    se = F.sqrt(
+        pooled * (1 - pooled) * (1.0 / F.col("na") + 1.0 / F.col("nb"))
+    )
+    return w.select(
+        "na",
+        "ca",
+        "nb",
+        "cb",
+        F.round(rb - ra, 6).alias("lift"),
+        F.round((rb - ra) / se, 6).alias("z_score"),
+    )
