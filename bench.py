@@ -5,6 +5,12 @@ JSON line:
     {"metric": "total_wall_sec", "value": N, "unit": "sec",
      "queries": {name: sec, ...}, "sf": "sf0.1"}
 
+The recorder keeps only the LAST ~2000 characters of stdout, so the final
+line must fit that window: per-query detail is budget-capped (a fixed
+headline set — the round-1 benchmark keys, for cross-round comparability —
+then the slowest of the rest), `value` still sums ALL queries, and the
+complete per-query map goes to bench_full.json beside this script.
+
 Each query is materialized through the `noop` sink (full execution, no
 driver-side collect), which is the honest per-query wall-clock for a write-
 terminated pipeline. Before timing, every query runs once untimed at the
@@ -28,10 +34,51 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 from prefect_flow_arc_indexer_spark.plans import all_queries
 from prefect_flow_arc_indexer_spark.session import get_spark
 
+# Names always reported per-query (the round-1 benchmark's key set), so the
+# same keys stay comparable across every recorded round.
+_HEADLINE = (
+    "q_anti_join_cleanup q_approx_distinct q_asof_join q_count_active "
+    "q_count_reconcile q_count_updated q_cube_revenue q_dedup_apply "
+    "q_dedup_components q_dedup_embedding q_dedup_exact q_dedup_minhash "
+    "q_dedup_simhash q_distinct_indexes q_doc_actions q_doc_actions_full "
+    "q_doc_charlen q_doc_fingerprint q_dup_alias_having q_dup_alias_semi "
+    "q_events_hourly q_frame_sample q_full_select q_geomean_value "
+    "q_incremental_select q_index_name q_index_order q_json_extract "
+    "q_kmeans q_knn_blocked q_knn_cosine q_knn_ivf q_knn_lsh q_lang_id "
+    "q_lower_ids q_market_revenue q_minhash_verified q_multimodal_meta "
+    "q_ngram_jaccard q_order_priority q_percentiles q_pivot_revenue "
+    "q_pricing_summary q_range_join q_returned_top_customers "
+    "q_rollup_revenue q_schema_probe q_session_window q_set_ops "
+    "q_stratified_sample q_text_quality q_token_count "
+    "q_top_parts_by_supplier q_topk_tail q_train_split q_window_suite"
+).split()
+
+# Keep the printed line comfortably inside the recorder's 2000-char tail
+# window (round-2 lesson: the full 85-query dict blew past it and the line
+# failed to parse).
+_QUERIES_CHAR_BUDGET = 1500
+
+
+def _capped(timings: dict[str, float]) -> dict[str, float]:
+    order = [n for n in _HEADLINE if n in timings]
+    order += sorted(
+        (n for n in timings if n not in set(_HEADLINE)),
+        key=lambda n: -timings[n],
+    )
+    sel: dict[str, float] = {}
+    for n in order:
+        trial = {**sel, n: round(timings[n], 2)}
+        if len(json.dumps(trial, separators=(",", ":"))) > _QUERIES_CHAR_BUDGET:
+            break
+        sel = trial
+    return sel
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    spark = get_spark("bench")
+    spark = get_spark(
+        "bench", extra_confs={"spark.ui.showConsoleProgress": "false"}
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
     # warm-up: JVM + parquet footers, then one tiny-SF run per query to pay
@@ -70,17 +117,26 @@ def main() -> None:
                 timings[name] = el
 
     total = round(sum(timings.values()), 3)
-    print(
+    sf = os.path.basename(sf_dir.rstrip("/"))
+    payload = {
+        "metric": "total_wall_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": _capped(timings),
+        "sf": sf,
+        "n_queries": len(timings),
+        "full": "bench_full.json",
+    }
+    Path(__file__).resolve().parent.joinpath("bench_full.json").write_text(
         json.dumps(
-            {
-                "metric": "total_wall_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": os.path.basename(sf_dir.rstrip("/")),
-            }
+            {"metric": "total_wall_sec", "value": total, "unit": "sec",
+             "queries": timings, "sf": sf},
+            indent=1, sort_keys=True,
         )
     )
+    line = json.dumps(payload, separators=(",", ":"))
+    assert len(line) < 1900, f"bench line too long: {len(line)}"
+    print(line)
     spark.stop()
 
 

@@ -25,13 +25,17 @@ from prefect_flow_arc_indexer_spark.sources.parquet import TABLES
 
 def _canon(df: pd.DataFrame) -> tuple[int, list[str], str, pd.DataFrame]:
     df = df[sorted(df.columns)].copy()
+    # Sort the RAW frame first — the real driver does, and its multi-column
+    # lexsort factorizes object columns, which CRASHES on unhashable cells
+    # (numpy arrays, lists, dicts). Replicating that order catches both the
+    # crash mode and any dtype-dependent sort-order divergence.
+    df = df.sort_values(list(df.columns)).reset_index(drop=True)
     for c in df.columns:
         df[c] = df[c].map(
             lambda v: "NULL"
             if v is None or (isinstance(v, float) and np.isnan(v))
             else (repr(v) if isinstance(v, float) else str(v))
         )
-    df = df.sort_values(list(df.columns)).reset_index(drop=True)
     body = "\n".join("\x1f".join(r) for r in df.itertuples(index=False))
     return (
         len(df),
