@@ -857,3 +857,149 @@ SELECT m.doc_id,
 
 
 _register_dedup_incremental()
+
+
+# --------------------------------------------------------------------------
+# SimHash banded near-dup pairs (Hamming-ball LSH over the fingerprint)
+# --------------------------------------------------------------------------
+SIMHASH_BANDS = 4
+SIMHASH_BAND_BITS = SIMHASH_BITS // SIMHASH_BANDS  # 7
+SIMHASH_HAMMING_MAX = 3
+
+
+def _dd_simhash_pairs_sql() -> str:
+    bands = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, simhash, {b} AS band_id, "
+        f"(simhash >> {b * SIMHASH_BAND_BITS}) & "
+        f"{(1 << SIMHASH_BAND_BITS) - 1} AS band_val FROM fp"
+        for b in range(SIMHASH_BANDS)
+    )
+    return f"""WITH fp AS ({_dd_simhash_sql()}),
+buckets AS (
+{bands}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.simhash AS sha, b.simhash AS shb
+    FROM buckets a JOIN buckets b
+      ON a.band_id = b.band_id AND a.band_val = b.band_val
+     AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, CAST(bit_count(xor(sha, shb)) AS BIGINT) AS hamming
+  FROM cand
+ WHERE bit_count(xor(sha, shb)) <= {SIMHASH_HAMMING_MAX}
+"""
+
+
+@register(
+    "q_simhash_pairs",
+    oracle=_dd_simhash_pairs_sql(),
+    doc="SimHash Hamming-ball near-dup pairs: the 28-bit fingerprint is "
+    "banded into 4 x 7-bit keys (pigeonhole: any pair within Hamming "
+    "distance 3 of the full fingerprint agrees exactly on at least one "
+    "band), candidates are generated bucket-locally from one shuffle on "
+    "(band_id, band_val), and verification is a single bit_count(xor) "
+    "per pair — no token re-scan in the precision stage, which is what "
+    "distinguishes this family from MinHash verify at 100 TB: the "
+    "fingerprint IS the verifier. Complements q_dedup_simhash (per-doc "
+    "fingerprints) with the pair-emitting variant.",
+)
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    fp = simhash_fingerprints(docs)
+    mask = (1 << SIMHASH_BAND_BITS) - 1
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band_id"),
+            F.shiftright("simhash", b * SIMHASH_BAND_BITS)
+            .bitwiseAND(F.lit(mask))
+            .alias("band_val"),
+        )
+        for b in range(SIMHASH_BANDS)
+    ]
+    buckets = fp.select(
+        "doc_id", "simhash", F.explode(F.array(*band_structs)).alias("bk")
+    ).select("doc_id", "simhash", "bk.band_id", "bk.band_val")
+    # one shuffle on the band key; pairs are bucket-local combinatorics over
+    # the sorted (doc_id, simhash) structs, same shape as lsh_candidate_pairs
+    grouped = (
+        buckets.groupBy("band_id", "band_val")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("doc_id", "simhash"))
+            ).alias("ids")
+        )
+        .where(F.size("ids") > 1)
+    )
+    pair_expr = F.expr(
+        "flatten(transform(ids, (x, i) -> "
+        "transform(slice(ids, i + 2, size(ids) - i - 1), "
+        "y -> struct(x.doc_id AS doc_a, y.doc_id AS doc_b, "
+        "x.simhash AS sha, y.simhash AS shb))))"
+    )
+    pairs = (
+        grouped.select(F.explode(pair_expr).alias("p"))
+        .select("p.doc_a", "p.doc_b", "p.sha", "p.shb")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sha").bitwiseXOR(F.col("shb"))).cast("bigint")
+    return pairs.select(
+        "doc_a", "doc_b", hamming.alias("hamming")
+    ).where(F.col("hamming") <= SIMHASH_HAMMING_MAX)
+
+
+# --------------------------------------------------------------------------
+# cross-source content overlap (corpus-governance diagnostics)
+# --------------------------------------------------------------------------
+OVERLAP_GRAM = 5
+
+
+@register(
+    "q_source_overlap",
+    oracle=f"""WITH toks AS (
+  SELECT doc_id, source, {dd_tokens("text")} AS tok
+    FROM documents WHERE text IS NOT NULL
+),
+gs AS (
+  SELECT DISTINCT source, unnest({dd_word_ngrams("tok", OVERLAP_GRAM)}) AS g
+    FROM toks
+),
+pairs AS (
+  SELECT a.source AS source_a, b.source AS source_b
+    FROM gs a JOIN gs b ON a.g = b.g AND a.source < b.source
+)
+SELECT source_a, source_b, count(*) AS shared_5grams
+  FROM pairs GROUP BY source_a, source_b
+""",
+    doc="cross-source content-overlap matrix: distinct (word-5-gram, source) "
+    "pairs self-joined on the gram with source_a < source_b — the "
+    "provenance-leak / mirrored-crawl diagnostic run before mixing sources "
+    "into one training corpus (the cross-SOURCE analog of benchmark "
+    "decontamination's eval-vs-corpus sweep). Scale: the shuffle carries "
+    "one row per distinct (gram, source) — the text never moves — and "
+    "per-gram fan-out is bounded by the source count (~tens), so the join "
+    "output is gram-vocabulary-bounded, not corpus-quadratic.",
+)
+def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    gs = (
+        docs.where(F.col("text").isNotNull())
+        .select("source", tokens(F.col("text")).alias("tok"))
+        .select(
+            "source",
+            F.explode(word_ngrams(F.col("tok"), OVERLAP_GRAM)).alias("g"),
+        )
+        .distinct()
+    )
+    pairs = gs.alias("a").join(
+        gs.alias("b"),
+        (F.col("a.g") == F.col("b.g")) & (F.col("a.source") < F.col("b.source")),
+    )
+    return (
+        pairs.select(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").alias("shared_5grams"))
+    )

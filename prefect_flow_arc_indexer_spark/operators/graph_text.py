@@ -224,3 +224,178 @@ def q_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg(surprisal), 6).alias("mean_surprisal"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# vocabulary coverage curve (tokenizer-budget planning)
+# --------------------------------------------------------------------------
+VOCAB_SIZES = (100, 1000, 10000)
+
+
+@register(
+    "q_vocab_coverage",
+    oracle=f"""WITH {_TOKS_CTE},
+tf AS (SELECT unnest(tok) AS w FROM toks),
+counts AS (SELECT w, count(*) AS cnt FROM tf GROUP BY w),
+ranked AS (
+  SELECT w, cnt,
+         row_number() OVER (ORDER BY cnt DESC, w) AS rnk,
+         sum(cnt) OVER (ORDER BY cnt DESC, w ROWS UNBOUNDED PRECEDING) AS cum
+    FROM counts
+),
+total AS (SELECT sum(cnt) AS total FROM counts),
+sizes AS (SELECT unnest([{", ".join(str(s) for s in VOCAB_SIZES)}]) AS vocab_size)
+SELECT s.vocab_size,
+       CAST(max(r.rnk) AS BIGINT) AS terms_used,
+       CAST(max(r.cum) AS BIGINT) AS covered_tokens,
+       round(CAST(max(r.cum) AS DOUBLE) / (SELECT total FROM total), 6)
+           AS coverage
+  FROM sizes s JOIN ranked r ON r.rnk <= s.vocab_size
+ GROUP BY s.vocab_size
+""",
+    doc="vocabulary coverage curve: fraction of the corpus token stream "
+    "covered by the top-{100,1k,10k} terms — the number that sizes a "
+    "tokenizer vocab / UNK budget before training. The global "
+    "rank+cumulative window runs over the AGGREGATED term-frequency table "
+    "(vocabulary-bounded, tie-broken by term), not the token stream: the "
+    "corpus contributes exactly one scan and one vocab-keyed shuffle, so "
+    "the single-partition window is over |vocab| rows — the standard "
+    "aggregate-then-rank shape that stays cheap at 100 TB.",
+)
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    counts = (
+        docs.where(F.col("text").isNotNull())
+        .select(F.explode(tokens(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = Window.orderBy(F.desc("cnt"), F.asc("w"))
+    ranked = counts.select(
+        "cnt",
+        F.row_number().over(w).alias("rnk"),
+        F.sum("cnt")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("cum"),
+    )
+    total = counts.agg(F.sum("cnt").alias("total"))
+    sizes = spark.createDataFrame(
+        [(s,) for s in VOCAB_SIZES], "vocab_size int"
+    )
+    at = (
+        ranked.join(F.broadcast(sizes), F.col("rnk") <= F.col("vocab_size"))
+        .groupBy("vocab_size")
+        .agg(
+            F.max("rnk").cast("bigint").alias("terms_used"),
+            F.max("cum").alias("covered_tokens"),
+        )
+    )
+    return at.crossJoin(F.broadcast(total)).select(
+        "vocab_size",
+        "terms_used",
+        "covered_tokens",
+        F.round(
+            F.col("covered_tokens").cast("double") / F.col("total"), 6
+        ).alias("coverage"),
+    )
+
+
+# --------------------------------------------------------------------------
+# PageRank over the bigram-transition term graph (iterative; rows-only)
+# --------------------------------------------------------------------------
+PAGERANK_ITERS = 5
+PAGERANK_DAMPING = 0.85
+PAGERANK_TOP_K = 25
+
+
+@register(
+    "q_pagerank",
+    oracle=None,  # iterative driver-loop algorithm (like q_kmeans): the
+    # driver applies the rows-only check; fixed-point behavior and mass
+    # conservation are pytest-asserted instead
+    doc="iterative graph algorithm surface: PageRank over the directed "
+    "term-transition graph (edge term_a -> term_b with weight = corpus "
+    "bigram count). Per iteration: one broadcast-able join of the rank "
+    "vector (|vocab| rows) onto the edge list and one shuffle keyed on the "
+    "destination term; dangling mass is folded back uniformly so total "
+    "rank stays 1. The edge list is persisted once and every iteration "
+    "reuses it — the canonical Spark iterative pattern (same family as "
+    "q_kmeans, on a graph instead of a vector space). Output: top-25 "
+    "terms by rounded rank, rank-tie-broken by term.",
+)
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from prefect_flow_arc_indexer_spark.functions.textfns import word_ngrams
+
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    edges = (
+        docs.where(F.col("text").isNotNull())
+        .select(F.explode(word_ngrams(tokens(F.col("text")), 2)).alias("b"))
+        .select(
+            F.substring_index("b", " ", 1).alias("src"),
+            F.substring_index("b", " ", -1).alias("dst"),
+        )
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("w"))
+    )
+    out_w = edges.groupBy("src").agg(F.sum("w").alias("outw"))
+    trans = (
+        edges.join(out_w, "src")
+        .select(
+            "src", "dst", (F.col("w") / F.col("outw")).alias("p")
+        )
+        .persist()
+    )
+    nodes = (
+        edges.select(F.col("src").alias("term"))
+        .union(edges.select("dst"))
+        .distinct()
+        .persist()
+    )
+    try:
+        n = nodes.count()
+        rank = nodes.select("term", F.lit(1.0 / n).alias("r"))
+        for _ in range(PAGERANK_ITERS):
+            contrib = (
+                trans.join(rank, trans.src == rank.term)
+                .select("dst", (F.col("p") * F.col("r")).alias("c"))
+                .groupBy("dst")
+                .agg(F.sum("c").alias("inflow"))
+            )
+            # dangling terms (no out-edge) leak their mass; fold it back
+            # uniformly. One scalar agg per iteration — collected to the
+            # driver like k-means centroids (truncates lineage on a 1-row
+            # result, not the rank vector).
+            dangling = (
+                rank.join(out_w, rank.term == out_w.src, "left_anti")
+                .agg(F.coalesce(F.sum("r"), F.lit(0.0)))
+                .collect()[0][0]
+            )
+            base = (1.0 - PAGERANK_DAMPING) / n + (
+                PAGERANK_DAMPING * dangling / n
+            )
+            rank = (
+                nodes.join(contrib, nodes.term == contrib.dst, "left")
+                .select(
+                    "term",
+                    (
+                        F.lit(base)
+                        + F.lit(PAGERANK_DAMPING)
+                        * F.coalesce(F.col("inflow"), F.lit(0.0))
+                    ).alias("r"),
+                )
+                .localCheckpoint(eager=False)  # truncate per-iteration lineage
+            )
+        wnd = Window.orderBy(F.desc("rq"), F.asc("term"))
+        return (
+            rank.select("term", F.round("r", 6).alias("rq"))
+            .withColumn("rank_pos", F.row_number().over(wnd))
+            .where(F.col("rank_pos") <= PAGERANK_TOP_K)
+            .select("rank_pos", "term", F.col("rq").alias("pagerank"))
+        )
+    finally:
+        trans.unpersist()
+        nodes.unpersist()

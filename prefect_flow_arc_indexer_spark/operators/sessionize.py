@@ -134,3 +134,47 @@ def q_rolling_event_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.count("*").over(w).alias("events_last_hour"),
     )
+
+
+HOP_WIDTH_US = 3600 * 1_000_000
+HOP_SLIDE_US = 900 * 1_000_000
+HOPS_PER_WINDOW = HOP_WIDTH_US // HOP_SLIDE_US  # 4
+
+
+@register(
+    "q_hopping_window",
+    oracle=f"""SELECT CAST((epoch_us(ts) // {HOP_SLIDE_US}) * {HOP_SLIDE_US}
+            - k.k * {HOP_SLIDE_US} AS BIGINT) AS win_start_us,
+       event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+  FROM events, range({HOPS_PER_WINDOW}) k(k)
+ GROUP BY 1, 2
+""",
+    doc="hopping (sliding) event-time windows: 1-hour width, 15-minute "
+    "slide, per event type — each event lands in exactly width/slide = 4 "
+    "windows. Spark's window(ts, width, slide) expands the assignment "
+    "scan-side (a 4x row multiplier BEFORE one shuffle on (window, type)); "
+    "the oracle replicates the epoch-aligned window math with a range() "
+    "cross join. Batch form of the slide-width streaming agg; tumbling "
+    "(q_events_hourly) is the slide == width special case.",
+)
+def q_hopping_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type"
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            F.unix_micros("w.start").alias("win_start_us"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
