@@ -271,6 +271,9 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.explode(tokens(F.col("text"))).alias("w"))
         .groupBy("w")
         .agg(F.count("*").alias("cnt"))
+        # one corpus scan feeds both consumers (ranked + total); without
+        # this the total-tokens aggregate re-reads the parquet lineage
+        .localCheckpoint(eager=True)
     )
     w = Window.orderBy(F.desc("cnt"), F.asc("w"))
     ranked = counts.select(

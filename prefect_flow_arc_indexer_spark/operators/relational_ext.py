@@ -581,3 +581,159 @@ def q_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_suppkey", "s_name")
         .agg(F.count("*").alias("numwait"))
     )
+
+
+@register(
+    "q_forecast_revenue",
+    oracle="""SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)
+           AS potential_revenue
+  FROM lineitem
+ WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+   AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+   AND l_discount BETWEEN 0.05 AND 0.07
+   AND l_quantity < 24
+""",
+    doc="TPC-H Q6 shape (forecast revenue change): single-table "
+    "filter-and-sum — every predicate (shipdate range, discount band, "
+    "quantity cap) reaches the parquet scan as a pushed filter, the "
+    "aggregation is a map-side partial sum over exact decimals, and the "
+    "shuffle moves exactly one partial row per partition. The canonical "
+    "'is pushdown actually working' probe: at 100 TB this query's cost "
+    "is the scan, nothing else.",
+)
+def q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(_dec("l_extendedprice") * _dec("l_discount"))
+            .cast("double")
+            .alias("potential_revenue")
+        )
+    )
+
+
+@register(
+    "q_shipmode_priority",
+    oracle="""SELECT l.l_returnflag AS ship_class,
+       CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+ WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+   AND l.l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+ GROUP BY l.l_returnflag
+""",
+    doc="TPC-H Q12 shape (shipping modes / order priority): fact-to-fact "
+    "equi-join with conditional counts split by the joined side's "
+    "priority attribute (re-keyed onto l_returnflag — the testdata has no "
+    "l_shipmode/commitdate/receiptdate; SURVEY §7 re-keying rule). The "
+    "CASE sums fold into ONE aggregate pass after the join; the shipdate "
+    "window prunes the fact scan before the shuffle, and both sides "
+    "shuffle on the orderkey they join on — no second exchange for the "
+    "tiny group-by key (AQE reuses the join output partitioning only for "
+    "same-key aggs, so the 3-group rollup is a cheap extra exchange of "
+    "partial rows, not of the joined detail).",
+)
+def q_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    ).select("l_orderkey", "l_returnflag")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(F.col("l_returnflag").alias("ship_class"))
+        .agg(
+            F.sum(F.when(is_high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(is_high, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "q_promo_part_suppliers",
+    oracle="""WITH sp AS (
+  SELECT l.l_suppkey, l.l_partkey,
+         sum(CAST(l.l_quantity AS DECIMAL(18,2))) AS supp_qty
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+   WHERE p.p_type = 'PROMO'
+     AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+     AND l.l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+   GROUP BY l.l_suppkey, l.l_partkey
+),
+pt AS (
+  SELECT l_partkey, sum(CAST(l_quantity AS DECIMAL(18,2))) AS part_qty
+    FROM lineitem
+   WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+     AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+   GROUP BY l_partkey
+)
+SELECT DISTINCT s.s_suppkey, s.s_name
+  FROM supplier s
+  JOIN sp ON sp.l_suppkey = s.s_suppkey
+  JOIN pt ON pt.l_partkey = sp.l_partkey
+ WHERE sp.supp_qty * 10 > pt.part_qty
+""",
+    doc="TPC-H Q20 shape (potential part promotion): nested semi-join "
+    "chain — suppliers who moved more than 10% of a promo-type part's "
+    "total shipped quantity in the window (re-keyed from the partsupp "
+    "availqty > 0.5*sum(qty) original: no partsupp in testdata; the "
+    "threshold stays a per-part global aggregate joined back onto the "
+    "per-(supplier, part) aggregate). Plan shape: the window-filtered "
+    "fact is aggregated TWICE at different granularities of the same "
+    "scan — (suppkey, partkey) and (partkey) — both partial-map-side; "
+    "the part filter broadcasts into the fine-grained branch, the "
+    "threshold comparison is integer-exact decimal cross-multiplication, "
+    "and the supplier dim joins last against the already-tiny verdict "
+    "set.",
+)
+def q_promo_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .select("l_suppkey", "l_partkey", "l_quantity")
+    )
+    promo = (
+        load_table(spark, sf_dir, "part")
+        .where(F.col("p_type") == "PROMO")
+        .select("p_partkey")
+    )
+    sp = (
+        li.join(F.broadcast(promo), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(_dec("l_quantity")).alias("supp_qty"))
+    )
+    pt = li.groupBy("l_partkey").agg(
+        F.sum(_dec("l_quantity")).alias("part_qty")
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    verdict = (
+        sp.join(pt.withColumnRenamed("l_partkey", "pt_partkey"),
+                F.col("l_partkey") == F.col("pt_partkey"))
+        .where(F.col("supp_qty") * 10 > F.col("part_qty"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    # the verdict set is a filtered aggregate (tiny by construction):
+    # broadcast it into the semi join so the supplier dim never shuffles
+    return s.join(
+        F.broadcast(verdict),
+        F.col("s_suppkey") == F.col("l_suppkey"),
+        "left_semi",
+    ).select("s_suppkey", "s_name")

@@ -129,3 +129,50 @@ def test_stats_merge_global_equals_direct(spark):
     assert out["ALL"]["n"] == direct["n"]
     assert abs(out["ALL"]["mean_price"] - direct["mean"]) < 1e-4
     assert abs(out["ALL"]["sd_price"] - direct["sd"]) < 1e-2
+
+
+def test_forecast_revenue_all_predicates_pushed(spark):
+    """Q6's whole cost is the scan: every predicate must reach parquet.
+    (toString truncates long PushedFilters lists, so this uses the
+    formatted explain, which prints them in full.)"""
+    df = all_queries()["q_forecast_revenue"].builder(spark, SF_DIR)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+    assert "LessThan(l_shipdate" in plan
+    assert "GreaterThanOrEqual(l_discount,0.05)" in plan
+    assert "LessThan(l_quantity,24" in plan
+    assert "SortMergeJoin" not in plan and "Exchange" in plan  # 1-row final agg
+
+
+def test_shipmode_priority_single_agg_pass(spark, duck):
+    """Q12: high+low counts must sum to the joined row count (one CASE
+    pass, no double-count), and the shipdate filter prunes the fact scan."""
+    plan = _plan(spark, "q_shipmode_priority")
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+    rows = all_queries()["q_shipmode_priority"].builder(spark, SF_DIR).collect()
+    total = sum(r["high_line_count"] + r["low_line_count"] for r in rows)
+    joined = duck.execute(
+        """SELECT count(*) FROM '/root/testdata/sf0.001/lineitem.parquet' l
+            JOIN '/root/testdata/sf0.001/orders.parquet' o
+              ON l.l_orderkey = o.o_orderkey
+           WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+             AND l.l_shipdate < TIMESTAMP '1997-01-01'"""
+    ).fetchone()[0]
+    assert total == joined
+
+
+def test_promo_part_suppliers_broadcasts_part_filter(spark):
+    """Q20: the promo-part filter must broadcast into the fact branch (the
+    fine-grained agg), never shuffle the part table."""
+    df = all_queries()["q_promo_part_suppliers"].builder(spark, SF_DIR)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "EqualTo(p_type,PROMO)" in plan
+    assert "SortMergeJoin" not in plan
