@@ -123,6 +123,30 @@ def stream_hourly_counts(events: DataFrame) -> DataFrame:
     )
 
 
+def stream_hopping_counts(events: DataFrame) -> DataFrame:
+    """Watermarked hopping-window agg (streaming q_hopping_window): 1-hour
+    width sliding by 15 minutes. Same state-store shape as the tumbling
+    variant, but each event updates width/slide = 4 window panes — the
+    state-size multiplier a capacity plan must budget for; eviction is
+    still watermark-driven per pane."""
+    return (
+        events.withWatermark("ts", "2 hours")
+        .groupBy("event_type", F.window("ts", "1 hour", "15 minutes"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            "event_type",
+            F.col("window.start").alias("win_start"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
 _STATE_SCHEMA = StructType(
     [StructField("n", LongType()), StructField("total", DoubleType())]
 )

@@ -498,3 +498,54 @@ def test_stream_stream_outer_join_flushes_unmatched(spark, tmp_path):
     q.awaitTermination(180)
     pairs = sorted((r["click_id"], r["purchase_id"]) for r in out)
     assert pairs == [(100, 200), (101, None), (199, 299)]
+
+
+def test_stream_hopping_counts_matches_batch(spark, tmp_path):
+    """availableNow hopping-window stream == the batch q_hopping_window on
+    every window the watermark has closed; each event updates 4 panes."""
+    from prefect_flow_arc_indexer_spark.operators.sessionize import (
+        q_hopping_window,
+    )
+    from prefect_flow_arc_indexer_spark.sources.parquet import load_table
+
+    sf = "/root/testdata/sf0.001"
+    staged = str(tmp_path / "events_stream_hop")
+    load_table(spark, sf, "events").write.parquet(staged)
+    stream = spark.readStream.schema(
+        load_table(spark, sf, "events").schema
+    ).parquet(staged)
+    out_dir = str(tmp_path / "out_hop")
+    q = (
+        jobs.stream_hopping_counts(stream)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "ckpt_hop"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r.event_type, r.win_start, r.n_events, r.total_value)
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    batch = (
+        q_hopping_window(spark, sf)
+        .withColumn("win_start", F.timestamp_micros("win_start_us"))
+        .select("event_type", "win_start", "n_events", "total_value")
+        .collect()
+    )
+    all_batch = {
+        (r.event_type, r.win_start, r.n_events, r.total_value) for r in batch
+    }
+    max_ts = load_table(spark, sf, "events").agg(F.max("ts")).first()[0]
+    from datetime import timedelta
+
+    want_closed = {
+        t
+        for t in all_batch
+        # pane end = start + 1h; emitted once watermark (max_ts - 2h) passes
+        if t[1] + timedelta(hours=3) <= max_ts
+    }
+    assert want_closed <= got
+    assert got <= all_batch
