@@ -293,3 +293,88 @@ def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resize_media(media_frame(spark, sf_dir)).select(
         "doc_id", "n_bytes", "resized_bytes", "checksum"
     )
+
+
+# --------------------------------------------------------------------------
+# audio energy: windowed RMS over PCM-style samples (the audio path)
+# --------------------------------------------------------------------------
+AUDIO_WINDOW = 64  # samples per analysis window (full windows only)
+ENERGY_SCHEMA = "doc_id long, window_idx long, rms double, peak int"
+
+
+def _audio_energy_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
+    for pdf in batches:
+        out: dict[str, list] = {"doc_id": [], "window_idx": [], "rms": [], "peak": []}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            samples = np.frombuffer(payload, dtype=np.uint8)
+            n_full = len(samples) // AUDIO_WINDOW
+            if n_full == 0:
+                continue
+            wins = samples[: n_full * AUDIO_WINDOW].reshape(
+                n_full, AUDIO_WINDOW
+            )
+            # exact integer sum of squares, ONE double division + sqrt:
+            # bit-identical to the oracle's sum(v*v)/w formulation
+            ss = (wins.astype(np.int64) ** 2).sum(axis=1)
+            rms = np.round(np.sqrt(ss / float(AUDIO_WINDOW)), 6)
+            out["doc_id"].extend([doc_id] * n_full)
+            out["window_idx"].extend(range(n_full))
+            out["rms"].extend(rms.tolist())
+            out["peak"].extend(wins.max(axis=1).astype(int).tolist())
+        yield pd.DataFrame(out)
+
+
+def audio_energy(media: DataFrame) -> DataFrame:
+    """Per-window RMS energy + peak over the payload interpreted as 8-bit
+    PCM samples — the silence-trim / voice-activity primitive of an audio
+    training pipeline. Arrow-batched mapInPandas: the payload crosses into
+    Python once per batch, windows are vectorized numpy, and the output is
+    narrow typed rows (the huge payload column dies at this boundary, so
+    everything downstream shuffles features, not media)."""
+    return media.where(F.col("media_type") == "audio/wav").mapInPandas(
+        _audio_energy_batches, schema=ENERGY_SCHEMA
+    )
+
+
+@register(
+    "q_audio_energy",
+    # audio rows are doc_id % 3 == 1 (media_frame routing); ASCII text makes
+    # char codes == payload bytes, so the oracle reconstructs the sample
+    # stream with unicode(substr(...)) and replicates the exact integer
+    # sum-of-squares -> one double division -> sqrt -> round pipeline.
+    oracle=f"""WITH m AS (
+  SELECT doc_id, text FROM documents
+   WHERE text IS NOT NULL AND regexp_matches(text, '^[\\x00-\\x7f]*$')
+     AND doc_id % 3 = 1
+),
+b AS (
+  SELECT doc_id,
+         CAST((i - 1) // {AUDIO_WINDOW} AS BIGINT) AS window_idx,
+         ascii(substr(text, CAST(i AS INT), 1)) AS v
+    FROM (SELECT doc_id, text,
+                 unnest(generate_series(1, length(text))) AS i
+            FROM m)
+),
+w AS (
+  SELECT doc_id, window_idx,
+         count(*) AS n, sum(v * v) AS ss, max(v) AS peak
+    FROM b GROUP BY doc_id, window_idx
+  HAVING count(*) = {AUDIO_WINDOW}
+)
+SELECT doc_id, window_idx,
+       round(sqrt(CAST(ss AS DOUBLE) / {AUDIO_WINDOW}.0), 6) AS rms,
+       CAST(peak AS INT) AS peak
+  FROM w
+""",
+    doc="multimodal audio path: windowed RMS energy + peak over 8-bit "
+    "PCM-style samples via Arrow-batched mapInPandas (vectorized numpy "
+    "kernel; exact integer sum-of-squares so the oracle matches "
+    "bit-for-bit). The 1 -> n_windows expansion happens scan-side and "
+    "emits narrow feature rows — the payload never shuffles.",
+)
+def q_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return audio_energy(media_frame(spark, sf_dir))

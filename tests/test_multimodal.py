@@ -41,3 +41,43 @@ def test_fake_decode_is_deterministic_and_bounded():
 def test_real_decode_is_explicit_stub():
     with pytest.raises(NotImplementedError, match="decode"):
         binary.decode_image_real(b"\x89PNG...")
+
+
+def test_audio_energy_window_math(spark):
+    """Windows are full-size only, rms is bounded by the byte range, and
+    the row count equals sum(floor(n_bytes/64)) over audio rows."""
+    from prefect_flow_arc_indexer_spark.multimodal.binary import (
+        AUDIO_WINDOW,
+        audio_energy,
+        media_frame,
+    )
+    from pyspark.sql import functions as F
+
+    media = media_frame(spark, "/root/testdata/sf0.001")
+    out = audio_energy(media).collect()
+    expected_rows = (
+        media.where(F.col("media_type") == "audio/wav")
+        .select(F.sum(F.floor(F.col("n_bytes") / AUDIO_WINDOW)))
+        .first()[0]
+    )
+    assert len(out) == expected_rows
+    for r in out:
+        assert 0.0 <= r["rms"] <= 127.0  # ASCII payload bytes
+        assert 0 <= r["peak"] <= 127
+        assert r["rms"] <= r["peak"]  # RMS never exceeds the peak sample
+
+
+def test_audio_energy_stays_arrow_batched(spark):
+    from prefect_flow_arc_indexer_spark.multimodal.binary import (
+        audio_energy,
+        media_frame,
+    )
+
+    plan = (
+        audio_energy(media_frame(spark, "/root/testdata/sf0.001"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "MapInPandas" in plan
+    assert "BatchEvalPython" not in plan  # no row-at-a-time Python
