@@ -96,3 +96,18 @@ def test_pagerank_mass_and_determinism(spark):
     assert all(r["pagerank"] > 0 for r in a)
     assert sum(r["pagerank"] for r in a) < 1.0  # top-25 slice of mass-1 vector
     assert [r["rank_pos"] for r in a] == list(range(1, len(a) + 1))
+
+
+def test_pca_power_invariants(spark):
+    """Deterministic fixed-iteration power method: unit-norm loadings,
+    positive eigenvalue estimate, sign-normalized first coordinate, and
+    bit-identical across runs."""
+    a = _run("q_pca_power", spark).collect()
+    b = _run("q_pca_power", spark).collect()
+    assert [r["loading"] for r in a] == [r["loading"] for r in b]
+    norm2 = sum(r["loading"] ** 2 for r in a)
+    assert abs(norm2 - 1.0) < 1e-3  # rounded to 6dp, so not exactly 1
+    assert a[0]["eigenvalue"] > 0
+    first_nonzero = next(r["loading"] for r in a if abs(r["loading"]) > 1e-9)
+    assert first_nonzero > 0
+    assert len(a) == 64 and [r["component_idx"] for r in a] == list(range(64))
