@@ -1,0 +1,331 @@
+"""Corpus-level filtering operators — the thresholded keep/drop passes a
+training-data pipeline runs AFTER per-document scoring (extension surface;
+the reference has no corpus notion — its closest analog is the per-row
+``NOT is_deleted`` keep predicate, ``/root/reference/flows/main_flow.py:340``).
+
+What distinguishes this family from the per-doc scorers in
+``text_analysis``/``corpus_quality``: every operator here derives its
+threshold FROM THE CORPUS ITSELF (a percentile, a tercile boundary, a
+document-frequency cutoff), which at 100 TB means a global statistic must be
+computed and shipped back to every row. The scale shape is the same in all
+of them:
+
+1. reduce the corpus to a BOUNDED summary (a token-length histogram, a
+   quantized-score histogram, a gram->document-frequency table) — one
+   shuffle whose output is vocabulary/value-bounded, never corpus-sized;
+2. derive thresholds on that summary (tiny window or aggregate);
+3. broadcast the thresholds (a one-row relation) back over the corpus —
+   the verdict pass is then a shuffle-free projection.
+
+Step 2's single-partition window runs over the bounded summary only. The
+quantization step (micro-nats, integer token counts) is what keeps that
+summary bounded AND makes the arithmetic engine-stable: sums of bigints are
+accumulation-order-independent, so the DuckDB oracles match bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from prefect_flow_arc_indexer_spark.functions.textfns import (
+    dd_tokens,
+    dd_word_ngrams,
+    tokens,
+    word_ngrams,
+)
+from prefect_flow_arc_indexer_spark.plans.registry import register
+from prefect_flow_arc_indexer_spark.sources.parquet import load_table
+
+TRIM_LO_PCT = 1  # drop below the 1st token-count percentile
+TRIM_HI_PCT = 99  # and above the 99th
+SURPRISAL_QUANT = 1_000_000  # micro-nats: integer-exact per-doc sums
+BOILER_N = 3  # boilerplate gram width
+BOILER_DF = 3  # a gram present in >= this many distinct docs is boilerplate
+
+
+_DD_TOKS = f"""toks AS (
+  SELECT doc_id, {dd_tokens("text")} AS tok
+    FROM documents WHERE text IS NOT NULL
+)"""
+
+
+# --------------------------------------------------------------------------
+# corpus length-percentile trim
+# --------------------------------------------------------------------------
+@register(
+    "q_length_trim",
+    oracle=f"""WITH {_DD_TOKS},
+lens AS (SELECT doc_id, len(tok) AS n_tok FROM toks),
+hist AS (SELECT n_tok, count(*) AS c FROM lens GROUP BY n_tok),
+cum AS (SELECT n_tok, sum(c) OVER (ORDER BY n_tok) AS cum FROM hist),
+tot AS (SELECT count(*) AS n FROM lens),
+thr AS (
+  SELECT min(CASE WHEN 100 * cum >= {TRIM_LO_PCT} * n THEN n_tok END) AS lo,
+         min(CASE WHEN 100 * cum >= {TRIM_HI_PCT} * n THEN n_tok END) AS hi
+    FROM cum, tot
+)
+SELECT l.doc_id, l.n_tok, t.lo, t.hi,
+       l.n_tok BETWEEN t.lo AND t.hi AS keep
+  FROM lens l, thr t
+""",
+    doc="corpus length-percentile trim: drop the shortest 1% and longest 1% "
+    "of documents by token count. Thresholds are exact discrete percentiles "
+    "derived from the token-LENGTH HISTOGRAM (values-bounded: one row per "
+    "distinct length, never one per doc), selected with pure integer "
+    "arithmetic (100*cum >= pct*n — no float percentile drift between "
+    "engines), then broadcast back so the verdict pass is a shuffle-free "
+    "projection. The scale template for every 'cut at the pXX' filter.",
+)
+def q_length_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    lens = docs.where(F.col("text").isNotNull()).select(
+        "doc_id", F.size(tokens(F.col("text"))).alias("n_tok")
+    )
+    hist = lens.groupBy("n_tok").agg(F.count("*").alias("c"))
+    w = Window.orderBy("n_tok").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tot = hist.agg(F.sum("c").alias("n"))
+    cum = hist.select("n_tok", F.sum("c").over(w).alias("cum"))
+    thr = (
+        cum.crossJoin(F.broadcast(tot))
+        .agg(
+            F.min(
+                F.when(100 * F.col("cum") >= TRIM_LO_PCT * F.col("n"), F.col("n_tok"))
+            ).alias("lo"),
+            F.min(
+                F.when(100 * F.col("cum") >= TRIM_HI_PCT * F.col("n"), F.col("n_tok"))
+            ).alias("hi"),
+        )
+    )
+    return lens.crossJoin(F.broadcast(thr)).select(
+        "doc_id",
+        "n_tok",
+        "lo",
+        "hi",
+        F.col("n_tok").between(F.col("lo"), F.col("hi")).alias("keep"),
+    )
+
+
+# --------------------------------------------------------------------------
+# CCNet-style perplexity terciles (head / middle / tail)
+# --------------------------------------------------------------------------
+@register(
+    "q_ccnet_buckets",
+    oracle=f"""WITH {_DD_TOKS},
+stream AS (SELECT doc_id, t.term FROM toks, unnest(tok) AS t(term)),
+freq AS (SELECT term, count(*) AS n FROM stream GROUP BY term),
+tot AS (SELECT count(*) AS total FROM stream),
+scores AS (
+  SELECT s.doc_id,
+         CAST(sum(CAST(round(-ln(CAST(f.n AS DOUBLE) / tot.total)
+                             * {SURPRISAL_QUANT}) AS BIGINT)) // count(*)
+              AS BIGINT) AS score_micronat
+    FROM stream s JOIN freq f ON f.term = s.term, tot
+   GROUP BY s.doc_id
+),
+shist AS (SELECT score_micronat AS sc, count(*) AS c FROM scores GROUP BY sc),
+scum AS (SELECT sc, sum(c) OVER (ORDER BY sc) AS cum FROM shist),
+sd AS (SELECT count(*) AS d FROM scores),
+thr AS (
+  SELECT min(CASE WHEN 3 * cum >= d THEN sc END) AS t1,
+         min(CASE WHEN 3 * cum >= 2 * d THEN sc END) AS t2
+    FROM scum, sd
+)
+SELECT s.doc_id, s.score_micronat,
+       CASE WHEN s.score_micronat <= t.t1 THEN 'head'
+            WHEN s.score_micronat <= t.t2 THEN 'middle'
+            ELSE 'tail' END AS bucket
+  FROM scores s, thr t
+""",
+    doc="CCNet-style quality terciles: each document's mean unigram "
+    "surprisal (the cheap perplexity proxy, as in q_unigram_surprisal) "
+    "places it in the head / middle / tail third of the corpus — the split "
+    "CCNet uses to stage training data by LM quality. Engine-stable by "
+    "construction: per-token surprisal is quantized to integer micro-nats "
+    "BEFORE summing (bigint sums are accumulation-order-independent; a "
+    "float mean could flip a tercile boundary between engines), and the "
+    "tercile cutoffs come from the quantized-score histogram with integer "
+    "rank arithmetic (3*cum >= d). Scale: model fit and histogram are both "
+    "vocab/value-bounded aggregates; cutoffs broadcast back, so the corpus "
+    "is scanned twice (fit + score) and the bucket verdict never shuffles. "
+    "At 100 TB the quantization step doubles as the histogram-width knob: "
+    "coarsen micro- to milli-nats if the score histogram outgrows one "
+    "threshold-stage partition.",
+)
+def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    stream = docs.where(F.col("text").isNotNull()).select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("term")
+    )
+    # one fit scan feeds both the model broadcast and the total
+    freq = (
+        stream.groupBy("term")
+        .agg(F.count("*").alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    tot = freq.agg(F.sum("n").alias("total"))
+    q6 = F.round(
+        -F.log(F.col("n").cast("double") / F.col("total")) * SURPRISAL_QUANT
+    ).cast("bigint")
+    scores = (
+        stream.join(F.broadcast(freq), "term")
+        .join(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(F.sum(q6).alias("sq"), F.count("*").alias("nt"))
+        .select("doc_id", F.expr("sq div nt").alias("score_micronat"))
+    )
+    shist = scores.groupBy(F.col("score_micronat").alias("sc")).agg(
+        F.count("*").alias("c")
+    )
+    w = Window.orderBy("sc").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sd = shist.agg(F.sum("c").alias("d"))
+    scum = shist.select("sc", F.sum("c").over(w).alias("cum"))
+    thr = scum.crossJoin(F.broadcast(sd)).agg(
+        F.min(F.when(3 * F.col("cum") >= F.col("d"), F.col("sc"))).alias("t1"),
+        F.min(F.when(3 * F.col("cum") >= 2 * F.col("d"), F.col("sc"))).alias(
+            "t2"
+        ),
+    )
+    return scores.crossJoin(F.broadcast(thr)).select(
+        "doc_id",
+        "score_micronat",
+        F.when(F.col("score_micronat") <= F.col("t1"), F.lit("head"))
+        .when(F.col("score_micronat") <= F.col("t2"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+    )
+
+
+# --------------------------------------------------------------------------
+# boilerplate detection by gram document-frequency
+# --------------------------------------------------------------------------
+@register(
+    "q_boilerplate",
+    oracle=f"""WITH {_DD_TOKS},
+gs AS (
+  SELECT DISTINCT doc_id, unnest({dd_word_ngrams("tok", BOILER_N)}) AS g
+    FROM toks
+),
+df AS (SELECT g, count(*) AS d FROM gs GROUP BY g),
+per_doc AS (
+  SELECT gs.doc_id,
+         count(*) AS n_grams,
+         CAST(sum(CASE WHEN df.d >= {BOILER_DF} THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_boiler
+    FROM gs JOIN df ON df.g = gs.g
+   GROUP BY gs.doc_id
+)
+SELECT t.doc_id,
+       coalesce(p.n_grams, 0) AS n_grams,
+       coalesce(p.n_boiler, 0) AS n_boiler,
+       CASE WHEN p.n_grams > 0
+            THEN round(CAST(p.n_boiler AS DOUBLE) / p.n_grams, 6)
+            ELSE 0.0 END AS boiler_frac
+  FROM toks t LEFT JOIN per_doc p ON p.doc_id = t.doc_id
+""",
+    doc="boilerplate detection: a word-3-gram occurring in >= 3 distinct "
+    "documents is 'boilerplate' (shared header/footer/template text); each "
+    "document reports its gram count and boilerplate fraction — the "
+    "line-level C4 cleaning analog for corpora whose repeated content is "
+    "phrase- rather than line-delimited. Scale: the shuffle carries "
+    "distinct (gram, doc) pairs and the df table is gram-vocabulary-"
+    "bounded; the df join keys on the gram, the SAME key the distinct/df "
+    "aggregation just partitioned by, so Catalyst reuses the exchange "
+    "instead of re-shuffling the gram stream. The df cutoff is absolute "
+    "here; at corpus scale it becomes a fraction of n_docs — same plan, "
+    "one more broadcast scalar.",
+)
+def q_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    base = docs.where(F.col("text").isNotNull()).select(
+        "doc_id", tokens(F.col("text")).alias("tok")
+    )
+    gs = base.select(
+        "doc_id", F.explode(word_ngrams(F.col("tok"), BOILER_N)).alias("g")
+    ).distinct()
+    df = gs.groupBy("g").agg(F.count("*").alias("d"))
+    per_doc = (
+        gs.join(df, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(
+                F.when(F.col("d") >= BOILER_DF, 1).otherwise(0)
+            ).cast("long").alias("n_boiler"),
+        )
+    )
+    return (
+        base.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+            F.coalesce("n_boiler", F.lit(0)).alias("n_boiler"),
+            F.when(
+                F.col("n_grams") > 0,
+                F.round(
+                    F.col("n_boiler").cast("double") / F.col("n_grams"), 6
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("boiler_frac"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# near-dup dedup applied: the component-keeper corpus
+# --------------------------------------------------------------------------
+def _register_neardup_apply():
+    """Registered via a closure embedding the q_dedup_components oracle, so
+    the materialized output stays in lockstep with the clustering operator
+    (same pattern as q_ivf_recall / q_lsh_recall). Unlike those (same-file
+    dependencies), this one crosses modules, so the dedup module is imported
+    explicitly — registration must not depend on the registry's module
+    ordering."""
+    import prefect_flow_arc_indexer_spark.operators.dedup  # noqa: F401
+
+    from prefect_flow_arc_indexer_spark.plans.registry import _REGISTRY
+
+    cc_sql = _REGISTRY["q_dedup_components"].oracle
+    oracle = f"""SELECT d.doc_id, d.lang, d.source,
+       c.component_size AS n_dups
+  FROM ({cc_sql}) c
+  JOIN documents d ON d.doc_id = c.doc_id
+ WHERE c.doc_id = c.component_id
+"""
+
+    @register(
+        "q_neardup_apply",
+        oracle=oracle,
+        doc="near-dup dedup applied end-to-end: the corpus restricted to "
+        "connected-component keepers (min doc_id of each MinHash-LSH "
+        "near-dup cluster), carrying each keeper's cluster size — the "
+        "transitive-closure counterpart of q_dedup_apply's exact-hash "
+        "keeper filter, and the actual corpus a training pipeline ships "
+        "after near-dedup. The clustering stage is q_dedup_components "
+        "itself; applying it is one semi-join-shaped filter (keeper iff "
+        "doc_id == component_id) plus a broadcast-friendly metadata "
+        "join-back.",
+    )
+    def q_neardup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from prefect_flow_arc_indexer_spark.operators.dedup import (
+            q_dedup_components,
+        )
+
+        comp = q_dedup_components(spark, sf_dir)
+        keepers = comp.where(F.col("doc_id") == F.col("component_id")).select(
+            "doc_id", F.col("component_size").alias("n_dups")
+        )
+        docs = load_table(spark, sf_dir, "documents", fan_out=True).select(
+            "doc_id", "lang", "source"
+        )
+        return docs.join(keepers, "doc_id").select(
+            "doc_id", "lang", "source", "n_dups"
+        )
+
+
+_register_neardup_apply()

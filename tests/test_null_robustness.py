@@ -43,6 +43,9 @@ DOC_QUERIES = [
     "q_triangle_count",
     "q_bigram_surprisal",
     "q_chi_square",
+    "q_length_trim",
+    "q_ccnet_buckets",
+    "q_boilerplate",
 ]
 
 
