@@ -323,3 +323,75 @@ def q_abtest_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(rb - ra, 6).alias("lift"),
         F.round((rb - ra) / se, 6).alias("z_score"),
     )
+
+
+# --------------------------------------------------------------------------
+# mixture weights APPLIED: the sampled training mix
+# --------------------------------------------------------------------------
+MIX_SALT = "mix:"
+MIX_BUCKETS = 10_000
+
+
+def _register_mixture_apply():
+    """Registered via a closure embedding the q_mixture_weights oracle so
+    the sampled corpus stays in lockstep with the rate table it applies
+    (same pattern as q_ivf_recall / q_neardup_apply)."""
+    from prefect_flow_arc_indexer_spark.functions.hashing import (
+        dd_stable_hash,
+        stable_hash,
+    )
+    from prefect_flow_arc_indexer_spark.plans.registry import _REGISTRY
+
+    rates_sql = _REGISTRY["q_mixture_weights"].oracle
+    dd_hash = dd_stable_hash(f"concat('{MIX_SALT}', CAST(doc_id AS VARCHAR))")
+    oracle = f"""WITH rates AS (SELECT * FROM ({rates_sql}))
+SELECT d.doc_id, d.source,
+       CAST({dd_hash} % {MIX_BUCKETS} AS BIGINT) AS bucket,
+       ({dd_hash} % {MIX_BUCKETS}) < floor(r.sample_rate * {MIX_BUCKETS})
+           AS keep
+  FROM documents d JOIN rates r ON r.source = d.source
+"""
+
+    @register(
+        "q_mixture_apply",
+        oracle=oracle,
+        doc="dataset mixture APPLIED: each document draws a deterministic "
+        f"engine-stable 0-{MIX_BUCKETS - 1} bucket from its salted id hash "
+        "and keeps iff bucket < floor(rate * buckets), where rate is its "
+        "source's q_mixture_weights sampling rate — the actual sqrt-"
+        "proportional training mix, reproducible run-to-run (rerunning "
+        "keeps the SAME docs, the property that makes the mix resumable "
+        "and auditable). The rate table is source-cardinality-bounded and "
+        "broadcasts; the verdict is a shuffle-free projection over the "
+        "scan. The rate enters integer bucket space through its 6dp-"
+        "ROUNDED value, so the float sqrt can never flip a keep verdict "
+        "between engines.",
+    )
+    def q_mixture_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+        rates = q_mixture_weights(spark, sf_dir).select(
+            "source", "sample_rate"
+        )
+        docs = load_table(spark, sf_dir, "documents", fan_out=True).select(
+            "doc_id", "source"
+        )
+        bucket = (
+            stable_hash(
+                F.concat(F.lit(MIX_SALT), F.col("doc_id").cast("string"))
+            )
+            % MIX_BUCKETS
+        ).cast("bigint")
+        return (
+            docs.join(F.broadcast(rates), "source")
+            .select(
+                "doc_id",
+                "source",
+                bucket.alias("bucket"),
+                (
+                    bucket
+                    < F.floor(F.col("sample_rate") * MIX_BUCKETS)
+                ).alias("keep"),
+            )
+        )
+
+
+_register_mixture_apply()
