@@ -1,0 +1,334 @@
+"""Product quantization (PQ) — the memory-compression layer of large-scale
+ANN (IVF-PQ): each 64-dim float vector is encoded as 8 small integers, and
+search runs against the CODES via a per-query lookup table, never touching
+the original floats. This is the operator family that makes a 100 TB
+embedding corpus searchable from RAM: 256 bytes/vector become 8.
+
+Two operators:
+
+- **q_pq_codes** (train + encode): the codebook is the per-label
+  quantized-mean centroids (the same engine-stable k-means stand-in the IVF
+  index trains on — see ``similarity.ivf_centroids``), sliced into
+  ``PQ_M`` = 8 subspaces of 8 dims. Each vector's code in subspace ``s`` is
+  the argmin-L2 centroid over that slice (rounded distance, ties to the
+  smallest cell — the deterministic (d ASC, cell ASC) order). The codebook
+  collapses to a ONE-ROW broadcast relation and encoding is a shuffle-free
+  projection: 8 independent argmin folds inside whole-stage codegen, zero
+  exchanges over the corpus. Output carries the code vector (comma string +
+  position-weighted checksum — scalar certificates, not raw arrays) and
+  reconstruction MSE.
+- **q_pq_adc** (asymmetric-distance search): each query precomputes its
+  (subspace x centroid) distance lookup table — ``PQ_M * K`` rounded floats,
+  tiny — and a corpus vector's distance is the SUM OF 8 TABLE LOOKUPS on
+  its codes. The LUT ships as a one-row broadcast; scoring every corpus
+  code row is again a shuffle-free projection, and only the per-query
+  top-k agg moves data. Float discipline: per-subspace distances are
+  rounded to 6dp BEFORE summing and partial sums accumulate in fixed
+  subspace order 0..7 in both engines, so the DuckDB oracle is bit-exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
+
+from prefect_flow_arc_indexer_spark.operators.similarity import (
+    EMB_DIM,
+    ivf_centroids,
+)
+from prefect_flow_arc_indexer_spark.plans.registry import register
+from prefect_flow_arc_indexer_spark.sources.parquet import load_table
+
+PQ_M = 8  # subspaces
+PQ_DSUB = EMB_DIM // PQ_M  # dims per subspace
+PQ_TOP_K = 5
+PQ_N_QUERIES = 5
+
+# per-label quantized-mean centroids (similarity.ivf_centroids), UNSCALED
+# back to raw units: ivf_centroids returns means in micro-units (sum of
+# round(x*1e6) over n) — harmless under scale-invariant cosine, fatal under
+# PQ's L2, so the codebook divides by the quantization factor. Division
+# order (s/n)/1e6 is identical in both engines.
+_DD_CENT = """comp AS (
+  SELECT label, i,
+         sum(CAST(round((embedding::DOUBLE[])[i] * 1000000) AS BIGINT)) AS s,
+         count(*) AS n
+    FROM embeddings CROSS JOIN range(1, 65) t(i)
+   GROUP BY label, i
+),
+cent AS (
+  SELECT label, list(CAST(s AS DOUBLE) / n / 1000000 ORDER BY i) AS centroid
+    FROM comp GROUP BY label
+)"""
+
+
+def _dd_subdist(vec_expr: str, cent_expr: str, sub_expr: str) -> str:
+    """Rounded L2^2 between 8-dim slices; left-ordered sum like Spark's fold."""
+    term = (
+        f"(({vec_expr})[{sub_expr} * {PQ_DSUB} + k] - ({cent_expr})[{sub_expr} * {PQ_DSUB} + k])"
+        f" * (({vec_expr})[{sub_expr} * {PQ_DSUB} + k] - ({cent_expr})[{sub_expr} * {PQ_DSUB} + k])"
+    )
+    return (
+        f"round(list_aggregate(list_transform(generate_series(1, {PQ_DSUB}),"
+        f" k -> {term}), 'sum'), 6)"
+    )
+
+
+_DD_CODES = f"""dists AS (
+  SELECT e.vec_id, sub.s AS sub, c.label,
+         {_dd_subdist("e.embedding::DOUBLE[]", "c.centroid", "sub.s")} AS d
+    FROM embeddings e CROSS JOIN cent c CROSS JOIN range(0, {PQ_M}) sub(s)
+),
+codes AS (
+  SELECT vec_id, sub, label AS code FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id, sub
+                                 ORDER BY d ASC, label ASC) AS rn
+      FROM dists) WHERE rn = 1
+)"""
+
+
+def _codebook(e: DataFrame) -> DataFrame:
+    """One-row (cents) relation; cell == array position - 1 (labels are the
+    contiguous 0..k-1 cluster ids, asserted by the sort). Centroids are
+    unscaled from ivf_centroids' micro-units back to raw units — see
+    ``_DD_CENT``."""
+    from prefect_flow_arc_indexer_spark.operators.similarity import QUANT
+
+    cent = ivf_centroids(e).select(
+        "label",
+        F.transform(
+            F.col("centroid"), lambda v: v / F.lit(float(QUANT))
+        ).alias("centroid"),
+    )
+    return cent.agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(F.col("label").alias("cell"), F.col("centroid"))
+            )
+        ).alias("cents")
+    )
+
+
+def _sub_slice(col: Column, s: int) -> Column:
+    return F.slice(col, s * PQ_DSUB + 1, PQ_DSUB)
+
+
+def _sub_dist(x: Column, c: Column, s: int) -> Column:
+    """Rounded L2^2 between subspace slices (left-fold, 0.0-seeded)."""
+    return F.round(
+        F.aggregate(
+            F.zip_with(
+                _sub_slice(x, s), _sub_slice(c, s), lambda a, b: (a - b) * (a - b)
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+        6,
+    )
+
+
+def _code(cents: Column, x: Column, s: int) -> Column:
+    """argmin-distance cell in subspace s; ties to the smallest cell (the
+    same max-of-struct fold as similarity._argmax_cell — no shuffle)."""
+    best = F.array_max(
+        F.transform(
+            cents,
+            lambda c: F.struct(
+                (-_sub_dist(x, c["centroid"], s)).alias("negd"),
+                (-c["cell"]).alias("negcell"),
+            ),
+        )
+    )
+    return (-best["negcell"]).cast("int")
+
+
+@register(
+    "q_pq_codes",
+    oracle=f"""WITH {_DD_CENT},
+{_DD_CODES},
+errs AS (
+  SELECT e.vec_id, c2.sub, c2.code,
+         list_aggregate(list_transform(generate_series(1, {PQ_DSUB}),
+           k -> ((e.embedding::DOUBLE[])[c2.sub * {PQ_DSUB} + k] - ct.centroid[c2.sub * {PQ_DSUB} + k])
+              * ((e.embedding::DOUBLE[])[c2.sub * {PQ_DSUB} + k] - ct.centroid[c2.sub * {PQ_DSUB} + k])),
+           'sum') AS err_s
+    FROM embeddings e
+    JOIN codes c2 ON c2.vec_id = e.vec_id
+    JOIN cent ct ON ct.label = c2.code
+)
+SELECT vec_id,
+       string_agg(CAST(code AS VARCHAR), ',' ORDER BY sub) AS pq_codes,
+       CAST(sum((sub + 1) * code) AS BIGINT) AS code_checksum,
+       round(list_aggregate(list(err_s ORDER BY sub), 'sum')
+             / {EMB_DIM} * 1e6, 6) AS mse_ppm
+  FROM errs GROUP BY vec_id
+""",
+    doc="product quantization encode: 64-dim vectors become 8 sub-codes "
+    "(argmin-L2 against the per-label quantized-mean codebook slice, "
+    "rounded distance, deterministic ties) — 256 bytes of floats becoming "
+    "8 bytes of codes, the compression that holds a 100 TB ANN corpus in "
+    "executor RAM. Codebook is a one-row broadcast; encoding is 8 argmin "
+    "folds in one shuffle-free codegen'd projection. Output: code string + "
+    "position-weighted checksum (scalar certificates) and reconstruction "
+    "MSE ppm, accumulated per-subspace in fixed order so the oracle "
+    "matches bit-for-bit.",
+)
+def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings", fan_out=True).select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("x")
+    )
+    cb = _codebook(e.select("label", F.col("x").alias("embedding")))
+    rows = e.select("vec_id", "x").crossJoin(F.broadcast(cb))
+    cents, x = F.col("cents"), F.col("x")
+    codes = [_code(cents, x, s) for s in range(PQ_M)]
+    with_codes = rows.select(
+        "vec_id", "x", "cents", *[codes[s].alias(f"c{s}") for s in range(PQ_M)]
+    )
+    # reconstruction error: per-subspace left folds added in subspace order
+    def err_s(s: int) -> Column:
+        chosen = F.element_at(F.col("cents"), F.col(f"c{s}") + 1)["centroid"]
+        return F.aggregate(
+            F.zip_with(
+                _sub_slice(F.col("x"), s),
+                _sub_slice(chosen, s),
+                lambda a, b: (a - b) * (a - b),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    total_err = err_s(0)
+    for s in range(1, PQ_M):
+        total_err = total_err + err_s(s)
+    checksum = sum(
+        (F.col(f"c{s}") * (s + 1)).cast("bigint") for s in range(PQ_M)
+    )
+    return with_codes.select(
+        "vec_id",
+        F.concat_ws(
+            ",", *[F.col(f"c{s}").cast("string") for s in range(PQ_M)]
+        ).alias("pq_codes"),
+        checksum.alias("code_checksum"),
+        F.round(total_err / EMB_DIM * 1e6, 6).alias("mse_ppm"),
+    )
+
+
+@register(
+    "q_pq_adc",
+    oracle=f"""WITH {_DD_CENT},
+{_DD_CODES},
+lut AS (
+  SELECT q.vec_id AS query_id, sub.s AS sub, c.label,
+         {_dd_subdist("q.embedding::DOUBLE[]", "c.centroid", "sub.s")} AS d
+    FROM embeddings q CROSS JOIN cent c CROSS JOIN range(0, {PQ_M}) sub(s)
+   WHERE q.vec_id < {PQ_N_QUERIES}
+),
+adc AS (
+  SELECT l.query_id, c2.vec_id AS neighbor_id,
+         round(list_aggregate(list(l.d ORDER BY l.sub), 'sum'), 6) AS adc_dist
+    FROM codes c2
+    JOIN lut l ON l.sub = c2.sub AND l.label = c2.code
+   WHERE c2.vec_id <> l.query_id
+   GROUP BY l.query_id, c2.vec_id
+)
+SELECT query_id, neighbor_id, adc_dist, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY adc_dist ASC, neighbor_id ASC) AS rank
+    FROM adc) WHERE rank <= {PQ_TOP_K}
+""",
+    doc="PQ asymmetric-distance (ADC) search: each query precomputes a "
+    "(subspace x centroid) distance lookup table — PQ_M*K rounded floats, "
+    "shipped as a one-row broadcast — and every corpus vector's distance "
+    "is 8 table lookups on its CODES summed in fixed subspace order; the "
+    "original floats are never read at search time. Scoring is a "
+    "shuffle-free projection over the code table; only the per-query "
+    "top-k ranking aggregates. The search half of IVF-PQ: at 100 TB the "
+    "code table is ~1/32 the corpus bytes and the LUT cost is "
+    "per-query-constant.",
+)
+def q_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings", fan_out=True).select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("x")
+    )
+    cb = _codebook(e.select("label", F.col("x").alias("embedding")))
+    cents, x = F.col("cents"), F.col("x")
+    coded = (
+        e.select("vec_id", "x")
+        .crossJoin(F.broadcast(cb))
+        .select(
+            "vec_id",
+            F.array(*[_code(cents, x, s) for s in range(PQ_M)]).alias("codes"),
+        )
+    )
+    # per-query LUT: l[sub][cell] = rounded subspace distance, built from the
+    # same one-row codebook; collapses to ONE broadcast row of all queries
+    q = (
+        e.where(F.col("vec_id") < PQ_N_QUERIES)
+        .select(F.col("vec_id").alias("query_id"), F.col("x").alias("qx"))
+        .crossJoin(F.broadcast(cb))
+        .select(
+            "query_id",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(PQ_M - 1)),
+                lambda s: F.transform(
+                    F.col("cents"),
+                    lambda c: F.round(
+                        F.aggregate(
+                            F.zip_with(
+                                F.slice(F.col("qx"), s * PQ_DSUB + 1, PQ_DSUB),
+                                F.slice(c["centroid"], s * PQ_DSUB + 1, PQ_DSUB),
+                                lambda a, b: (a - b) * (a - b),
+                            ),
+                            F.lit(0.0),
+                            lambda acc, v: acc + v,
+                        ),
+                        6,
+                    ),
+                ),
+            ).alias("l"),
+        )
+    )
+    luts = q.agg(
+        F.sort_array(
+            F.collect_list(F.struct("query_id", "l"))
+        ).alias("luts")
+    )
+    scored = (
+        coded.crossJoin(F.broadcast(luts))
+        .select(
+            "vec_id",
+            F.explode(
+                F.transform(
+                    F.col("luts"),
+                    lambda lu: F.struct(
+                        lu["query_id"].alias("query_id"),
+                        F.round(
+                            F.aggregate(
+                                F.sequence(F.lit(0), F.lit(PQ_M - 1)),
+                                F.lit(0.0),
+                                lambda acc, s: acc
+                                + F.element_at(
+                                    F.element_at(lu["l"], s + 1),
+                                    F.element_at(F.col("codes"), s + 1) + 1,
+                                ),
+                            ),
+                            6,
+                        ).alias("adc_dist"),
+                    ),
+                )
+            ).alias("p"),
+        )
+        .select(
+            F.col("p.query_id").alias("query_id"),
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("p.adc_dist").alias("adc_dist"),
+        )
+        .where(F.col("neighbor_id") != F.col("query_id"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= PQ_TOP_K)
+        .select("query_id", "neighbor_id", "adc_dist", "rank")
+    )

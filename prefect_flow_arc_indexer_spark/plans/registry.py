@@ -42,6 +42,7 @@ _OPERATOR_MODULES = (
     "prefect_flow_arc_indexer_spark.operators.corpus_quality",
     "prefect_flow_arc_indexer_spark.operators.corpus_filter",
     "prefect_flow_arc_indexer_spark.operators.retrieval",
+    "prefect_flow_arc_indexer_spark.operators.pq",
     "prefect_flow_arc_indexer_spark.operators.layout",
     "prefect_flow_arc_indexer_spark.operators.graph_text",
     "prefect_flow_arc_indexer_spark.operators.pipeline_e2e",

@@ -1,0 +1,54 @@
+"""Semantic tests for product quantization: code-space validity, cluster
+structure actually expressed, ADC ranking invariants, and oracle parity."""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+from prefect_flow_arc_indexer_spark.operators.pq import (
+    PQ_M,
+    PQ_N_QUERIES,
+    PQ_TOP_K,
+    q_pq_adc,
+    q_pq_codes,
+)
+from prefect_flow_arc_indexer_spark.plans.registry import all_queries
+from tests.conftest import SF_DIR
+from tests.helpers import assert_matches_oracle
+
+
+def test_pq_codes_space_and_parity(spark, duck):
+    rows = q_pq_codes(spark, SF_DIR).collect()
+    assert rows
+    n_labels = 10
+    distinct_code_strings = set()
+    for r in rows:
+        parts = [int(c) for c in r["pq_codes"].split(",")]
+        assert len(parts) == PQ_M
+        assert all(0 <= c < n_labels for c in parts)
+        assert r["mse_ppm"] >= 0
+        distinct_code_strings.add(r["pq_codes"])
+    # the codebook expresses real cluster structure, not one collapsed cell
+    assert len(distinct_code_strings) > 1
+    assert_matches_oracle(
+        q_pq_codes(spark, SF_DIR), duck, all_queries()["q_pq_codes"].oracle
+    )
+
+
+def test_pq_adc_ranking(spark, duck):
+    rows = q_pq_adc(spark, SF_DIR).collect()
+    assert rows
+    per_q = defaultdict(list)
+    for r in rows:
+        assert r["query_id"] < PQ_N_QUERIES
+        assert r["neighbor_id"] != r["query_id"]
+        per_q[r["query_id"]].append(r)
+    for q, hits in per_q.items():
+        hits.sort(key=lambda r: r["rank"])
+        assert [h["rank"] for h in hits] == list(range(1, len(hits) + 1))
+        assert len(hits) <= PQ_TOP_K
+        dists = [h["adc_dist"] for h in hits]
+        assert dists == sorted(dists)  # ascending distance
+    assert_matches_oracle(
+        q_pq_adc(spark, SF_DIR), duck, all_queries()["q_pq_adc"].oracle
+    )
