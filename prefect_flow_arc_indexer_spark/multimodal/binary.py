@@ -378,3 +378,100 @@ SELECT doc_id, window_idx,
 )
 def q_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_energy(media_frame(spark, sf_dir))
+
+
+# --------------------------------------------------------------------------
+# perceptual hash: the multimodal dedup primitive (the image path)
+# --------------------------------------------------------------------------
+PHASH_BITS = 32
+PHASH_BANDS = 4
+PHASH_BAND_BITS = PHASH_BITS // PHASH_BANDS  # 8
+PHASH_SCHEMA = (
+    "doc_id long, phash long, band0 int, band1 int, band2 int, band3 int"
+)
+
+
+def _phash_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker computing a pHash-style fingerprint: 32 strided
+    payload samples (position j*n//32 plays the downscaled-luma grid a real
+    pHash reads after decode+DCT), bit j set iff sample j exceeds the
+    sample mean. The mean compare is EXACT integer arithmetic
+    (32*v > sum — no float division), so the DuckDB oracle matches
+    bit-for-bit. Band keys are the LSH join keys for Hamming-ball pairing
+    (pigeonhole: distance <= PHASH_BANDS-1 pairs agree on some band)."""
+    for pdf in batches:
+        out: dict[str, list] = {
+            "doc_id": [], "phash": [],
+            "band0": [], "band1": [], "band2": [], "band3": [],
+        }
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            if payload is None or len(payload) == 0:
+                continue
+            n = len(payload)
+            vs = [payload[j * n // PHASH_BITS] for j in range(PHASH_BITS)]
+            s = sum(vs)
+            phash = 0
+            for j, v in enumerate(vs):
+                if PHASH_BITS * v > s:
+                    phash |= 1 << j
+            out["doc_id"].append(doc_id)
+            out["phash"].append(phash)
+            for b in range(PHASH_BANDS):
+                out[f"band{b}"].append(
+                    (phash >> (b * PHASH_BAND_BITS))
+                    & ((1 << PHASH_BAND_BITS) - 1)
+                )
+        yield pd.DataFrame(out)
+
+
+def image_phash(media: DataFrame) -> DataFrame:
+    """Fingerprint the image subset; Arrow-batched, payload -> 32-bit hash."""
+    return media.where(F.col("media_type") == "image/png").mapInPandas(
+        _phash_batches, schema=PHASH_SCHEMA
+    )
+
+
+@register(
+    "q_image_phash",
+    # images are doc_id % 3 == 0 (media_frame routing); ASCII text keeps
+    # the byte sampling expressible via ascii(substr(...))
+    oracle=f"""WITH m AS (
+  SELECT doc_id, text, length(text) AS n FROM documents
+   WHERE doc_id % 3 = 0 AND text IS NOT NULL AND length(text) > 0
+     AND regexp_matches(text, '^[\\x00-\\x7f]*$')
+),
+sampled AS (
+  SELECT doc_id,
+         list_transform(generate_series(0, {PHASH_BITS - 1}),
+                        j -> ascii(substr(text, CAST(j * n // {PHASH_BITS} AS INT) + 1, 1))) AS vs
+    FROM m
+),
+fp AS (
+  SELECT doc_id,
+         CAST(list_aggregate(
+             list_transform(generate_series(1, {PHASH_BITS}),
+               j -> CASE WHEN {PHASH_BITS} * vs[j] > list_aggregate(vs, 'sum')
+                         THEN 1 << (j - 1) ELSE 0 END),
+             'sum') AS BIGINT) AS phash
+    FROM sampled
+)
+SELECT doc_id, phash,
+       CAST((phash >> 0) & 255 AS INT) AS band0,
+       CAST((phash >> 8) & 255 AS INT) AS band1,
+       CAST((phash >> 16) & 255 AS INT) AS band2,
+       CAST((phash >> 24) & 255 AS INT) AS band3
+  FROM fp
+""",
+    doc="multimodal dedup primitive: pHash-style 32-bit perceptual "
+    "fingerprint per image payload (strided byte samples play the "
+    "downscaled grid, bit = sample above the exact-integer mean) plus the "
+    "4 x 8-bit band keys for Hamming-ball LSH pairing — the same banded "
+    "equi-join dedup shape as q_simhash_pairs, applied to media. The "
+    "payload crosses into Python once per Arrow batch and dies there; "
+    "only the 32-bit fingerprint and its band keys shuffle, which is what "
+    "a 100 TB image-dedup pass actually moves.",
+)
+def q_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return image_phash(media_frame(spark, sf_dir))

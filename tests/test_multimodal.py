@@ -81,3 +81,31 @@ def test_audio_energy_stays_arrow_batched(spark):
     )
     assert "MapInPandas" in plan
     assert "BatchEvalPython" not in plan  # no row-at-a-time Python
+
+
+def test_image_phash_bits_and_bands(spark, duck):
+    from prefect_flow_arc_indexer_spark.multimodal.binary import (
+        PHASH_BAND_BITS,
+        PHASH_BITS,
+        image_phash,
+        media_frame,
+    )
+    from prefect_flow_arc_indexer_spark.plans.registry import all_queries
+    from tests.helpers import assert_matches_oracle
+
+    out = image_phash(media_frame(spark, "/root/testdata/sf0.001")).collect()
+    assert out
+    mask = (1 << PHASH_BAND_BITS) - 1
+    hashes = set()
+    for r in out:
+        assert 0 <= r["phash"] < (1 << PHASH_BITS)
+        # band keys decompose the fingerprint exactly
+        for b in range(4):
+            assert r[f"band{b}"] == (r["phash"] >> (b * PHASH_BAND_BITS)) & mask
+        hashes.add(r["phash"])
+    assert len(hashes) > 1  # fingerprints discriminate, not collapsed
+    assert_matches_oracle(
+        all_queries()["q_image_phash"].builder(spark, "/root/testdata/sf0.001"),
+        duck,
+        all_queries()["q_image_phash"].oracle,
+    )

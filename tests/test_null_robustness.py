@@ -46,6 +46,7 @@ DOC_QUERIES = [
     "q_length_trim",
     "q_ccnet_buckets",
     "q_boilerplate",
+    "q_image_phash",
 ]
 
 
