@@ -48,3 +48,19 @@ def test_every_oracle_references_known_tables():
             and f.lower() not in ("generate_series", "unnest")
         }
         assert not unknown, f"{name}: oracle references unknown {unknown}"
+
+
+def test_driver_window_prefix_is_exact_oracle_gated():
+    """The recorded correctness gate samples the first 50 queries() keys:
+    that prefix must be exactly the curated cross-family window and every
+    entry must carry an exact oracle (a rows-only query silently landing in
+    the prefix would waste a recorded gate slot)."""
+    from prefect_flow_arc_indexer_spark.plans import oracle_map, query_map
+    from prefect_flow_arc_indexer_spark.plans.registry import _DRIVER_WINDOW
+
+    names = list(query_map())
+    assert tuple(names[: len(_DRIVER_WINDOW)]) == _DRIVER_WINDOW
+    assert len(_DRIVER_WINDOW) == 50
+    oracles = oracle_map()
+    missing = [n for n in _DRIVER_WINDOW if n not in oracles]
+    assert not missing, f"window entries without oracle: {missing}"
