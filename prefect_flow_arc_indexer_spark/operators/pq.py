@@ -332,3 +332,115 @@ def q_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= PQ_TOP_K)
         .select("query_id", "neighbor_id", "adc_dist", "rank")
     )
+
+
+# --------------------------------------------------------------------------
+# PQ quality gate: ADC recall against the exact L2 top-k
+# --------------------------------------------------------------------------
+def _dd_l2(a: str, b: str) -> str:
+    """Rounded full-vector L2^2; left-ordered sum like Spark's fold."""
+    term = f"(({a})[k] - ({b})[k]) * (({a})[k] - ({b})[k])"
+    return (
+        f"round(list_aggregate(list_transform(generate_series(1, {EMB_DIM}),"
+        f" k -> {term}), 'sum'), 6)"
+    )
+
+
+def _register_pq_recall():
+    """Registered via a closure embedding the q_pq_adc oracle so the metric
+    stays in lockstep with the operator it measures (q_ivf_recall pattern)."""
+    from prefect_flow_arc_indexer_spark.plans.registry import _REGISTRY
+
+    adc_sql = _REGISTRY["q_pq_adc"].oracle
+    oracle = f"""WITH exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+           {_dd_l2("q.embedding::DOUBLE[]", "e.embedding::DOUBLE[]")} AS d,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY {_dd_l2("q.embedding::DOUBLE[]", "e.embedding::DOUBLE[]")} ASC,
+                      e.vec_id ASC) AS rk
+      FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+     WHERE q.vec_id < {PQ_N_QUERIES}
+  ) WHERE rk <= {PQ_TOP_K}
+),
+approx AS (SELECT * FROM ({adc_sql}))
+SELECT e.query_id,
+       count(*) AS k_exact,
+       CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_hits,
+       round(CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                  AS DOUBLE) / count(*), 6) AS recall_at_k
+  FROM exact e
+  LEFT JOIN approx a
+    ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+ GROUP BY e.query_id
+"""
+
+    @register(
+        "q_pq_recall",
+        oracle=oracle,
+        doc="PQ quality gate: per-query recall@k of the ADC code-table "
+        "search against the exact L2 top-k over the raw floats — the "
+        "acceptance metric a pipeline checks before swapping the float "
+        "index for the 32x-smaller code table (low recall => more "
+        "subspaces or a finer codebook). Both sides are deterministic "
+        "(rounded distances, id tie-breaks); the exact side is the "
+        "broadcast-query brute-force shape, candidate-bounded join-back "
+        "on (query, neighbor).",
+    )
+    def q_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+        e = load_table(spark, sf_dir, "embeddings", fan_out=True).select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("x")
+        )
+        q = e.where(F.col("vec_id") < PQ_N_QUERIES).select(
+            F.col("vec_id").alias("query_id"), F.col("x").alias("qx")
+        )
+        dist = F.round(
+            F.aggregate(
+                F.zip_with(F.col("qx"), F.col("x"), lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ),
+            6,
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("d").asc(), F.col("neighbor_id").asc()
+        )
+        exact = (
+            e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+            .select(
+                "query_id",
+                F.col("vec_id").alias("neighbor_id"),
+                dist.alias("d"),
+            )
+            .withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") <= PQ_TOP_K)
+            .select("query_id", "neighbor_id")
+        )
+        approx = q_pq_adc(spark, sf_dir).select(
+            F.col("query_id").alias("a_qid"),
+            F.col("neighbor_id").alias("a_nid"),
+        )
+        hit = F.sum(
+            F.when(F.col("a_nid").isNotNull(), 1).otherwise(0)
+        ).cast("long")
+        return (
+            exact.join(
+                approx,
+                (F.col("query_id") == F.col("a_qid"))
+                & (F.col("neighbor_id") == F.col("a_nid")),
+                "left",
+            )
+            .groupBy("query_id")
+            .agg(
+                F.count("*").alias("k_exact"),
+                hit.alias("n_hits"),
+                F.round(hit.cast("double") / F.count("*"), 6).alias(
+                    "recall_at_k"
+                ),
+            )
+        )
+
+
+_register_pq_recall()

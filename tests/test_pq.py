@@ -52,3 +52,17 @@ def test_pq_adc_ranking(spark, duck):
     assert_matches_oracle(
         q_pq_adc(spark, SF_DIR), duck, all_queries()["q_pq_adc"].oracle
     )
+
+
+def test_pq_recall_bounds(spark, duck):
+    rows = all_queries()["q_pq_recall"].builder(spark, SF_DIR).collect()
+    assert len(rows) == PQ_N_QUERIES
+    for r in rows:
+        assert r["k_exact"] == PQ_TOP_K
+        assert 0 <= r["n_hits"] <= r["k_exact"]
+        assert abs(r["recall_at_k"] - r["n_hits"] / r["k_exact"]) < 1e-9
+    assert_matches_oracle(
+        all_queries()["q_pq_recall"].builder(spark, SF_DIR),
+        duck,
+        all_queries()["q_pq_recall"].oracle,
+    )
