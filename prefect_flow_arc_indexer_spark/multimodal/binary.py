@@ -475,3 +475,83 @@ SELECT doc_id, phash,
 )
 def q_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_phash(media_frame(spark, sf_dir))
+
+
+PHASH_HAMMING_MAX = 3
+
+
+def _register_phash_pairs():
+    """Registered via a closure embedding the q_image_phash oracle, so the
+    pair stage stays in lockstep with the fingerprint it joins on."""
+    from prefect_flow_arc_indexer_spark.plans.registry import _REGISTRY
+
+    fp_sql = _REGISTRY["q_image_phash"].oracle
+    oracle = f"""WITH fp AS (SELECT * FROM ({fp_sql})),
+buckets AS (
+  SELECT doc_id, phash, 0 AS band_id, band0 AS band_val FROM fp
+  UNION ALL SELECT doc_id, phash, 1, band1 FROM fp
+  UNION ALL SELECT doc_id, phash, 2, band2 FROM fp
+  UNION ALL SELECT doc_id, phash, 3, band3 FROM fp
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+  FROM buckets a JOIN buckets b
+    ON a.band_id = b.band_id AND a.band_val = b.band_val
+   AND a.doc_id < b.doc_id
+ WHERE bit_count(xor(a.phash, b.phash)) <= {PHASH_HAMMING_MAX}
+"""
+
+    @register(
+        "q_phash_pairs",
+        oracle=oracle,
+        doc="image near-dup pairs: the q_image_phash fingerprints banded "
+        "into 4 x 8-bit keys (pigeonhole-complete at Hamming <= 3), "
+        "candidates from a streaming bucket self-join, verified by ONE "
+        "bit_count(xor) per pair — the media twin of q_simhash_pairs and "
+        "the end of the image-dedup funnel: payload -> Arrow-batch "
+        "fingerprint -> band-keyed equi-join -> integer verify. Nothing "
+        "wider than (id, 32-bit hash) ever shuffles.",
+    )
+    def q_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+        fp = image_phash(media_frame(spark, sf_dir)).localCheckpoint(
+            eager=True
+        )
+        bands = [
+            fp.select(
+                "doc_id",
+                "phash",
+                F.lit(b).alias("band_id"),
+                F.col(f"band{b}").alias("band_val"),
+            )
+            for b in range(PHASH_BANDS)
+        ]
+        buckets = bands[0]
+        for extra in bands[1:]:
+            buckets = buckets.unionByName(extra)
+        a = buckets.select(
+            F.col("doc_id").alias("doc_a"),
+            F.col("phash").alias("pa"),
+            "band_id",
+            "band_val",
+        )
+        b = buckets.select(
+            F.col("doc_id").alias("doc_b"),
+            F.col("phash").alias("pb"),
+            "band_id",
+            "band_val",
+        )
+        hamming = F.bit_count(
+            F.col("pa").bitwiseXOR(F.col("pb"))
+        ).cast("bigint")
+        return (
+            a.join(b, ["band_id", "band_val"])
+            .where(
+                (F.col("doc_a") < F.col("doc_b"))
+                & (hamming <= PHASH_HAMMING_MAX)
+            )
+            .select("doc_a", "doc_b", hamming.alias("hamming"))
+            .distinct()
+        )
+
+
+_register_phash_pairs()

@@ -109,3 +109,20 @@ def test_image_phash_bits_and_bands(spark, duck):
         duck,
         all_queries()["q_image_phash"].oracle,
     )
+
+
+def test_phash_pairs_verified_hamming(spark, duck):
+    from prefect_flow_arc_indexer_spark.multimodal.binary import (
+        PHASH_HAMMING_MAX,
+    )
+    from prefect_flow_arc_indexer_spark.plans.registry import all_queries
+    from tests.helpers import assert_matches_oracle
+
+    q = all_queries()["q_phash_pairs"]
+    rows = q.builder(spark, "/root/testdata/sf0.001").collect()
+    for r in rows:
+        assert r["doc_a"] < r["doc_b"]
+        assert 0 <= r["hamming"] <= PHASH_HAMMING_MAX
+    assert_matches_oracle(
+        q.builder(spark, "/root/testdata/sf0.001"), duck, q.oracle
+    )
