@@ -485,3 +485,72 @@ def stream_click_purchase_outer(
         "purchase_id",
         "purchase_ts",
     )
+
+
+# --------------------------------------------------------------------------
+# streaming corpus-quality router (keep / reject split writes)
+# --------------------------------------------------------------------------
+ROUTER_MIN_TOKENS = 5
+ROUTER_MAX_TOKENS = 200
+
+DOC_STREAM_SCHEMA = "doc_id LONG, text STRING, source STRING"
+
+
+def read_doc_stream(spark: SparkSession, source_dir: str) -> DataFrame:
+    """File-source document stream (one JSON drop per micro-batch) — the
+    streaming stand-in for a crawl feed."""
+    return (
+        spark.readStream.schema(DOC_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(source_dir)
+    )
+
+
+def quality_verdict(docs: DataFrame) -> DataFrame:
+    """Attach keep/reject verdict + first failed rule. Pure column
+    expressions (shared verbatim by the batch and streaming paths, which is
+    the parity contract the router test pins): NULL text, token-count
+    bounds. Evaluation order defines first_failed_rule."""
+    n_tok = F.size(
+        F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != F.lit(""))
+    )
+    rule = (
+        F.when(F.col("text").isNull(), F.lit("null_text"))
+        .when(n_tok < ROUTER_MIN_TOKENS, F.lit("too_short"))
+        .when(n_tok > ROUTER_MAX_TOKENS, F.lit("too_long"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    return docs.withColumn("failed_rule", rule).withColumn(
+        "keep", F.col("failed_rule").isNull()
+    )
+
+
+def stream_quality_router(
+    docs: DataFrame, keep_dir: str, reject_dir: str, checkpoint_dir: str
+):
+    """Route a document stream through the quality gate: keepers append to
+    the corpus sink, rejects (with their first failed rule) to the audit
+    sink — the streaming form of corpus filtering, split inside ONE
+    foreachBatch so both writes see the same micro-batch exactly once per
+    trigger (two independent writeStreams would each re-read and could
+    diverge on retry). At scale each append is a partitioned parquet/Delta
+    write; the verdict itself is a shuffle-free projection."""
+
+    def _route(batch: DataFrame, batch_id: int) -> None:
+        judged = quality_verdict(batch).persist()
+        try:
+            judged.where(F.col("keep")).drop("failed_rule", "keep").write.mode(
+                "append"
+            ).parquet(keep_dir)
+            judged.where(~F.col("keep")).drop("keep").write.mode(
+                "append"
+            ).parquet(reject_dir)
+        finally:
+            judged.unpersist()
+
+    return (
+        docs.writeStream.foreachBatch(_route)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -549,3 +549,45 @@ def test_stream_hopping_counts_matches_batch(spark, tmp_path):
     }
     assert want_closed <= got
     assert got <= all_batch
+
+
+def test_stream_quality_router_partitions_feed(spark, tmp_path):
+    import json as _json
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    rows0 = [
+        {"doc_id": 1, "text": "one two three four five six", "source": "a"},
+        {"doc_id": 2, "text": "tiny", "source": "a"},
+    ]
+    rows1 = [
+        {"doc_id": 3, "text": None, "source": "b"},
+        {"doc_id": 4, "text": " ".join(["w"] * 300), "source": "b"},
+        {"doc_id": 5, "text": "alpha beta gamma delta epsilon zeta", "source": "b"},
+    ]
+    for i, rows in enumerate((rows0, rows1)):
+        (src / f"b{i}.json").write_text(
+            "\n".join(_json.dumps(r) for r in rows)
+        )
+    keep_dir, rej_dir = str(tmp_path / "keep"), str(tmp_path / "rej")
+    q = jobs.stream_quality_router(
+        jobs.read_doc_stream(spark, str(src)),
+        keep_dir,
+        rej_dir,
+        str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+    kept = {r["doc_id"] for r in spark.read.parquet(keep_dir).collect()}
+    rejected = {
+        r["doc_id"]: r["failed_rule"]
+        for r in spark.read.parquet(rej_dir).collect()
+    }
+    assert kept == {1, 5}
+    assert rejected == {2: "too_short", 3: "null_text", 4: "too_long"}
+    # parity with the batch-side verdict on the same rows
+    batch = spark.createDataFrame(
+        [tuple(r.values()) for r in rows0 + rows1],
+        "doc_id long, text string, source string",
+    )
+    judged = jobs.quality_verdict(batch).collect()
+    assert {r["doc_id"] for r in judged if r["keep"]} == kept
