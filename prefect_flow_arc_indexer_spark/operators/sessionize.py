@@ -107,9 +107,14 @@ RATE_WINDOW_SEC = 3600
 
 @register(
     "q_rolling_event_rate",
+    # floor() before the BIGINT cast: Spark's unix_timestamp TRUNCATES
+    # sub-second micros while DuckDB's CAST(double AS BIGINT) ROUNDS —
+    # an event at x.84s would order as x+1 on one engine and x on the
+    # other, flipping RANGE-frame membership exactly at the 3600s edge
+    # (surfaced by the sf0.1 sweep, invisible at sf0.01).
     oracle=f"""SELECT event_id, user_id,
        count(*) OVER (PARTITION BY user_id
-                      ORDER BY CAST(epoch(ts) AS BIGINT)
+                      ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
                       RANGE BETWEEN {RATE_WINDOW_SEC} PRECEDING
                                 AND CURRENT ROW) AS events_last_hour
   FROM events
