@@ -215,3 +215,69 @@ def q_rolling_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rev").cast("double").alias("revenue"),
         F.sum("rev").over(w).cast("double").alias("rolling_7d"),
     )
+
+
+# --------------------------------------------------------------------------
+# incremental view maintenance: merge a batch's partial aggregates into the
+# standing rollup without rescanning the corpus
+# --------------------------------------------------------------------------
+IVM_SALT = "ivm:"
+IVM_EXISTING_PCT = 80
+
+
+@register(
+    "q_incremental_rollup",
+    # The ORACLE is the direct full recompute — the merged result must be
+    # indistinguishable from rescanning everything, which is the whole IVM
+    # correctness contract.
+    oracle="""SELECT source, lang,
+       count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       round(CAST(sum(n_chars) AS DOUBLE) / count(*), 6) AS avg_chars
+  FROM documents GROUP BY source, lang
+""",
+    doc="incremental view maintenance (the mergeable-aggregate algebra): "
+    "the standing corpus (a deterministic 80% hash slice, standing in for "
+    "yesterday's stored rollup) and the incoming batch each produce "
+    "PARTIAL aggregates — count and sum, the commutative monoids — which "
+    "merge by addition; derived values (avg) are computed only after the "
+    "merge, never merged themselves (averaging averages is the classic "
+    "IVM bug). The oracle is the direct full recompute: merged == rescan "
+    "is the IVM correctness contract. At 100 TB this is the difference "
+    "between touching |batch| + |groups| rows daily and rescanning the "
+    "corpus; the same algebra is why Spark's own partial aggregation "
+    "works, applied here across JOB runs instead of across partitions.",
+)
+def q_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from prefect_flow_arc_indexer_spark.operators.sampling import split_bucket
+
+    docs = load_table(spark, sf_dir, "documents", fan_out=True).select(
+        "doc_id", "source", "lang", "n_chars"
+    )
+    is_existing = split_bucket(F.col("doc_id"), IVM_SALT) < IVM_EXISTING_PCT
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("source", "lang").agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+
+    standing = partial(docs.where(is_existing))
+    batch = partial(docs.where(~is_existing))
+    merged = (
+        standing.unionByName(batch)
+        .groupBy("source", "lang")
+        .agg(
+            F.sum("n_docs").alias("n_docs"),
+            F.sum("total_chars").cast("bigint").alias("total_chars"),
+        )
+    )
+    return merged.select(
+        "source",
+        "lang",
+        "n_docs",
+        "total_chars",
+        F.round(
+            F.col("total_chars").cast("double") / F.col("n_docs"), 6
+        ).alias("avg_chars"),
+    )

@@ -159,3 +159,31 @@ def test_approx_percentiles_within_tolerance(spark):
             lo = vals[max(0, rank - slack)]
             hi = vals[min(n - 1, rank + slack)]
             assert lo <= approx <= hi, (flag, q, approx, lo, hi)
+
+
+def test_incremental_rollup_merges_both_sides(spark, duck):
+    from prefect_flow_arc_indexer_spark.operators.cdc import (
+        IVM_EXISTING_PCT,
+        IVM_SALT,
+        q_incremental_rollup,
+    )
+    from prefect_flow_arc_indexer_spark.operators.sampling import split_bucket
+    from prefect_flow_arc_indexer_spark.plans.registry import all_queries
+    from prefect_flow_arc_indexer_spark.sources.parquet import load_table
+    from pyspark.sql import functions as F
+    from tests.conftest import SF_DIR
+    from tests.helpers import assert_matches_oracle
+
+    docs = load_table(spark, SF_DIR, "documents")
+    flag = split_bucket(F.col("doc_id"), IVM_SALT) < IVM_EXISTING_PCT
+    n_existing = docs.where(flag).count()
+    n_batch = docs.where(~flag).count()
+    # the merge is only meaningful if both partials are non-trivial
+    assert n_existing > 0 and n_batch > 0
+    out = q_incremental_rollup(spark, SF_DIR)
+    rows = out.collect()
+    assert sum(r["n_docs"] for r in rows) == n_existing + n_batch
+    # IVM contract: merged partials == full recompute (the oracle)
+    assert_matches_oracle(
+        out, duck, all_queries()["q_incremental_rollup"].oracle
+    )
