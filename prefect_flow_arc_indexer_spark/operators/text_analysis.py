@@ -303,3 +303,104 @@ def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.round(F.log2(n) - run_sum / n, 6).alias("char_entropy"),
     )
+
+
+# --------------------------------------------------------------------------
+# trained-classifier inference inside the plan (fixed-weight logistic)
+# --------------------------------------------------------------------------
+# Published weights of the (stand-in) quality classifier: a logistic
+# regression over three cheap features. In production these come from a
+# model registry; freezing them as constants is exactly how fasttext-style
+# quality classifiers ship into data pipelines.
+LOGI_W0 = -2.0  # bias
+LOGI_W_LEN = 0.85  # ln(1 + n_tokens)
+LOGI_W_PUNCT = -3.0  # punctuation ratio
+LOGI_W_STOP = 2.5  # stopword ratio
+
+
+@register(
+    "q_quality_logistic",
+    oracle=f"""WITH toks AS (
+  SELECT doc_id, text, coalesce({dd_tokens("text")}, []) AS tok FROM documents
+),
+feats AS (
+  SELECT doc_id,
+         CAST(round(ln(1 + len(tok)) * 1000000) AS BIGINT) AS u_len,
+         CAST(round(CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+               / greatest(length(text), 1) * 1000000) AS BIGINT) AS u_punct,
+         CAST(round(CAST({_dd_stopword_hits("tok", _EN)} AS DOUBLE)
+               / greatest(len(tok), 1) * 1000000) AS BIGINT) AS u_stop
+    FROM toks
+),
+scored AS (
+  SELECT doc_id, u_len, u_punct, u_stop,
+         CAST({int(LOGI_W0 * 100)} * 1000000
+              + {int(LOGI_W_LEN * 100)} * u_len
+              + {int(LOGI_W_PUNCT * 100)} * coalesce(u_punct, 0)
+              + {int(LOGI_W_STOP * 100)} * u_stop AS BIGINT) AS z_centi_micro
+    FROM feats
+)
+SELECT doc_id,
+       u_len / 1000000.0 AS f_len,
+       u_punct / 1000000.0 AS f_punct,
+       u_stop / 1000000.0 AS f_stop,
+       z_centi_micro,
+       round(1.0 / (1.0 + exp(-(z_centi_micro / 100000000.0))), 6) AS p_quality,
+       round(1.0 / (1.0 + exp(-(z_centi_micro / 100000000.0))), 6) >= 0.5 AS keep
+  FROM scored
+""",
+    doc="trained-classifier inference inside the plan: a fixed-weight "
+    "logistic quality model (the fasttext-style classifier every corpus "
+    "pipeline applies at ingest) evaluated as pure column expressions — "
+    "features, linear combination, sigmoid, threshold — entirely inside "
+    "whole-stage codegen. No UDF, no model server round-trip, no shuffle: "
+    "scoring cost is scan cost, the only acceptable price at 100 TB. "
+    "Engine parity discipline: features are quantized to integer "
+    "micro-units and the weights scaled to integers (x100), so the whole "
+    "linear combination z is EXACT bigint arithmetic — rounding a float z "
+    "at 6dp hit exact half-boundaries where Spark and DuckDB round "
+    "opposite ways (surfaced by the sf0.1 sweep); the sigmoid then runs "
+    "on the one deterministic division.",
+)
+def q_quality_logistic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents", fan_out=True).withColumn(
+        "tok",
+        F.coalesce(tokens(F.col("text")), F.array().cast("array<string>")),
+    )
+    n_tok = F.size("tok")
+    punct = F.length(
+        F.regexp_replace(F.col("text"), r"[A-Za-z0-9\s]", "")
+    ).cast("double") / F.greatest(F.length("text"), F.lit(1))
+    stop_hits = F.size(F.filter(F.col("tok"), lambda t: t.isin(*_EN)))
+    micros = lambda c: F.round(c * 1_000_000).cast("bigint")  # noqa: E731
+    feats = docs.select(
+        "doc_id",
+        micros(F.log(1 + n_tok)).alias("u_len"),
+        micros(punct).alias("u_punct"),
+        micros(stop_hits.cast("double") / F.greatest(n_tok, F.lit(1))).alias(
+            "u_stop"
+        ),
+    )
+    z_u = (
+        F.lit(int(LOGI_W0 * 100)) * F.lit(1_000_000).cast("bigint")
+        + F.lit(int(LOGI_W_LEN * 100)) * F.col("u_len")
+        + F.lit(int(LOGI_W_PUNCT * 100))
+        * F.coalesce(F.col("u_punct"), F.lit(0).cast("bigint"))
+        + F.lit(int(LOGI_W_STOP * 100)) * F.col("u_stop")
+    ).cast("bigint")
+    scored = feats.select(
+        "doc_id", "u_len", "u_punct", "u_stop", z_u.alias("z_centi_micro")
+    )
+    p = F.round(
+        1.0 / (1.0 + F.exp(-(F.col("z_centi_micro") / F.lit(100_000_000.0)))),
+        6,
+    )
+    return scored.select(
+        "doc_id",
+        (F.col("u_len") / 1_000_000.0).alias("f_len"),
+        (F.col("u_punct") / 1_000_000.0).alias("f_punct"),
+        (F.col("u_stop") / 1_000_000.0).alias("f_stop"),
+        "z_centi_micro",
+        p.alias("p_quality"),
+        (p >= 0.5).alias("keep"),
+    )

@@ -47,6 +47,7 @@ DOC_QUERIES = [
     "q_ccnet_buckets",
     "q_boilerplate",
     "q_image_phash",
+    "q_quality_logistic",
 ]
 
 
