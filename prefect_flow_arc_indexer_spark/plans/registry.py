@@ -72,9 +72,12 @@ _DRIVER_WINDOW = (
     "q_count_reconcile", "q_schema_probe", "q_topk_tail",
     # dedup
     "q_dedup_exact", "q_dedup_minhash", "q_minhash_verified",
-    "q_dedup_components", "q_dedup_embedding", "q_simhash_pairs",
-    # similarity / vectors
-    "q_knn_cosine", "q_knn_ivf", "q_knn_blocked", "q_embed_quantize",
+    "q_dedup_components", "q_dedup_embedding",
+    # multimodal (mapInPandas decode plumbing)
+    "q_multimodal_meta",
+    # similarity / vectors (q_pq_adc over q_knn_blocked: blocked shares
+    # q_knn_cosine's oracle verbatim, PQ brings a distinct family)
+    "q_knn_cosine", "q_knn_ivf", "q_pq_adc", "q_embed_quantize",
     # text analysis
     "q_token_count", "q_text_quality", "q_lang_id", "q_doc_fingerprint",
     # corpus prep
