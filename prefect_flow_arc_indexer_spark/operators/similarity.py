@@ -822,3 +822,100 @@ def q_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "component_idx int, loading double, eigenvalue double"
     )
+
+
+# --------------------------------------------------------------------------
+# semantic dedup (SemDeDup-style: cluster-bounded cosine pairs)
+# --------------------------------------------------------------------------
+SEM_ANCHORS = 8  # vec_id < 8 play the (deterministic) coarse centroids
+SEM_THRESHOLD = 0.3  # same scale as dedup.COSINE_DUP_THRESHOLD
+
+
+@register(
+    "q_semdedup",
+    oracle=f"""WITH anch AS (
+  SELECT vec_id AS cell, embedding FROM embeddings WHERE vec_id < {SEM_ANCHORS}
+),
+assigned AS (
+  SELECT vec_id, embedding, cell AS cluster FROM (
+    SELECT e.vec_id, e.embedding, a.cell,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY round({dd_cosine_similarity("e.embedding", "a.embedding")}, 6) DESC,
+                      a.cell ASC) AS rn
+      FROM embeddings e CROSS JOIN anch a) WHERE rn = 1
+),
+dups AS (
+  SELECT a.vec_id, CAST(min(b.vec_id) AS BIGINT) AS dup_of
+    FROM assigned a JOIN assigned b
+      ON b.cluster = a.cluster AND b.vec_id < a.vec_id
+   WHERE round({dd_cosine_similarity("a.embedding", "b.embedding")}, 6) >= {SEM_THRESHOLD}
+   GROUP BY a.vec_id
+)
+SELECT s.vec_id, CAST(s.cluster AS INTEGER) AS cluster, d.dup_of,
+       d.dup_of IS NULL AS is_kept
+  FROM assigned s LEFT JOIN dups d ON d.vec_id = s.vec_id
+""",
+    doc="semantic dedup, SemDeDup shape (Abbas et al. 2023): coarse-cluster "
+    f"the corpus (nearest of {SEM_ANCHORS} fixed anchor embeddings — the "
+    "deterministic stand-in for k-means centroids), then drop any vector "
+    f"whose cosine to a SMALLER-id cluster-mate reaches {SEM_THRESHOLD}. "
+    "The pairwise stage is cluster-bounded: assignment is a shuffle-free "
+    "broadcast projection, and the only corpus shuffle keys on cluster id, "
+    "so pair volume is sum(|cluster|^2) instead of |corpus|^2 — the "
+    "difference between feasible and not at 100 TB. Survivors keep the "
+    "min-id canonical representative, mirroring exact-dedup's rule.",
+)
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings", fan_out=True).select(
+        "vec_id", "embedding"
+    )
+    anchors = e.where(F.col("vec_id") < SEM_ANCHORS).agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col("vec_id").alias("cell"),
+                    F.col("embedding").alias("centroid"),
+                )
+            )
+        ).alias("cents")
+    )
+    assigned = (
+        e.crossJoin(F.broadcast(anchors))
+        .select(
+            "vec_id",
+            "embedding",
+            _argmax_cell(F.col("cents"), F.col("embedding")).alias("cluster"),
+        )
+    )
+    left = assigned.select(
+        "vec_id", "cluster", F.col("embedding").alias("a_emb")
+    )
+    right = assigned.select(
+        F.col("vec_id").alias("b_id"),
+        F.col("cluster").alias("b_cluster"),
+        F.col("embedding").alias("b_emb"),
+    )
+    dups = (
+        left.join(
+            right,
+            (F.col("b_cluster") == F.col("cluster"))
+            & (F.col("b_id") < F.col("vec_id")),
+        )
+        .where(
+            F.round(cosine_similarity(F.col("a_emb"), F.col("b_emb")), 6)
+            >= SEM_THRESHOLD
+        )
+        .groupBy("vec_id")
+        .agg(F.min("b_id").alias("dup_of"))
+    )
+    return (
+        assigned.select("vec_id", "cluster")
+        .join(dups, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cluster",
+            "dup_of",
+            F.col("dup_of").isNull().alias("is_kept"),
+        )
+    )

@@ -111,3 +111,49 @@ def test_pca_power_invariants(spark):
     first_nonzero = next(r["loading"] for r in a if abs(r["loading"]) > 1e-9)
     assert first_nonzero > 0
     assert len(a) == 64 and [r["component_idx"] for r in a] == list(range(64))
+
+
+def test_semdedup_invariants(spark):
+    """Every dropped vector names a smaller-id cluster-mate above the
+    threshold; anchors assign to themselves; survivors + drops partition."""
+    from prefect_flow_arc_indexer_spark.operators.similarity import (
+        SEM_ANCHORS,
+        SEM_THRESHOLD,
+    )
+    from prefect_flow_arc_indexer_spark.functions.vectors import (
+        cosine_similarity,
+    )
+    from prefect_flow_arc_indexer_spark.sources.parquet import load_table
+
+    out = _run("q_semdedup", spark)
+    rows = out.collect()
+    n = load_table(spark, SF_DIR, "embeddings").count()
+    assert len(rows) == n
+    by_id = {r["vec_id"]: r for r in rows}
+    # anchors are their own nearest centroid and always kept
+    for a in range(SEM_ANCHORS):
+        assert by_id[a]["cluster"] == a
+        assert by_id[a]["is_kept"]
+    dropped = [r for r in rows if not r["is_kept"]]
+    assert dropped, "threshold should catch at least one near-dup"
+    for r in dropped:
+        partner = by_id[r["dup_of"]]
+        assert r["dup_of"] < r["vec_id"]
+        assert partner["cluster"] == r["cluster"]
+    # spot-verify the named partner really clears the threshold
+    e = load_table(spark, SF_DIR, "embeddings")
+    probe = dropped[0]
+    pair = (
+        e.where(F.col("vec_id").isin([probe["vec_id"], probe["dup_of"]]))
+        .agg(F.collect_list("embedding").alias("es"))
+        .select(
+            F.round(
+                cosine_similarity(
+                    F.element_at("es", 1), F.element_at("es", 2)
+                ),
+                6,
+            ).alias("c")
+        )
+        .head()["c"]
+    )
+    assert pair >= SEM_THRESHOLD
