@@ -420,3 +420,131 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_shared_ngrams"))
     )
+
+
+# --------------------------------------------------------------------------
+# Bloom-prefiltered decontamination
+# --------------------------------------------------------------------------
+BLOOM_K = 7  # hash probes per key
+
+
+def _bloom_build(hashes, k: int = BLOOM_K):
+    """(bits uint64[], mask) Bloom filter over signed-int64 keys.
+
+    Positions are the classic double-hash family h1 + i*h2 (Kirsch &
+    Mitzenmacher 2006); h2 is an odd multiplicative mix of h1 so the k
+    probes stay affine in two 64-bit values — cheap to replicate
+    vectorized at probe time."""
+    import numpy as np
+
+    h = np.asarray(hashes, dtype=np.int64).astype(np.uint64)
+    n = max(len(h), 1)
+    m_bits = 1 << max(16, int(np.ceil(np.log2(n * 16))))
+    mask = np.uint64(m_bits - 1)
+    bits = np.zeros(m_bits >> 6, dtype=np.uint64)
+    h2 = (h * np.uint64(0x9E3779B97F4A7C15)) | np.uint64(1)
+    for i in range(k):
+        idx = (h + np.uint64(i) * h2) & mask
+        np.bitwise_or.at(
+            bits, (idx >> np.uint64(6)).astype(np.int64),
+            np.uint64(1) << (idx & np.uint64(63)),
+        )
+    return bits, mask
+
+
+@register(
+    "q_bloom_decontaminate",
+    oracle=f"""WITH toks AS (
+  SELECT doc_id, {dd_tokens("text")} AS tok
+    FROM documents WHERE text IS NOT NULL
+),
+grams AS (
+  SELECT DISTINCT doc_id, unnest({dd_word_ngrams("tok", DECON_N)}) AS g
+    FROM toks
+),
+eval_g AS (
+  SELECT DISTINCT g FROM grams WHERE doc_id % {DECON_EVAL_MOD} = 0
+),
+hits AS (
+  SELECT t.doc_id, count(*) AS n
+    FROM grams t JOIN eval_g e ON t.g = e.g
+   WHERE t.doc_id % {DECON_EVAL_MOD} <> 0
+   GROUP BY t.doc_id
+)
+SELECT d.doc_id, CAST(coalesce(h.n, 0) AS BIGINT) AS n_shared_ngrams,
+       h.n IS NULL AS is_clean
+  FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
+ WHERE d.text IS NOT NULL AND d.doc_id % {DECON_EVAL_MOD} <> 0
+""",
+    doc="decontamination with a Bloom prefilter: the eval slice's n-gram "
+    "hashes compress into a bit array a few hundred KB wide (vs GBs for "
+    "the gram strings at real scale), the corpus gram stream probes it "
+    "with an Arrow-vectorized pandas UDF (k affine hash probes per gram, "
+    "all numpy), and only the ~FP-rate survivors reach the exact verify "
+    "join — which therefore shuffles a candidate trickle, not the corpus. "
+    "The exact join makes the result IDENTICAL to the no-Bloom answer "
+    "(false positives die in verify), so the Bloom stage is pure physical "
+    "optimization: the 100 TB play when the eval gram set outgrows a "
+    "broadcast but a bitmap of it does not. Output: every train doc with "
+    "its shared-gram count and a clean flag.",
+)
+def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents", fan_out=True).where(
+        F.col("text").isNotNull()
+    )
+
+    def gram_sets(df: DataFrame) -> DataFrame:
+        return df.select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(word_ngrams(tokens(F.col("text")), DECON_N))
+            ).alias("g"),
+        )
+
+    eval_docs = docs.where(F.col("doc_id") % DECON_EVAL_MOD == 0)
+    eval_g = gram_sets(eval_docs).select("g").distinct()
+    # driver-side Bloom build over the (small by construction) eval hashes;
+    # ships to executors once as a task-closure broadcast
+    bits, mask = _bloom_build(
+        [r["h"] for r in eval_g.select(F.xxhash64("g").alias("h")).collect()]
+    )
+
+    def _might_contain(h):
+        import numpy as np
+
+        hv = h.to_numpy(dtype=np.int64).astype(np.uint64)
+        h2 = (hv * np.uint64(0x9E3779B97F4A7C15)) | np.uint64(1)
+        ok = np.ones(len(hv), dtype=bool)
+        for i in range(BLOOM_K):
+            idx = (hv + np.uint64(i) * h2) & mask
+            word = bits[(idx >> np.uint64(6)).astype(np.int64)]
+            ok &= (word >> (idx & np.uint64(63))) & np.uint64(1) != 0
+        return pd.Series(ok)
+
+    # the module-level `from __future__ import annotations` stringifies
+    # hints, which pandas_udf can't resolve — attach real objects instead
+    _might_contain.__annotations__ = {"h": pd.Series, "return": pd.Series}
+    might_contain = F.pandas_udf(_might_contain, "boolean")
+
+    train = docs.where(F.col("doc_id") % DECON_EVAL_MOD != 0)
+    candidates = gram_sets(train).where(
+        might_contain(F.xxhash64("g"))
+    )
+    # exact verify on the gram STRING restores exact semantics regardless
+    # of Bloom false positives or hash collisions
+    hits = (
+        candidates.join(eval_g, "g")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n"))
+    )
+    return (
+        train.select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n"), F.lit(0)).alias("n_shared_ngrams"),
+            F.col("n").isNull().alias("is_clean"),
+        )
+    )

@@ -76,3 +76,34 @@ def test_neardup_apply_partitions_corpus(spark):
     # exactly one keeper per component, cluster sizes tile the corpus
     assert len(rows) == n_components
     assert sum(r["n_dups"] for r in rows) == n_docs
+
+
+def test_bloom_decontaminate_matches_exact(spark):
+    """The Bloom stage is pure physical optimization: per-doc shared-gram
+    counts must equal the broadcast-exact q_decontaminate computation, and
+    clean + contaminated must partition the train slice."""
+    from prefect_flow_arc_indexer_spark.plans import all_queries
+    from prefect_flow_arc_indexer_spark.sources.parquet import load_table
+    from tests.conftest import SF_DIR
+
+    q = all_queries()
+    bloom = {
+        r["doc_id"]: (r["n_shared_ngrams"], r["is_clean"])
+        for r in q["q_bloom_decontaminate"].builder(spark, SF_DIR).collect()
+    }
+    exact = {
+        r["doc_id"]: r["n_shared_ngrams"]
+        for r in q["q_decontaminate"].builder(spark, SF_DIR).collect()
+    }
+    assert exact, "fixture should contain contaminated docs"
+    for doc_id, n in exact.items():
+        assert bloom[doc_id] == (n, False)
+    clean = {d for d, (n, ok) in bloom.items() if ok}
+    assert clean == set(bloom) - set(exact)
+    assert all(bloom[d][0] == 0 for d in clean)
+    n_docs = (
+        load_table(spark, SF_DIR, "documents")
+        .where("text IS NOT NULL AND doc_id % 50 <> 0")
+        .count()
+    )
+    assert len(bloom) == n_docs
