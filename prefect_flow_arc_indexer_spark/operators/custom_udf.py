@@ -111,3 +111,81 @@ def q_udtf_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT c.* FROM _docs_for_chunking d, "
         "LATERAL chunk_docs_udtf(d.doc_id, d.text) c"
     )
+
+
+# --------------------------------------------------------------------------
+# grouped applyInPandas: per-entity time-series resample + forward fill
+# --------------------------------------------------------------------------
+RESAMPLE_USERS = 40  # user_id < 40 keeps the hourly grid a bounded fixture
+
+
+@register(
+    "q_resample_ffill",
+    oracle=f"""WITH ev AS (
+  SELECT user_id, ts, value, event_id FROM events WHERE user_id < {RESAMPLE_USERS}
+),
+b AS (
+  SELECT user_id, date_trunc('hour', min(ts)) AS t0,
+         date_trunc('hour', max(ts)) AS t1
+    FROM ev GROUP BY user_id
+),
+grid AS (
+  SELECT user_id, unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS h FROM b
+),
+u AS (
+  SELECT user_id, h AS t, CAST(NULL AS DOUBLE) AS v, 1 AS pri,
+         CAST(NULL AS BIGINT) AS eid
+    FROM grid
+  UNION ALL
+  SELECT user_id, ts, value, 0 AS pri, event_id FROM ev
+),
+f AS (
+  SELECT user_id, t, pri,
+         last_value(v IGNORE NULLS) OVER (
+           PARTITION BY user_id
+           ORDER BY t ASC, pri ASC,
+                    coalesce(eid, 9223372036854775807) ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value
+    FROM u
+)
+SELECT user_id, t AS hour, value FROM f WHERE pri = 1
+""",
+    doc="grouped time-series regularization via applyInPandas: each user's "
+    "irregular event stream becomes an hourly grid carrying the last "
+    "observed value forward (as-of semantics; ties broken by max "
+    "event_id, leading grid points before any event stay NULL). The "
+    "group-map Arrow path is the sanctioned escape hatch for per-entity "
+    "sequence logic SQL windows express awkwardly — state stays inside "
+    "one partition's pandas frame, the shuffle is one user-keyed "
+    "exchange, and grid width bounds per-group memory. The oracle "
+    "replays it relationally: grid UNION events, last_value IGNORE "
+    "NULLS over (t, grid-after-event, event_id).",
+)
+def q_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("user_id") < RESAMPLE_USERS)
+        .select("user_id", "ts", "value", "event_id")
+    )
+
+    def fill(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        t0 = pdf["ts"].min().floor("h")
+        t1 = pdf["ts"].max().floor("h")
+        grid = pd.DataFrame(
+            {"hour": pd.date_range(t0, t1, freq="h").astype(pdf["ts"].dtype)}
+        )
+        g = pd.merge_asof(
+            grid, pdf[["ts", "value"]], left_on="hour", right_on="ts"
+        )
+        return pd.DataFrame(
+            {
+                "user_id": pdf["user_id"].iloc[0],
+                "hour": g["hour"],
+                "value": g["value"],
+            }
+        )
+
+    return ev.groupBy("user_id").applyInPandas(
+        fill, "user_id bigint, hour timestamp, value double"
+    )

@@ -157,3 +157,36 @@ def test_semdedup_invariants(spark):
         .head()["c"]
     )
     assert pair >= SEM_THRESHOLD
+
+
+def test_resample_ffill_asof_semantics(spark):
+    """Hourly grid is contiguous per user and each point carries the value
+    of the latest event at-or-before it (max event_id on ties) — replayed
+    independently in Python for one user."""
+    import datetime as dt
+
+    from prefect_flow_arc_indexer_spark.sources.parquet import load_table
+
+    out = _run("q_resample_ffill", spark).collect()
+    assert out
+    uid = out[0]["user_id"]
+    mine = sorted(
+        ((r["hour"], r["value"]) for r in out if r["user_id"] == uid)
+    )
+    hours = [h for h, _ in mine]
+    assert all(
+        b - a == dt.timedelta(hours=1) for a, b in zip(hours, hours[1:])
+    )
+    ev = sorted(
+        (
+            (r["ts"], r["event_id"], r["value"])
+            for r in load_table(spark, SF_DIR, "events")
+            .where(F.col("user_id") == uid)
+            .collect()
+        )
+    )
+    assert hours[0] <= ev[0][0] and hours[-1] <= ev[-1][0]
+    for h, v in mine:
+        past = [e for e in ev if e[0] <= h]
+        expect = past[-1][2] if past else None
+        assert v == expect, (h, v, expect)
