@@ -70,19 +70,20 @@ _DRIVER_WINDOW = (
     "q_cdc_merge", "q_variant_stats", "q_doc_actions", "q_doc_actions_full",
     "q_anti_join_cleanup", "q_dup_alias_having", "q_dup_alias_semi",
     "q_count_reconcile", "q_schema_probe", "q_topk_tail",
-    # dedup
+    # dedup (q_semdedup is the cluster-bounded upgrade of embedding dedup)
     "q_dedup_exact", "q_dedup_minhash", "q_minhash_verified",
-    "q_dedup_components", "q_dedup_embedding",
+    "q_dedup_components", "q_semdedup",
     # multimodal (mapInPandas decode plumbing)
     "q_multimodal_meta",
-    # similarity / vectors (q_pq_adc over q_knn_blocked: blocked shares
-    # q_knn_cosine's oracle verbatim, PQ brings a distinct family)
-    "q_knn_cosine", "q_knn_ivf", "q_pq_adc", "q_embed_quantize",
+    # similarity / vectors (q_ivfpq_adc composes the IVF and PQ families;
+    # q_pq_adc keeps the cell-unrestricted ADC baseline in the sample)
+    "q_knn_cosine", "q_ivfpq_adc", "q_pq_adc", "q_embed_quantize",
     # text analysis
     "q_token_count", "q_text_quality", "q_lang_id", "q_doc_fingerprint",
-    # corpus prep
+    # corpus prep (bloom variant = decontaminate + the Bloom-prefilter
+    # physical plan; result is identical by construction)
     "q_pii_pseudonymize", "q_chunk_dedup", "q_tfidf_topterms",
-    "q_decontaminate",
+    "q_bloom_decontaminate",
     # event-time windows
     "q_session_window", "q_hopping_window",
     # relational (TPC-H shapes)
@@ -90,8 +91,8 @@ _DRIVER_WINDOW = (
     "q_small_qty_revenue",
     # analytics windows / grouping sets
     "q_rollup_revenue", "q_window_suite",
-    # temporal + CDC
-    "q_asof_join", "q_latest_snapshot",
+    # temporal + grouped-Arrow sequence logic
+    "q_asof_join", "q_resample_ffill",
     # splits + fused pipeline
     "q_train_split", "q_corpus_pipeline",
 )
