@@ -548,3 +548,84 @@ def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").isNull().alias("is_clean"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# BPE tokenizer training (merge-rule learning over the word-count table)
+# --------------------------------------------------------------------------
+BPE_MERGES = 8
+BPE_VOCAB = 2000  # top words by (count desc, word asc) enter training
+
+
+@register(
+    "q_bpe_merges",
+    oracle=None,  # iterative driver-loop algorithm; a pure-Python replay at
+    # sf0.001 pins the exact merge sequence in pytest instead
+    doc="BPE tokenizer training, the distributed half done in-plan: the "
+    "corpus reduces once to a (word, count) table — the ONLY corpus-"
+    f"bounded step — and each of the {BPE_MERGES} merge rounds counts "
+    "adjacent symbol pairs over that vocab-bounded table (explode + "
+    "count-weighted hash agg), picks the max-count pair (ties to the "
+    "lexicographically smallest) on the driver, and applies the merge "
+    "with a left-to-right non-overlapping regexp pass. At 100 TB the "
+    "word-count reduction is the standard map-side-combined token agg; "
+    "training cost is independent of corpus size. Output: the ordered "
+    "merge table (rank, pair, new symbol, support count).",
+)
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents", fan_out=True).where(
+        F.col("text").isNotNull()
+    )
+    vocab = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("w"))
+        .where(F.col("w").rlike("^[a-z0-9]+$"))  # regex-safe symbols
+        .groupBy("w")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("w").asc())
+        .limit(BPE_VOCAB)
+        # symbols as a space-separated char string: "hello" -> "h e l l o"
+        .select(
+            "cnt",
+            F.trim(F.regexp_replace("w", "(.)", "$1 ")).alias("syms"),
+        )
+    )
+    vocab = vocab.localCheckpoint()  # truncate lineage before the loop
+    merges = []
+    for rank in range(1, BPE_MERGES + 1):
+        pair_counts = (
+            vocab.select(
+                "cnt", F.split("syms", " ").alias("s")
+            )
+            .select(
+                "cnt",
+                F.explode(
+                    F.expr(
+                        "transform(slice(s, 1, size(s) - 1), "
+                        "(x, i) -> struct(x as a, s[i + 1] as b))"
+                    )
+                ).alias("p"),
+            )
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("cnt").alias("support"))
+        )
+        best = pair_counts.orderBy(
+            F.col("support").desc(), F.col("a").asc(), F.col("b").asc()
+        ).head()
+        if best is None or best["support"] < 2:
+            break
+        a, b = best["a"], best["b"]
+        merges.append((rank, f"{a} {b}", a + b, int(best["support"])))
+        # left-to-right non-overlapping merge: the lookahead keeps the
+        # trailing boundary unconsumed so "a a a" -> "aa a", like BPE
+        vocab = vocab.select(
+            "cnt",
+            F.regexp_replace(
+                F.concat(F.lit(" "), F.col("syms"), F.lit(" ")),
+                f" {a} {b}(?= )",
+                f" {a + b}",
+            ).alias("syms"),
+        ).select("cnt", F.trim("syms").alias("syms"))
+        vocab = vocab.localCheckpoint()
+    return spark.createDataFrame(
+        merges, "rank int, pair string, merged string, support bigint"
+    )

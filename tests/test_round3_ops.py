@@ -190,3 +190,61 @@ def test_resample_ffill_asof_semantics(spark):
         past = [e for e in ev if e[0] <= h]
         expect = past[-1][2] if past else None
         assert v == expect, (h, v, expect)
+
+
+def test_bpe_merges_match_pure_python_replay(spark):
+    """The distributed merge loop must reproduce the textbook BPE
+    algorithm: replay it single-threaded from the same word counts and
+    compare the full (pair, merged, support) sequence."""
+    import re
+    from collections import Counter
+
+    from prefect_flow_arc_indexer_spark.operators.textprep import (
+        BPE_MERGES,
+        BPE_VOCAB,
+    )
+    from prefect_flow_arc_indexer_spark.functions.textfns import tokens
+    from prefect_flow_arc_indexer_spark.sources.parquet import load_table
+
+    got = [
+        (r["rank"], r["pair"], r["merged"], r["support"])
+        for r in _run("q_bpe_merges", spark).collect()
+    ]
+    assert got and [g[0] for g in got] == list(range(1, len(got) + 1))
+
+    words = Counter()
+    for row in (
+        load_table(spark, SF_DIR, "documents")
+        .where(F.col("text").isNotNull())
+        .select(F.explode(tokens(F.col("text"))).alias("w"))
+        .collect()
+    ):
+        if re.fullmatch(r"[a-z0-9]+", row["w"]):
+            words[row["w"]] += 1
+    vocab = {
+        " ".join(w): c
+        for w, c in sorted(words.items(), key=lambda kv: (-kv[1], kv[0]))[
+            :BPE_VOCAB
+        ]
+    }
+    expect = []
+    for rank in range(1, BPE_MERGES + 1):
+        pairs = Counter()
+        for syms, cnt in vocab.items():
+            s = syms.split(" ")
+            for a, b in zip(s, s[1:]):
+                pairs[(a, b)] += cnt
+        if not pairs:
+            break
+        (a, b), support = min(
+            pairs.items(), key=lambda kv: (-kv[1], kv[0])
+        )
+        if support < 2:
+            break
+        expect.append((rank, f"{a} {b}", a + b, support))
+        pat = re.compile(f" {re.escape(a)} {re.escape(b)}(?= )")
+        vocab = {
+            pat.sub(f" {a + b}", f" {k} ").strip(): v
+            for k, v in vocab.items()
+        }
+    assert got == expect
