@@ -1010,3 +1010,93 @@ def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source_a", "source_b")
         .agg(F.count("*").alias("shared_5grams"))
     )
+
+
+# --------------------------------------------------------------------------
+# split-leakage audit: near-dup pairs crossing train/val/test boundaries
+# --------------------------------------------------------------------------
+def _register_split_leakage():
+    from prefect_flow_arc_indexer_spark.operators.sampling import (
+        SPLIT_SALT,
+        TRAIN_PCT,
+        VAL_PCT,
+        _dd_bucket,
+        split_bucket,
+    )
+
+    base = _dd_minhash_sql()
+    # split at the FINAL select (the pair emitter) — earlier CTEs also use
+    # SELECT DISTINCT, so a left split would cut inside the shingle CTE
+    head, tail = base.rsplit("SELECT DISTINCT", 1)
+
+    def _dd_split(col: str) -> str:
+        b = _dd_bucket(SPLIT_SALT).replace("doc_id", col)
+        return (
+            f"CASE WHEN {b} < {TRAIN_PCT} THEN 'train' "
+            f"WHEN {b} < {TRAIN_PCT + VAL_PCT} THEN 'val' "
+            f"ELSE 'test' END"
+        )
+
+    oracle = f"""{head.rstrip().rstrip(')').rstrip()}
+),
+pairs AS (
+  SELECT DISTINCT{tail.rstrip()}
+),
+spl AS (
+  SELECT doc_a, doc_b,
+         {_dd_split("doc_a")} AS split_a,
+         {_dd_split("doc_b")} AS split_b
+    FROM pairs
+)
+SELECT split_a, split_b,
+       count(*) AS n_pairs,
+       count(DISTINCT doc_a) AS n_docs_a,
+       count(DISTINCT doc_b) AS n_docs_b
+  FROM spl
+ WHERE split_a <> split_b
+ GROUP BY split_a, split_b
+"""
+
+    @register(
+        "q_split_leakage",
+        oracle=oracle,
+        doc="eval-integrity audit: MinHash+LSH near-dup candidate pairs "
+        "that CROSS the deterministic train/val/test boundary — the leak "
+        "a random split always has and a content-aware split must prove "
+        "absent. Composes the dedup candidate generator with the salted "
+        "split assignment (both scan-side projections); the output is the "
+        "per-(split,split) leak census a pipeline gates a release on. At "
+        "100 TB the pair stream is already band-bucket-local, and the "
+        "split labels join in as two hash projections — no new shuffle "
+        "beyond the dedup pass itself.",
+    )
+    def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+        docs = load_table(spark, sf_dir, "documents", fan_out=True)
+        pairs = lsh_candidate_pairs(minhash_signature(docs))
+
+        def spl(c: str):
+            b = split_bucket(F.col(c), SPLIT_SALT)
+            return (
+                F.when(b < TRAIN_PCT, F.lit("train"))
+                .when(b < TRAIN_PCT + VAL_PCT, F.lit("val"))
+                .otherwise(F.lit("test"))
+            )
+
+        return (
+            pairs.select(
+                "doc_a",
+                "doc_b",
+                spl("doc_a").alias("split_a"),
+                spl("doc_b").alias("split_b"),
+            )
+            .where(F.col("split_a") != F.col("split_b"))
+            .groupBy("split_a", "split_b")
+            .agg(
+                F.count("*").alias("n_pairs"),
+                F.countDistinct("doc_a").alias("n_docs_a"),
+                F.countDistinct("doc_b").alias("n_docs_b"),
+            )
+        )
+
+
+_register_split_leakage()

@@ -211,3 +211,88 @@ def q_hilbert_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dims.mapInPandas(
         _hilbert_batches, schema="o_orderkey long, x long, y long, hkey long"
     )
+
+
+# --------------------------------------------------------------------------
+# shard balancing: snake assignment by global size rank, two-pass rank
+# --------------------------------------------------------------------------
+SHARDS = 8
+RANK_PARTS = 8  # range partitions for the distributed global rank
+
+
+@register(
+    "q_shard_balance",
+    oracle=f"""WITH t AS (
+  SELECT doc_id,
+         CASE WHEN text IS NULL THEN 0
+              ELSE len(list_filter(string_split_regex(lower(text), '\\s+'),
+                                   x -> x <> '')) END AS n_tokens
+    FROM documents
+),
+r AS (
+  SELECT n_tokens,
+         row_number() OVER (ORDER BY n_tokens DESC, doc_id ASC) AS rnk
+    FROM t
+),
+s AS (
+  SELECT n_tokens,
+         CASE WHEN ((rnk - 1) // {SHARDS}) % 2 = 0 THEN (rnk - 1) % {SHARDS}
+              ELSE {SHARDS - 1} - ((rnk - 1) % {SHARDS}) END AS shard
+    FROM r
+)
+SELECT CAST(shard AS INTEGER) AS shard,
+       count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+  FROM s GROUP BY shard
+""",
+    doc=f"training-shard balancing: docs ranked globally by token count "
+    f"(desc, doc_id ties) and dealt into {SHARDS} shards in a snake "
+    "(boustrophedon) pattern, the deterministic near-optimal balancer. "
+    "The global rank is the scale-honest TWO-PASS form — repartitionByRange "
+    "on the sort key, per-partition row_number, plus a broadcast of the "
+    "tiny per-partition offsets — never a single-task global window. The "
+    "rank values are identical regardless of where sampling places range "
+    "boundaries (the composite key is unique), so the output is "
+    "deterministic and engine-stable.",
+)
+def q_shard_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from prefect_flow_arc_indexer_spark.functions.textfns import tokens
+
+    docs = load_table(spark, sf_dir, "documents", fan_out=True).select(
+        "doc_id",
+        F.when(F.col("text").isNull(), F.lit(0))
+        .otherwise(F.size(tokens(F.col("text"))))
+        .alias("n_tokens"),
+    )
+    parted = docs.repartitionByRange(
+        RANK_PARTS, F.col("n_tokens").desc(), F.col("doc_id").asc()
+    ).withColumn("pid", F.spark_partition_id())
+    local_w = Window.partitionBy("pid").orderBy(
+        F.col("n_tokens").desc(), F.col("doc_id").asc()
+    )
+    local = parted.withColumn("lr", F.row_number().over(local_w))
+    off_w = (
+        Window.orderBy("pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        local.groupBy("pid")
+        .agg(F.count("*").alias("n"))
+        .withColumn("off", F.coalesce(F.sum("n").over(off_w), F.lit(0)))
+        .select("pid", "off")
+    )
+    ranked = local.join(F.broadcast(offsets), "pid").withColumn(
+        "rnk", F.col("lr") + F.col("off")
+    )
+    shard = F.expr(
+        f"CASE WHEN ((rnk - 1) div {SHARDS}) % 2 = 0 THEN (rnk - 1) % {SHARDS} "
+        f"ELSE {SHARDS - 1} - ((rnk - 1) % {SHARDS}) END"
+    ).cast("int")
+    return (
+        ranked.select(shard.alias("shard"), "n_tokens")
+        .groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        )
+    )

@@ -248,3 +248,59 @@ def test_bpe_merges_match_pure_python_replay(spark):
             for k, v in vocab.items()
         }
     assert got == expect
+
+
+def test_split_leakage_consistent_with_pairs_and_split(spark):
+    """Leak census must equal the independent recombination of the minhash
+    pair set with the split assignment."""
+    from collections import Counter
+
+    pairs = [
+        (r["doc_a"], r["doc_b"])
+        for r in _run("q_dedup_minhash", spark).collect()
+    ]
+    split = {
+        r["doc_id"]: r["split"] for r in _run("q_train_split", spark).collect()
+    }
+    expect = Counter(
+        (split[a], split[b]) for a, b in pairs if split[a] != split[b]
+    )
+    got = {
+        (r["split_a"], r["split_b"]): r["n_pairs"]
+        for r in _run("q_split_leakage", spark).collect()
+    }
+    assert got == dict(expect)
+
+
+def test_shard_balance_snake_properties(spark):
+    """Shards get within-one equal doc counts, token totals cover the
+    corpus exactly, and the spread beats naive round-robin's worst case:
+    replayed against a driver-side sort."""
+    from prefect_flow_arc_indexer_spark.operators.layout import SHARDS
+    from prefect_flow_arc_indexer_spark.functions.textfns import tokens
+    from prefect_flow_arc_indexer_spark.sources.parquet import load_table
+
+    rows = _run("q_shard_balance", spark).collect()
+    assert sorted(r["shard"] for r in rows) == list(range(SHARDS))
+    counts = [r["n_docs"] for r in rows]
+    assert max(counts) - min(counts) <= 1
+    sizes = [
+        r["n"]
+        for r in load_table(spark, SF_DIR, "documents")
+        .select(
+            F.when(F.col("text").isNull(), F.lit(0))
+            .otherwise(F.size(tokens(F.col("text"))))
+            .alias("n")
+        )
+        .collect()
+    ]
+    assert sum(r["total_tokens"] for r in rows) == sum(sizes)
+    # replay the snake deal on the driver and compare totals exactly
+    expect = [0] * SHARDS
+    for i, n in enumerate(sorted(sizes, reverse=True)):
+        blk, pos = divmod(i, SHARDS)
+        expect[pos if blk % 2 == 0 else SHARDS - 1 - pos] += n
+    got = {r["shard"]: r["total_tokens"] for r in rows}
+    # ties among equal token counts may order differently than doc_id sort,
+    # but equal values make totals invariant: compare the full multiset
+    assert sorted(got.values()) == sorted(expect)
