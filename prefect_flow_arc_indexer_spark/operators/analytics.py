@@ -509,3 +509,95 @@ def q_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         "revenue",
         F.round(F.col("revenue") / prev - 1, 6).alias("mom_growth"),
     )
+
+
+# --------------------------------------------------------------------------
+# market-basket association rules (co-purchase support / confidence / lift)
+# --------------------------------------------------------------------------
+BASKET_MIN_SUPPORT = 3
+
+
+@register(
+    "q_basket_rules",
+    oracle=f"""WITH d AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+pc AS (
+  SELECT l_partkey, count(*) AS c FROM d GROUP BY l_partkey
+),
+n AS (
+  SELECT count(DISTINCT l_orderkey) AS n_orders FROM d
+),
+p AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS support
+    FROM d a JOIN d b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+   GROUP BY 1, 2
+  HAVING count(*) >= {BASKET_MIN_SUPPORT}
+)
+SELECT p.part_a, p.part_b, p.support,
+       round(CAST(p.support AS DOUBLE) / ca.c, 6) AS conf_a_to_b,
+       round(CAST(p.support AS DOUBLE) / cb.c, 6) AS conf_b_to_a,
+       round(CAST(p.support AS DOUBLE) * n.n_orders
+             / (CAST(ca.c AS DOUBLE) * cb.c), 6) AS lift
+  FROM p
+  JOIN pc ca ON ca.l_partkey = p.part_a
+  JOIN pc cb ON cb.l_partkey = p.part_b
+  CROSS JOIN n
+""",
+    doc="market-basket association rules: per-order distinct part sets, "
+    "order-local pair combinatorics (the LSH-bucket pair trick — sorted "
+    "collect_set + array slicing, so pair explosion never crosses a "
+    "partition), then support / directional confidence / lift against "
+    "the per-item order counts (broadcast) and the scalar basket total. "
+    "Baskets are short by domain contract, so pair volume is "
+    "sum(|basket|^2) — linear in orders; the classic co-occurrence "
+    "recommender primitive at retail scale.",
+)
+def q_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    baskets = (
+        d.groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("ids"))
+        .where(F.size("ids") > 1)
+    )
+    pair_expr = F.expr(
+        "flatten(transform(ids, (x, i) -> "
+        "transform(slice(ids, i + 2, size(ids) - i - 1), "
+        "y -> struct(x AS part_a, y AS part_b))))"
+    )
+    pairs = (
+        baskets.select(F.explode(pair_expr).alias("p"))
+        .groupBy(F.col("p.part_a").alias("part_a"), F.col("p.part_b").alias("part_b"))
+        .agg(F.count("*").alias("support"))
+        .where(F.col("support") >= BASKET_MIN_SUPPORT)
+    )
+    item_counts = d.groupBy("l_partkey").agg(F.count("*").alias("c"))
+    n_orders = d.select("l_orderkey").distinct().count()
+    ca = item_counts.select(
+        F.col("l_partkey").alias("part_a"), F.col("c").alias("ca")
+    )
+    cb = item_counts.select(
+        F.col("l_partkey").alias("part_b"), F.col("c").alias("cb")
+    )
+    sup = F.col("support").cast("double")
+    return (
+        pairs.join(F.broadcast(ca), "part_a")
+        .join(F.broadcast(cb), "part_b")
+        .select(
+            "part_a",
+            "part_b",
+            "support",
+            F.round(sup / F.col("ca"), 6).alias("conf_a_to_b"),
+            F.round(sup / F.col("cb"), 6).alias("conf_b_to_a"),
+            F.round(
+                sup * F.lit(float(n_orders))
+                / (F.col("ca").cast("double") * F.col("cb")),
+                6,
+            ).alias("lift"),
+        )
+    )

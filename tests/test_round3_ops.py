@@ -304,3 +304,41 @@ def test_shard_balance_snake_properties(spark):
     # ties among equal token counts may order differently than doc_id sort,
     # but equal values make totals invariant: compare the full multiset
     assert sorted(got.values()) == sorted(expect)
+
+
+def test_basket_rules_probability_identities(spark):
+    """Confidence and lift must satisfy their definitions exactly for a
+    spot-checked pair, and basic probability bounds everywhere."""
+    from prefect_flow_arc_indexer_spark.operators.analytics import (
+        BASKET_MIN_SUPPORT,
+    )
+    from prefect_flow_arc_indexer_spark.sources.parquet import load_table
+
+    rows = _run("q_basket_rules", spark).collect()
+    assert rows
+    for r in rows:
+        assert r["support"] >= BASKET_MIN_SUPPORT
+        assert 0 < r["conf_a_to_b"] <= 1 and 0 < r["conf_b_to_a"] <= 1
+        assert r["lift"] > 0 and r["part_a"] < r["part_b"]
+    d = (
+        load_table(spark, SF_DIR, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .collect()
+    )
+    orders_of = {}
+    for row in d:
+        orders_of.setdefault(row["l_partkey"], set()).add(row["l_orderkey"])
+    n_orders = len({row["l_orderkey"] for row in d})
+    probe = rows[0]
+    both = orders_of[probe["part_a"]] & orders_of[probe["part_b"]]
+    assert probe["support"] == len(both)
+    assert probe["conf_a_to_b"] == round(
+        len(both) / len(orders_of[probe["part_a"]]), 6
+    )
+    assert probe["lift"] == round(
+        len(both)
+        * n_orders
+        / (len(orders_of[probe["part_a"]]) * len(orders_of[probe["part_b"]])),
+        6,
+    )
