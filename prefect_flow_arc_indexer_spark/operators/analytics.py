@@ -601,3 +601,149 @@ def q_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Poisson bootstrap: deterministic resampled confidence intervals
+# --------------------------------------------------------------------------
+BOOT_B = 16  # resamples
+# cumulative Poisson(1) CDF scaled to the 28-bit hash space: a row's weight
+# in resample b is the inverse-CDF of hash('boot:'||key||':'||b) — the
+# streaming-friendly bootstrap (one pass, weights independent per row, no
+# global resample materialization), made deterministic by the salted hash
+_BOOT_T = (98751885, 197503771, 246879713, 263338361,
+           267453023, 268275955, 268413111, 268432704)
+_BOOT_LO, _BOOT_HI = "1995-01-01", "1995-04-01"
+
+
+def _boot_w_sql(h: str) -> str:
+    cases = " ".join(
+        f"WHEN {h} < {t} THEN {k}" for k, t in enumerate(_BOOT_T)
+    )
+    return f"CASE {cases} ELSE {len(_BOOT_T)} END"
+
+
+def _register_bootstrap_ci():
+    from prefect_flow_arc_indexer_spark.functions.hashing import (
+        dd_stable_hash,
+        stable_hash,
+    )
+
+    dd_h = dd_stable_hash(
+        "'boot:' || key || ':' || CAST(b.b AS VARCHAR)"
+    )
+
+    @register(
+        "q_bootstrap_ci",
+        oracle=f"""WITH src AS (
+  SELECT l_returnflag,
+         l_orderkey || '_' || l_linenumber AS key,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+    FROM lineitem
+   WHERE l_shipdate >= DATE '{_BOOT_LO}' AND l_shipdate < DATE '{_BOOT_HI}'
+),
+rs AS (
+  SELECT l_returnflag, b.b, cents,
+         {_boot_w_sql(dd_h)} AS w
+    FROM src CROSS JOIN range(0, {BOOT_B}) b(b)
+),
+means AS (
+  SELECT l_returnflag, b,
+         CAST(sum(w * cents) AS DOUBLE) / sum(w) / 100 AS m
+    FROM rs GROUP BY l_returnflag, b
+),
+point AS (
+  SELECT l_returnflag,
+         CAST(sum(cents) AS DOUBLE) / count(*) / 100 AS pm
+    FROM src GROUP BY l_returnflag
+)
+SELECT p.l_returnflag, round(p.pm, 6) AS point_mean,
+       round(quantile_cont(m.m, 0.025), 6) AS ci_lo,
+       round(quantile_cont(m.m, 0.975), 6) AS ci_hi,
+       count(*) AS n_resamples
+  FROM means m JOIN point p ON p.l_returnflag = m.l_returnflag
+ GROUP BY p.l_returnflag, p.pm
+""",
+        doc="Poisson bootstrap (the distributed bootstrap: Chamandy et al., "
+        f"Google 2012): each row enters resample b with weight ~ Poisson(1) "
+        "via the inverse CDF of a salted engine-stable hash — one corpus "
+        "pass computes all resamples, weights are row-local (no global "
+        "resample materialization), and map-side partial aggregation means "
+        f"the shuffle carries groups x {BOOT_B} partial sums, nothing "
+        "row-shaped. Prices quantized to exact integer cents so partial-"
+        "sum order cannot drift the means; CI = exact percentiles over "
+        "the resample means. The one-pass uncertainty quantification a "
+        "100 TB metrics pipeline can actually afford.",
+    )
+    def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+        li = (
+            load_table(spark, sf_dir, "lineitem")
+            .where(
+                (F.col("l_shipdate") >= _BOOT_LO)
+                & (F.col("l_shipdate") < _BOOT_HI)
+            )
+            .select(
+                "l_returnflag",
+                F.concat_ws(
+                    "_",
+                    F.col("l_orderkey").cast("string"),
+                    F.col("l_linenumber").cast("string"),
+                ).alias("key"),
+                F.round(F.col("l_extendedprice") * 100)
+                .cast("bigint")
+                .alias("cents"),
+            )
+        )
+        rs = li.select(
+            "l_returnflag",
+            "cents",
+            F.explode(F.sequence(F.lit(0), F.lit(BOOT_B - 1))).alias("b"),
+            "key",
+        )
+        h = stable_hash(
+            F.concat(
+                F.lit("boot:"), F.col("key"), F.lit(":"),
+                F.col("b").cast("string"),
+            )
+        )
+        w = F.lit(len(_BOOT_T))
+        for k in range(len(_BOOT_T) - 1, -1, -1):
+            w = F.when(h < _BOOT_T[k], F.lit(k)).otherwise(w)
+        means = (
+            rs.withColumn("w", w)
+            .groupBy("l_returnflag", "b")
+            .agg(
+                F.sum(F.col("w") * F.col("cents")).alias("sw"),
+                F.sum("w").alias("n"),
+            )
+            .select(
+                "l_returnflag",
+                (
+                    F.col("sw").cast("double") / F.col("n") / 100
+                ).alias("m"),
+            )
+        )
+        point = li.groupBy("l_returnflag").agg(
+            (
+                F.sum("cents").cast("double") / F.count("*") / 100
+            ).alias("pm")
+        )
+        return (
+            means.join(F.broadcast(point), "l_returnflag")
+            .groupBy("l_returnflag", "pm")
+            .agg(
+                F.round(F.percentile("m", 0.025), 6).alias("ci_lo"),
+                F.round(F.percentile("m", 0.975), 6).alias("ci_hi"),
+                F.count("*").alias("n_resamples"),
+            )
+            .select(
+                "l_returnflag",
+                F.round("pm", 6).alias("point_mean"),
+                "ci_lo",
+                "ci_hi",
+                "n_resamples",
+            )
+        )
+
+
+_register_bootstrap_ci()

@@ -342,3 +342,25 @@ def test_basket_rules_probability_identities(spark):
         / (len(orders_of[probe["part_a"]]) * len(orders_of[probe["part_b"]])),
         6,
     )
+
+
+def test_bootstrap_ci_statistical_sanity(spark):
+    """CI brackets the point estimate at both SFs and shrinks with 10x
+    more data (root-n behavior) — the property that distinguishes a real
+    resampling scheme from noise."""
+    from prefect_flow_arc_indexer_spark.operators.analytics import BOOT_B
+
+    small = {r["l_returnflag"]: r for r in _run("q_bootstrap_ci", spark).collect()}
+    mid = {
+        r["l_returnflag"]: r
+        for r in _run("q_bootstrap_ci", spark, SF_DIR_MID).collect()
+    }
+    assert set(small) == set(mid) == {"A", "N", "R"}
+    for flag, r in {**small, **mid}.items():
+        assert r["n_resamples"] == BOOT_B
+        assert r["ci_lo"] < r["ci_hi"]
+        assert r["ci_lo"] <= r["point_mean"] <= r["ci_hi"]
+    for flag in small:
+        w_small = small[flag]["ci_hi"] - small[flag]["ci_lo"]
+        w_mid = mid[flag]["ci_hi"] - mid[flag]["ci_lo"]
+        assert w_mid < w_small
