@@ -139,3 +139,113 @@ def q_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= RETR_TOP_K)
         .select("query_id", "doc_id", "n_shared_grams", "cos_sim", "rank")
     )
+
+
+# --------------------------------------------------------------------------
+# late-interaction retrieval (ColBERT-style MaxSim over sub-vectors)
+# --------------------------------------------------------------------------
+MAXSIM_SUB = 8  # token sub-vectors per embedding
+MAXSIM_DSUB = 8  # dims per sub-vector
+MAXSIM_QUERIES = 5
+MAXSIM_TOP_K = 5
+
+
+def _dd_maxsim(q: str, d: str) -> str:
+    """Unrolled MaxSim: for each query sub-vector i, the max over doc
+    sub-vectors j of the rounded 8-dim dot; the 8 maxes sum left-to-right.
+    Unrolled in Python (like pq._dd_subdist) — no nested SQL lambdas."""
+
+    def dot(i: int, j: int) -> str:
+        return (
+            f"round(list_aggregate(list_transform(generate_series(1, {MAXSIM_DSUB}),"
+            f" k -> ({q}::DOUBLE[])[{i * MAXSIM_DSUB} + k]"
+            f" * ({d}::DOUBLE[])[{j * MAXSIM_DSUB} + k]), 'sum'), 6)"
+        )
+
+    maxes = [
+        "greatest(" + ", ".join(dot(i, j) for j in range(MAXSIM_SUB)) + ")"
+        for i in range(MAXSIM_SUB)
+    ]
+    return f"round({' + '.join(maxes)}, 6)"
+
+
+@register(
+    "q_maxsim",
+    oracle=f"""WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+   WHERE vec_id < {MAXSIM_QUERIES}
+),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         {_dd_maxsim("q.qe", "e.embedding")} AS maxsim
+    FROM q JOIN embeddings e ON e.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, maxsim, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY maxsim DESC, neighbor_id ASC) AS rank
+    FROM scored) WHERE rank <= {MAXSIM_TOP_K}
+""",
+    doc="late-interaction retrieval (ColBERT MaxSim, Khattab & Zaharia "
+    f"2020): each embedding is read as {MAXSIM_SUB} token sub-vectors and "
+    "a pair's score is sum over query tokens of the max dot against any "
+    "doc token — the interaction granularity single-vector cosine loses. "
+    "Scoring is a shuffle-free projection (broadcast query set x corpus "
+    "scan, all folds inside codegen); only the per-query top-k "
+    "aggregates. The 100 TB path mirrors ANN: a coarse candidate stage "
+    "(LSH/IVF) bounds the MaxSim stage's input, exactly as "
+    "q_hybrid_retrieval bounds its dense rerank. Per-sub dots round to "
+    "6dp before the max and the 8 maxes add in fixed order, so the "
+    "oracle is bit-exact.",
+)
+def q_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings", fan_out=True).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("x")
+    )
+    q = e.where(F.col("vec_id") < MAXSIM_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("x").alias("qx")
+    )
+
+    def subs(col):
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(MAXSIM_SUB - 1)),
+            lambda s: F.slice(col, s * MAXSIM_DSUB + 1, MAXSIM_DSUB),
+        )
+
+    def dot8(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    maxsim = F.round(
+        F.aggregate(
+            F.transform(
+                subs(F.col("qx")),
+                lambda qi: F.array_max(
+                    F.transform(
+                        subs(F.col("x")),
+                        lambda dj: F.round(dot8(qi, dj), 6),
+                    )
+                ),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+        6,
+    )
+    scored = e.join(
+        F.broadcast(q), F.col("vec_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        maxsim.alias("maxsim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("maxsim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= MAXSIM_TOP_K)
+        .select("query_id", "neighbor_id", "maxsim", "rank")
+    )

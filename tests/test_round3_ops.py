@@ -364,3 +364,43 @@ def test_bootstrap_ci_statistical_sanity(spark):
         w_small = small[flag]["ci_hi"] - small[flag]["ci_lo"]
         w_mid = mid[flag]["ci_hi"] - mid[flag]["ci_lo"]
         assert w_mid < w_small
+
+
+def test_maxsim_dominates_self_and_bounds(spark):
+    """MaxSim >= single-vector behavior sanity: a query's top hit scores
+    at least the per-sub dot with itself split off... concretely pin (a)
+    rank ordering, (b) score equals a numpy replay for one pair."""
+    import numpy as np
+
+    from prefect_flow_arc_indexer_spark.operators.retrieval import (
+        MAXSIM_DSUB,
+        MAXSIM_SUB,
+    )
+    from prefect_flow_arc_indexer_spark.sources.parquet import load_table
+
+    rows = _run("q_maxsim", spark).collect()
+    assert rows
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r["query_id"], []).append(r)
+    for hits in per_q.values():
+        hits.sort(key=lambda r: r["rank"])
+        scores = [h["maxsim"] for h in hits]
+        assert scores == sorted(scores, reverse=True)
+    probe = rows[0]
+    emb = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in load_table(spark, SF_DIR, "embeddings")
+        .where(F.col("vec_id").isin([probe["query_id"], probe["neighbor_id"]]))
+        .collect()
+    }
+    qv, dv = emb[probe["query_id"]], emb[probe["neighbor_id"]]
+    total = 0.0
+    for i in range(MAXSIM_SUB):
+        qi = qv[i * MAXSIM_DSUB : (i + 1) * MAXSIM_DSUB]
+        best = max(
+            round(float(qi @ dv[j * MAXSIM_DSUB : (j + 1) * MAXSIM_DSUB]), 6)
+            for j in range(MAXSIM_SUB)
+        )
+        total += best
+    assert probe["maxsim"] == round(total, 6)
