@@ -501,3 +501,66 @@ def q_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "col_name", "n_rows", "n_nonnull", "n_distinct", "min_value", "max_value"
     )
+
+
+# --------------------------------------------------------------------------
+# k-anonymity audit over the pseudonymized quasi-identifiers
+# --------------------------------------------------------------------------
+KANON_K = 5
+
+
+@register(
+    "q_kanon_audit",
+    oracle=f"""WITH qi AS (
+  SELECT c_nationkey AS nationkey, c_mktsegment AS mktsegment,
+         CAST(floor(c_acctbal / 1000) AS BIGINT) AS acctbal_bucket
+    FROM customer
+),
+classes AS (
+  SELECT nationkey, mktsegment, acctbal_bucket, count(*) AS class_size
+    FROM qi GROUP BY 1, 2, 3
+)
+SELECT CAST(sum(CASE WHEN class_size < {KANON_K} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_risky_classes,
+       CAST(sum(CASE WHEN class_size < {KANON_K} THEN class_size ELSE 0 END) AS BIGINT)
+         AS n_risky_rows,
+       count(*) AS n_classes,
+       min(class_size) AS min_class_size,
+       round(CAST(sum(CASE WHEN class_size < {KANON_K} THEN class_size ELSE 0 END) AS DOUBLE)
+             / sum(class_size), 6) AS risky_row_frac
+  FROM classes
+""",
+    doc="k-anonymity audit: equivalence classes over the quasi-identifier "
+    "tuple q_pii_pseudonymize retains (nation, segment, balance bucket); "
+    f"classes smaller than k={KANON_K} are re-identification risks the "
+    "release gate must suppress or generalize. One hash aggregation on "
+    "the QI key (map-side combined) plus a scalar census — the audit "
+    "costs one shuffle of distinct QI tuples regardless of corpus size.",
+)
+def q_kanon_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    classes = (
+        c.select(
+            F.col("c_nationkey").alias("nationkey"),
+            F.col("c_mktsegment").alias("mktsegment"),
+            F.floor(F.col("c_acctbal") / 1000)
+            .cast("bigint")
+            .alias("acctbal_bucket"),
+        )
+        .groupBy("nationkey", "mktsegment", "acctbal_bucket")
+        .agg(F.count("*").alias("class_size"))
+    )
+    risky = F.when(F.col("class_size") < KANON_K, F.col("class_size")).otherwise(
+        F.lit(0)
+    )
+    return classes.agg(
+        F.sum((F.col("class_size") < KANON_K).cast("int"))
+        .cast("bigint")
+        .alias("n_risky_classes"),
+        F.sum(risky).cast("bigint").alias("n_risky_rows"),
+        F.count("*").alias("n_classes"),
+        F.min("class_size").alias("min_class_size"),
+        F.round(
+            F.sum(risky).cast("double") / F.sum("class_size"), 6
+        ).alias("risky_row_frac"),
+    )
