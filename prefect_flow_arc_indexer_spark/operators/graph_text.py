@@ -417,3 +417,63 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         trans.unpersist()
         nodes.unpersist()
+
+
+# --------------------------------------------------------------------------
+# OOV-rate profile: per-doc fraction of tokens outside the top-k vocabulary
+# --------------------------------------------------------------------------
+OOV_VOCAB_SIZE = 1000
+
+
+@register(
+    "q_oov_rate",
+    oracle=f"""WITH {_TOKS_CTE},
+tf AS (SELECT doc_id, unnest(tok) AS w FROM toks),
+counts AS (SELECT w, count(*) AS cnt FROM tf GROUP BY w),
+vocab AS (
+  SELECT w FROM counts
+   ORDER BY cnt DESC, w ASC LIMIT {OOV_VOCAB_SIZE}
+)
+SELECT t.doc_id,
+       count(*) AS n_tokens,
+       CAST(sum(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_oov,
+       round(CAST(sum(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 6) AS oov_rate
+  FROM tf t LEFT JOIN vocab v ON t.w = v.w
+ GROUP BY t.doc_id
+""",
+    doc="per-doc out-of-vocabulary rate against the corpus top-"
+    f"{OOV_VOCAB_SIZE} vocabulary — the UNK-budget health check run before "
+    "committing a tokenizer vocab (docs with high OOV are the ones a too-"
+    "small vocab will shred). The vocab is an aggregate of the corpus "
+    "token stream (vocab-bounded, tie-broken by term) broadcast back "
+    "against the same stream: two corpus-scan-shaped stages, one "
+    "term-keyed exchange for the counts, and a broadcast hash join for "
+    "membership — no vocab-side shuffle at any scale.",
+)
+def q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    tf = (
+        docs.where(F.col("text").isNotNull())
+        .select("doc_id", F.explode(tokens(F.col("text"))).alias("w"))
+        # one tokenize pass feeds both the vocab build and the probe
+        .localCheckpoint(eager=True)
+    )
+    vocab = (
+        tf.groupBy("w")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("w").asc())
+        .limit(OOV_VOCAB_SIZE)
+        .select(F.col("w").alias("v_w"))
+    )
+    oov = F.sum(F.when(F.col("v_w").isNull(), 1).otherwise(0)).cast("long")
+    return (
+        tf.join(F.broadcast(vocab), F.col("w") == F.col("v_w"), "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            oov.alias("n_oov"),
+            F.round(oov.cast("double") / F.count("*"), 6).alias("oov_rate"),
+        )
+    )

@@ -296,3 +296,67 @@ def q_shard_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tokens").cast("bigint").alias("total_tokens"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# write planning: target-size file bin packing (small-file compaction)
+# --------------------------------------------------------------------------
+BIN_TARGET_BYTES = 64_000  # stand-in for the production 128-256 MB target
+
+
+@register(
+    "q_write_bins",
+    oracle=f"""WITH sized AS (
+  SELECT source, doc_id, n_chars,
+         sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - n_chars AS start_off
+    FROM documents WHERE n_chars IS NOT NULL
+)
+SELECT source,
+       CAST(start_off // {BIN_TARGET_BYTES} AS BIGINT) AS bin_id,
+       count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS bin_bytes,
+       min(doc_id) AS first_doc,
+       max(doc_id) AS last_doc
+  FROM sized
+ GROUP BY source, bin_id
+""",
+    doc="write planning: pack each source's docs (in doc_id order) into "
+    f"target-size output files of ~{BIN_TARGET_BYTES} bytes by cumulative "
+    "start offset — the small-file-compaction / OPTIMIZE planner every "
+    "100 TB table needs. bin_id = floor(running-start / target) keeps "
+    "every file under target+max_doc bytes with zero look-ahead: the "
+    "assignment is a per-source window cumsum (one partitioned exchange, "
+    "no global sort), and at production scale the same expression runs "
+    "over the file-metadata table (path, size) instead of row bytes.",
+)
+def q_write_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents", fan_out=True).where(
+        F.col("n_chars").isNotNull()
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sized = docs.select(
+        "source",
+        "doc_id",
+        "n_chars",
+        (F.sum("n_chars").over(w) - F.col("n_chars")).alias("start_off"),
+    )
+    return (
+        sized.groupBy(
+            "source",
+            F.floor(F.col("start_off") / BIN_TARGET_BYTES)
+            .cast("bigint")
+            .alias("bin_id"),
+        )
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("bin_bytes"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+    )

