@@ -23,7 +23,7 @@ from __future__ import annotations
 from typing import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from prefect_flow_arc_indexer_spark.plans.registry import register
 from prefect_flow_arc_indexer_spark.sources.parquet import load_table
@@ -555,3 +555,69 @@ SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
 
 
 _register_phash_pairs()
+
+
+# --------------------------------------------------------------------------
+# scene-change detection over the sampled frame stream (video dedup prep)
+# --------------------------------------------------------------------------
+SCENE_CUT_DIFF = 64  # frame-to-frame byte delta that counts as a cut
+
+
+def _register_video_scene():
+    """Registered via a closure so the oracle composes the already-
+    registered q_frame_sample oracle — the cut detector stays in lockstep
+    with the sampler it consumes."""
+    from prefect_flow_arc_indexer_spark.plans.registry import _REGISTRY
+
+    frames_sql = _REGISTRY["q_frame_sample"].oracle
+    oracle = f"""WITH frames AS ({frames_sql}),
+diffs AS (
+  SELECT doc_id, frame_idx, frame_byte,
+         abs(frame_byte - lag(frame_byte) OVER (PARTITION BY doc_id
+                                                ORDER BY frame_idx)) AS d
+    FROM frames
+)
+SELECT doc_id,
+       count(*) AS n_frames,
+       CAST(sum(CASE WHEN d >= {SCENE_CUT_DIFF} THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_cuts,
+       max(d) AS max_diff,
+       min(CASE WHEN d >= {SCENE_CUT_DIFF} THEN frame_idx END) AS first_cut_idx
+  FROM diffs
+ GROUP BY doc_id
+"""
+
+    @register(
+        "q_video_scene",
+        oracle=oracle,
+        doc="video scene-change detection over the sampled frame stream: "
+        "per-video lag-diff of consecutive sampled frames, a cut where "
+        f"the delta reaches {SCENE_CUT_DIFF} — the shot-boundary pass a "
+        "video pipeline runs before per-scene dedup/captioning. Composes "
+        "the mapInPandas frame sampler with a doc-partitioned window (the "
+        "per-video frame list is bounded, so the window never sees a "
+        "skewed partition) and a per-video aggregate; the binary payload "
+        "dies at the sampler — only (doc, frame_idx, byte) rows shuffle.",
+    )
+    def q_video_scene(spark: SparkSession, sf_dir: str) -> DataFrame:
+        frames = sample_frames(media_frame(spark, sf_dir))
+        w = Window.partitionBy("doc_id").orderBy("frame_idx")
+        diffs = frames.select(
+            "doc_id",
+            "frame_idx",
+            F.abs(
+                F.col("frame_byte") - F.lag("frame_byte").over(w)
+            ).alias("d"),
+        )
+        cut = F.when(F.col("d") >= SCENE_CUT_DIFF, 1).otherwise(0)
+        return diffs.groupBy("doc_id").agg(
+            F.count("*").alias("n_frames"),
+            F.sum(cut).cast("bigint").alias("n_cuts"),
+            F.max("d").alias("max_diff"),
+            F.min(
+                F.when(F.col("d") >= SCENE_CUT_DIFF, F.col("frame_idx"))
+            ).alias("first_cut_idx"),
+        )
+
+
+_register_video_scene()

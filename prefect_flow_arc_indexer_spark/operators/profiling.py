@@ -564,3 +564,71 @@ def q_kanon_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(risky).cast("double") / F.sum("class_size"), 6
         ).alias("risky_row_frac"),
     )
+
+
+# --------------------------------------------------------------------------
+# differentially-private release: Laplace-noised group counts
+# --------------------------------------------------------------------------
+DP_EPSILON = 0.5  # count queries have sensitivity 1 => scale = 1/eps
+DP_SCALE = 1.0 / DP_EPSILON
+DP_RELEASE_MIN = 10.0  # noisy-count floor below which the cell is suppressed
+
+
+@register(
+    "q_dp_counts",
+    oracle=f"""WITH counts AS (
+  SELECT c_nationkey AS nationkey, count(*) AS n_true
+    FROM customer GROUP BY 1
+),
+noised AS (
+  SELECT nationkey, n_true,
+         (CAST('0x' || substr(md5('dp:' || CAST(nationkey AS VARCHAR)), 1, 7)
+               AS BIGINT) % 1000000 + 1) / 1000002.0 AS r
+    FROM counts
+)
+SELECT nationkey, n_true,
+       round(-{DP_SCALE} * sign(r - 0.5) * ln(1 - 2 * abs(r - 0.5)), 6)
+           AS noise,
+       round(n_true - {DP_SCALE} * sign(r - 0.5) * ln(1 - 2 * abs(r - 0.5)), 6)
+           AS n_noisy,
+       (n_true - {DP_SCALE} * sign(r - 0.5) * ln(1 - 2 * abs(r - 0.5)))
+           >= {DP_RELEASE_MIN} AS released
+  FROM noised
+""",
+    doc="differentially-private count release: per-nation customer counts "
+    f"with Laplace(1/eps={DP_SCALE}) noise from a salted-hash inverse CDF "
+    "(u = md5-derived uniform in (0,1), noise = -scale*sign(u-.5)*"
+    "ln(1-2|u-.5|)) and a noisy-threshold suppression flag — the privacy "
+    "release stage after q_pii_pseudonymize and the q_kanon_audit gate. "
+    "Deterministic by construction (the salt plays the per-release RNG "
+    "seed), so both engines draw the identical noise; one map-side-"
+    "combined aggregation, noise is a row-local projection on the "
+    "group-cardinality-bounded result.",
+)
+def q_dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from prefect_flow_arc_indexer_spark.functions.hashing import stable_hash
+
+    counts = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(F.count("*").alias("n_true"))
+    )
+    r = (
+        stable_hash(
+            F.concat(F.lit("dp:"), F.col("nationkey").cast("string"))
+        )
+        % 1000000
+        + 1
+    ) / F.lit(1000002.0)
+    noise = (
+        -F.lit(DP_SCALE)
+        * F.signum(r - 0.5)
+        * F.log(1 - 2 * F.abs(r - 0.5))
+    )
+    return counts.select(
+        "nationkey",
+        "n_true",
+        F.round(noise, 6).alias("noise"),
+        F.round(F.col("n_true") + noise, 6).alias("n_noisy"),
+        ((F.col("n_true") + noise) >= DP_RELEASE_MIN).alias("released"),
+    )

@@ -120,3 +120,70 @@ def test_oov_rate_complement_of_vocab_membership(spark):
         assert r["n_tokens"] == n_tokens
         assert r["n_oov"] == n_oov
         assert abs(r["oov_rate"] - n_oov / n_tokens) < 1e-6
+
+
+def test_dp_counts_python_replay_and_release_rule(spark):
+    """The Laplace noise must match a pure-Python replay of the salted
+    md5 inverse-CDF draw, and the release flag must be exactly the noisy
+    threshold rule."""
+    import hashlib
+    import math
+
+    from prefect_flow_arc_indexer_spark.operators.profiling import (
+        DP_RELEASE_MIN,
+        DP_SCALE,
+    )
+
+    rows = _run("q_dp_counts", spark).collect()
+    assert rows
+    for r in rows:
+        h = int(hashlib.md5(f"dp:{r['nationkey']}".encode()).hexdigest()[:7], 16)
+        u = (h % 1000000 + 1) / 1000002.0
+        noise = -DP_SCALE * math.copysign(1.0, u - 0.5) * math.log(
+            1 - 2 * abs(u - 0.5)
+        )
+        assert abs(r["noise"] - round(noise, 6)) < 1e-9
+        assert abs(r["n_noisy"] - round(r["n_true"] + noise, 6)) < 1e-9
+        assert r["released"] == (r["n_true"] + noise >= DP_RELEASE_MIN)
+
+
+def test_video_scene_matches_frame_stream_replay(spark):
+    """Cut census must equal a Python replay over the sampled frame rows
+    (same lag-diff, same threshold)."""
+    from prefect_flow_arc_indexer_spark.multimodal.binary import (
+        SCENE_CUT_DIFF,
+        media_frame,
+        sample_frames,
+    )
+
+    frames: dict[int, list] = {}
+    for r in sample_frames(media_frame(spark, SF_DIR)).collect():
+        frames.setdefault(r["doc_id"], []).append(
+            (r["frame_idx"], r["frame_byte"])
+        )
+    expected = {}
+    for doc, fl in frames.items():
+        fl.sort()
+        diffs = [
+            abs(b - fl[i - 1][1]) for i, (_, b) in enumerate(fl) if i > 0
+        ]
+        cut_idx = [
+            fl[i][0]
+            for i in range(1, len(fl))
+            if abs(fl[i][1] - fl[i - 1][1]) >= SCENE_CUT_DIFF
+        ]
+        expected[doc] = (
+            len(fl),
+            len(cut_idx),
+            max(diffs) if diffs else None,
+            min(cut_idx) if cut_idx else None,
+        )
+    got = _run("q_video_scene", spark).collect()
+    assert len(got) == len(expected)
+    for r in got:
+        assert (
+            r["n_frames"],
+            r["n_cuts"],
+            r["max_diff"],
+            r["first_cut_idx"],
+        ) == expected[r["doc_id"]]
