@@ -629,3 +629,86 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         merges, "rank int, pair string, merged string, support bigint"
     )
+
+
+# --------------------------------------------------------------------------
+# BPE ENCODE: apply a shipped merge table to the corpus (tokenizer inference)
+# --------------------------------------------------------------------------
+# The trained tokenizer as a model artifact: ordered merge rules, applied
+# rank-by-rank (like the logistic weights of q_quality_logistic, the model
+# rides the plan as fixed expressions, not as data). Rules chosen from the
+# synthetic corpus's highest-support pairs so they actually fire.
+BPE_ENCODE_MERGES: tuple[tuple[str, str], ...] = (
+    ("t", "a"),
+    ("e", "r"),
+    ("i", "n"),
+    ("o", "w"),
+    ("s", "h"),
+    ("ta", "b"),
+    ("l", "e"),
+    ("tab", "le"),
+)
+_BPE_WORD_SEP = "␄"  # boundary symbol outside the merge alphabet
+
+
+@register(
+    "q_bpe_encode",
+    oracle=None,  # the left-to-right non-overlapping merge needs a regex
+    # lookahead, which DuckDB's RE2 lacks; a pure-Python replay test pins
+    # the exact encoding instead (same discipline as q_bpe_merges)
+    doc="BPE tokenizer INFERENCE over the corpus: chars -> symbols via the "
+    f"{len(BPE_ENCODE_MERGES)} shipped merge rules applied in rank order "
+    "(left-to-right non-overlapping, word-bounded). The merge table is a "
+    "model artifact baked into the plan as a fixed regexp_replace chain — "
+    "fully codegen'd, no Python in the hot path, no joins, no shuffle "
+    "before the final stats projection; the per-doc outputs (word count, "
+    "BPE token count, chars-per-token compression) are the numbers a "
+    "token-budget planner needs from a 100 TB corpus in one scan.",
+)
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents", fan_out=True).where(
+        F.col("text").isNotNull()
+    )
+    words = F.filter(
+        tokens(F.col("text")), lambda w: w.rlike("^[a-z0-9]+$")
+    )
+    # each word char-split ("hello" -> "h e l l o"), words joined by the
+    # boundary symbol so no merge crosses a word edge
+    syms = F.array_join(
+        F.transform(
+            words,
+            lambda w: F.trim(F.regexp_replace(w, "(.)", "$1 ")),
+        ),
+        f" {_BPE_WORD_SEP} ",
+    )
+    enc = F.concat(F.lit(" "), syms, F.lit(" "))
+    for a, b in BPE_ENCODE_MERGES:
+        enc = F.regexp_replace(enc, f" {a} {b}(?= )", f" {a + b}")
+    n_words = F.size(words)
+    n_syms = F.size(
+        F.filter(
+            F.split(F.trim(enc), " "), lambda s: s != F.lit("")
+        )
+    )
+    n_chars = F.aggregate(
+        words, F.lit(0), lambda acc, w: acc + F.length(w)
+    )
+    # boundary symbols are counted in n_syms; subtract them back out
+    n_tokens = n_syms - F.greatest(n_words - 1, F.lit(0))
+    return (
+        docs.select(
+            "doc_id",
+            n_words.alias("n_words"),
+            n_chars.alias("n_chars_alnum"),
+            n_tokens.alias("n_bpe_tokens"),
+        )
+        .where(F.col("n_words") > 0)
+        .withColumn(
+            "chars_per_token",
+            F.round(
+                F.col("n_chars_alnum").cast("double")
+                / F.col("n_bpe_tokens"),
+                6,
+            ),
+        )
+    )

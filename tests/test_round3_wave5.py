@@ -187,3 +187,54 @@ def test_video_scene_matches_frame_stream_replay(spark):
             r["max_diff"],
             r["first_cut_idx"],
         ) == expected[r["doc_id"]]
+
+
+def test_bpe_encode_matches_pure_python_replay(spark):
+    """The regexp-chain encoding must equal a pure-Python replay of
+    rank-ordered, left-to-right, non-overlapping, word-bounded merges."""
+    import re
+
+    from prefect_flow_arc_indexer_spark.operators.textprep import (
+        BPE_ENCODE_MERGES,
+    )
+    from prefect_flow_arc_indexer_spark.sources.parquet import load_table
+
+    def encode_word(w: str) -> list[str]:
+        syms = list(w)
+        for a, b in BPE_ENCODE_MERGES:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return syms
+
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in load_table(spark, SF_DIR, "documents")
+        .where(F.col("text").isNotNull())
+        .collect()
+    }
+    expected = {}
+    for doc_id, text in docs.items():
+        words = [
+            w
+            for w in re.split(r"\s+", text.lower())
+            if w and re.fullmatch(r"[a-z0-9]+", w)
+        ]
+        if not words:
+            continue
+        n_tokens = sum(len(encode_word(w)) for w in words)
+        expected[doc_id] = (len(words), sum(map(len, words)), n_tokens)
+
+    got = _run("q_bpe_encode", spark).collect()
+    assert len(got) == len(expected)
+    for r in got:
+        n_words, n_chars, n_tokens = expected[r["doc_id"]]
+        assert r["n_words"] == n_words
+        assert r["n_chars_alnum"] == n_chars
+        assert r["n_bpe_tokens"] == n_tokens, r["doc_id"]
