@@ -1009,7 +1009,8 @@ SELECT e.query_id,
         ).cast("long")
         return (
             exact.join(
-                approx,
+                # k*n_queries rows: always broadcast-able by construction
+                F.broadcast(approx),
                 (F.col("query_id") == F.col("a_qid"))
                 & (F.col("neighbor_id") == F.col("a_nid")),
                 "left",
