@@ -281,3 +281,65 @@ def q_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("total_chars").cast("double") / F.col("n_docs"), 6
         ).alias("avg_chars"),
     )
+
+
+# --------------------------------------------------------------------------
+# dataset snapshot diff: content-hash census between two corpus versions
+# --------------------------------------------------------------------------
+# Deterministic stand-ins for two published dataset versions: v1 drops every
+# 7th doc, v2 drops every 5th and rewrites every 11th — so the diff exercises
+# all four verdicts (added / removed / changed / unchanged).
+
+
+@register(
+    "q_dataset_diff",
+    oracle="""WITH v1 AS (
+  SELECT doc_id, md5(text) AS h FROM documents
+   WHERE doc_id % 7 <> 0 AND text IS NOT NULL
+),
+v2 AS (
+  SELECT doc_id,
+         md5(CASE WHEN doc_id % 11 = 0 THEN text || ' v2' ELSE text END) AS h
+    FROM documents
+   WHERE doc_id % 5 <> 0 AND text IS NOT NULL
+)
+SELECT COALESCE(v1.doc_id, v2.doc_id) AS doc_id,
+       CASE WHEN v1.doc_id IS NULL THEN 'added'
+            WHEN v2.doc_id IS NULL THEN 'removed'
+            WHEN v1.h <> v2.h THEN 'changed'
+            ELSE 'unchanged' END AS status
+  FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+""",
+    doc="dataset-versioning diff: row-level added/removed/changed/unchanged "
+    "verdicts between two corpus snapshots by (doc_id, content-hash) — the "
+    "release-note census a data-governance pipeline publishes with every "
+    "dataset version (and the input to incremental re-embedding: only "
+    "'added'+'changed' rows re-enter the expensive stages). One full-outer "
+    "hash join on the id key; content equality via md5 so the comparison "
+    "ships 32 bytes per row, never the documents — at 100 TB the hashes "
+    "come from the write path's column statistics and the diff never "
+    "rereads payloads.",
+)
+def q_dataset_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents", fan_out=True).where(
+        F.col("text").isNotNull()
+    )
+    v1 = docs.where(F.col("doc_id") % 7 != 0).select(
+        F.col("doc_id").alias("v1_id"), F.md5("text").alias("v1_h")
+    )
+    v2 = docs.where(F.col("doc_id") % 5 != 0).select(
+        F.col("doc_id").alias("v2_id"),
+        F.md5(
+            F.when(
+                F.col("doc_id") % 11 == 0, F.concat(F.col("text"), F.lit(" v2"))
+            ).otherwise(F.col("text"))
+        ).alias("v2_h"),
+    )
+    return v1.join(v2, F.col("v1_id") == F.col("v2_id"), "full_outer").select(
+        F.coalesce(F.col("v1_id"), F.col("v2_id")).alias("doc_id"),
+        F.when(F.col("v1_id").isNull(), F.lit("added"))
+        .when(F.col("v2_id").isNull(), F.lit("removed"))
+        .when(F.col("v1_h") != F.col("v2_h"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+        .alias("status"),
+    )

@@ -1027,3 +1027,88 @@ SELECT e.query_id,
 
 
 _register_mrl_recall()
+
+
+# --------------------------------------------------------------------------
+# hard-negative mining: nearest neighbors OUTSIDE the query's label
+# --------------------------------------------------------------------------
+HARDNEG_K = 3
+
+
+@register(
+    "q_hard_negatives",
+    oracle=f"""WITH q AS (
+  SELECT vec_id AS query_id, label AS query_label, embedding AS q_emb
+    FROM embeddings WHERE vec_id < {N_QUERIES}
+),
+scored AS (
+  SELECT q.query_id, q.query_label, e.vec_id AS neighbor_id,
+         e.label AS neighbor_label,
+         round({dd_cosine_similarity("q.q_emb", "e.embedding")}, 6) AS cos_sim
+    FROM q JOIN embeddings e
+      ON e.vec_id <> q.query_id AND e.label <> q.query_label
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+    FROM scored
+)
+SELECT query_id, query_label, neighbor_id, neighbor_label, cos_sim, rank
+  FROM ranked WHERE rank <= {HARDNEG_K}
+""",
+    doc="hard-negative mining for retrieval/embedding training: per query, "
+    f"the top-{HARDNEG_K} most-similar vectors from a DIFFERENT label — "
+    "the near-miss negatives contrastive training needs (random negatives "
+    "are too easy; these sit right at the decision boundary). Same "
+    "scalable shape as the brute-force search: query set broadcast, one "
+    "narrow corpus scan with the label-exclusion predicate applied at the "
+    "scan, per-query top-k; at production scale the corpus side swaps to "
+    "the IVF/PQ index with the label filter as a post-filter on "
+    "candidates.",
+)
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings", fan_out=True).select(
+        "vec_id", "label", "embedding"
+    )
+    q = e.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("query_label"),
+        F.col("embedding").alias("q_emb"),
+    )
+    c = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("neighbor_label"),
+        "embedding",
+    )
+    scored = (
+        F.broadcast(q)
+        .join(
+            c,
+            (F.col("neighbor_id") != F.col("query_id"))
+            & (F.col("neighbor_label") != F.col("query_label")),
+        )
+        .select(
+            "query_id",
+            "query_label",
+            "neighbor_id",
+            "neighbor_label",
+            F.round(
+                cosine_similarity(F.col("q_emb"), F.col("embedding")), 6
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= HARDNEG_K)
+        .select(
+            "query_id",
+            "query_label",
+            "neighbor_id",
+            "neighbor_label",
+            "cos_sim",
+            "rank",
+        )
+    )

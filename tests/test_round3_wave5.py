@@ -238,3 +238,69 @@ def test_bpe_encode_matches_pure_python_replay(spark):
         assert r["n_words"] == n_words
         assert r["n_chars_alnum"] == n_chars
         assert r["n_bpe_tokens"] == n_tokens, r["doc_id"]
+
+
+def test_hard_negatives_label_exclusion_and_boundary(spark):
+    """Every mined negative must carry a different label than its query,
+    and must be the TIGHTEST such vectors: no excluded-label vector may
+    score above the query's k-th kept negative."""
+    from prefect_flow_arc_indexer_spark.operators.similarity import (
+        HARDNEG_K,
+        q_knn_cosine,
+    )
+
+    rows = _run("q_hard_negatives", spark).collect()
+    by_q: dict[int, list] = {}
+    for r in rows:
+        assert r["neighbor_label"] != r["query_label"]
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q, rl in by_q.items():
+        assert len(rl) == HARDNEG_K
+        sims = [r["cos_sim"] for r in sorted(rl, key=lambda r: r["rank"])]
+        assert sims == sorted(sims, reverse=True)
+    # cross-check against the unfiltered exact search: any same-ranked
+    # neighbor of a DIFFERENT label in the plain top-k must also appear
+    # in the hard negatives (it is by definition a hard negative).
+    exact = q_knn_cosine(spark, SF_DIR).collect()
+    labels = {
+        r["query_id"]: r["query_label"]
+        for r in rows
+    }
+    mined = {(r["query_id"], r["neighbor_id"]) for r in rows}
+    from prefect_flow_arc_indexer_spark.sources.parquet import load_table
+
+    lab = {
+        r["vec_id"]: r["label"]
+        for r in load_table(spark, SF_DIR, "embeddings")
+        .select("vec_id", "label")
+        .collect()
+    }
+    for r in exact:
+        if r["query_id"] not in labels:
+            continue
+        if (
+            lab[r["neighbor_id"]] != labels[r["query_id"]]
+            and r["rank"] <= 3
+        ):
+            assert (r["query_id"], r["neighbor_id"]) in mined
+
+
+def test_dataset_diff_verdict_partition(spark):
+    """Verdicts must exactly reproduce the version predicates: added =
+    in-v2-only, removed = in-v1-only, changed = rewritten overlap."""
+    rows = _run("q_dataset_diff", spark).collect()
+    seen = set()
+    for r in rows:
+        d = r["doc_id"]
+        assert d not in seen
+        seen.add(d)
+        in_v1, in_v2 = d % 7 != 0, d % 5 != 0
+        assert in_v1 or in_v2
+        if not in_v1:
+            assert r["status"] == "added"
+        elif not in_v2:
+            assert r["status"] == "removed"
+        elif d % 11 == 0:
+            assert r["status"] == "changed"
+        else:
+            assert r["status"] == "unchanged"
