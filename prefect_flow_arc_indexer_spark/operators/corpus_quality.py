@@ -854,3 +854,86 @@ def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.regr_slope(ln_n, ln_r), 6).alias("zipf_slope"),
         F.round(F.regr_r2(ln_n, ln_r), 6).alias("fit_r2"),
     )
+
+
+# --------------------------------------------------------------------------
+# quality-signal fusion: majority vote over the registered quality operators
+# --------------------------------------------------------------------------
+ENSEMBLE_ENTROPY_MIN = 4.0  # vote threshold on the rounded char entropy
+ENSEMBLE_MIN_VOTES = 2
+
+
+def _register_quality_ensemble():
+    """Closure-registered (like q_ivf_recall) so the oracle embeds the
+    ALREADY-REGISTERED gopher/repetition/entropy oracles: the fused verdict
+    can never drift from the operators it fuses."""
+    # force the component modules' registration first: a direct import of
+    # THIS module (tests do it) otherwise runs before the registry loads them
+    import prefect_flow_arc_indexer_spark.operators.text_analysis  # noqa: F401
+    import prefect_flow_arc_indexer_spark.operators.textprep  # noqa: F401
+    from prefect_flow_arc_indexer_spark.plans.registry import _REGISTRY
+
+    gopher_sql = _REGISTRY["q_gopher_rules"].oracle
+    rep_sql = _REGISTRY["q_repetition"].oracle
+    ent_sql = _REGISTRY["q_char_entropy"].oracle
+    oracle = f"""WITH g AS ({gopher_sql}),
+r AS ({rep_sql}),
+e AS ({ent_sql}),
+votes AS (
+  SELECT g.doc_id,
+         CAST(g.keep AS INT) + CAST(NOT r.repetitive AS INT)
+           + CAST(e.char_entropy >= {ENSEMBLE_ENTROPY_MIN} AS INT) AS n_votes,
+         g.keep AS gopher_keep, r.repetitive, e.char_entropy
+    FROM g JOIN r ON r.doc_id = g.doc_id
+           JOIN e ON e.doc_id = g.doc_id
+)
+SELECT doc_id, gopher_keep, repetitive, char_entropy,
+       CAST(n_votes AS INT) AS n_votes,
+       n_votes >= {ENSEMBLE_MIN_VOTES} AS keep_ensemble
+  FROM votes
+"""
+
+    @register(
+        "q_quality_ensemble",
+        oracle=oracle,
+        doc="quality-signal fusion: majority vote over three registered "
+        "quality operators (Gopher rule verdict, repetition flag, char-"
+        f"entropy >= {ENSEMBLE_ENTROPY_MIN}) — the ensemble gate real "
+        "corpora use because single filters each have blind spots. "
+        "Composed FROM the registered operators (oracle embeds their "
+        "oracles) so the fused verdict stays in lockstep; the composition "
+        "costs two same-key (doc_id) joins of row-local signal tables. A "
+        "production pipeline would fuse all three signals into the one "
+        "scan q_corpus_pipeline demonstrates — this operator is the "
+        "auditable reference form the fused plan is validated against.",
+    )
+    def q_quality_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+        g = _REGISTRY["q_gopher_rules"].builder(spark, sf_dir).select(
+            "doc_id", F.col("keep").alias("gopher_keep")
+        )
+        r = _REGISTRY["q_repetition"].builder(spark, sf_dir).select(
+            "doc_id", "repetitive"
+        )
+        e = _REGISTRY["q_char_entropy"].builder(spark, sf_dir).select(
+            "doc_id", "char_entropy"
+        )
+        votes = (
+            F.col("gopher_keep").cast("int")
+            + (~F.col("repetitive")).cast("int")
+            + (F.col("char_entropy") >= ENSEMBLE_ENTROPY_MIN).cast("int")
+        )
+        return (
+            g.join(r, "doc_id")
+            .join(e, "doc_id")
+            .select(
+                "doc_id",
+                "gopher_keep",
+                "repetitive",
+                "char_entropy",
+                votes.cast("int").alias("n_votes"),
+                (votes >= ENSEMBLE_MIN_VOTES).alias("keep_ensemble"),
+            )
+        )
+
+
+_register_quality_ensemble()

@@ -304,3 +304,27 @@ def test_dataset_diff_verdict_partition(spark):
             assert r["status"] == "changed"
         else:
             assert r["status"] == "unchanged"
+
+
+def test_quality_ensemble_lockstep_with_components(spark):
+    """The fused verdict must equal a recomputation from the three
+    component operators' own outputs."""
+    from prefect_flow_arc_indexer_spark.operators.corpus_quality import (
+        ENSEMBLE_ENTROPY_MIN,
+        ENSEMBLE_MIN_VOTES,
+    )
+
+    keep = {r["doc_id"]: r["keep"] for r in _run("q_gopher_rules", spark).collect()}
+    rep = {r["doc_id"]: r["repetitive"] for r in _run("q_repetition", spark).collect()}
+    ent = {r["doc_id"]: r["char_entropy"] for r in _run("q_char_entropy", spark).collect()}
+    rows = _run("q_quality_ensemble", spark).collect()
+    assert {r["doc_id"] for r in rows} == set(keep) & set(rep) & set(ent)
+    for r in rows:
+        d = r["doc_id"]
+        votes = (
+            int(keep[d])
+            + int(not rep[d])
+            + int(ent[d] >= ENSEMBLE_ENTROPY_MIN)
+        )
+        assert r["n_votes"] == votes
+        assert r["keep_ensemble"] == (votes >= ENSEMBLE_MIN_VOTES)
