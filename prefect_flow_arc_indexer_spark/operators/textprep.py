@@ -712,3 +712,123 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# T5-style span-corruption planning (pretraining objective prep)
+# --------------------------------------------------------------------------
+SPAN_LEN = 3  # tokens per corruption span
+SPAN_MASK_PCT = 15  # percent of spans masked
+
+
+@register(
+    "q_span_mask",
+    oracle=f"""WITH d AS (
+  SELECT doc_id, len({dd_tokens("text")}) AS n_tokens
+    FROM documents WHERE text IS NOT NULL
+),
+s AS (
+  SELECT doc_id, n_tokens,
+         CAST(ceil(n_tokens / {SPAN_LEN}.0) AS BIGINT) AS n_spans
+    FROM d WHERE n_tokens > 0
+),
+m AS (
+  SELECT doc_id, n_tokens, n_spans,
+         CAST(list_aggregate(list_transform(
+             generate_series(0, CAST(n_spans AS INT) - 1),
+             i -> CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                        || ':' || CAST(i AS VARCHAR)), 1, 7) AS BIGINT)
+                       % 100 < {SPAN_MASK_PCT}
+                  THEN CASE WHEN i < n_spans - 1 THEN {SPAN_LEN}
+                            ELSE n_tokens - {SPAN_LEN} * (n_spans - 1) END
+                  ELSE 0 END), 'sum') AS BIGINT) AS n_tokens_masked,
+         CAST(list_aggregate(list_transform(
+             generate_series(0, CAST(n_spans AS INT) - 1),
+             i -> CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                        || ':' || CAST(i AS VARCHAR)), 1, 7) AS BIGINT)
+                       % 100 < {SPAN_MASK_PCT}
+                  THEN 1 ELSE 0 END), 'sum') AS BIGINT) AS n_spans_masked
+    FROM s
+)
+SELECT doc_id, n_tokens, n_spans, n_spans_masked, n_tokens_masked,
+       round(CAST(n_tokens_masked AS DOUBLE) / n_tokens, 6) AS mask_ratio,
+       n_tokens - n_tokens_masked + n_spans_masked AS input_len,
+       n_tokens_masked + n_spans_masked AS target_len
+  FROM m
+""",
+    doc="T5-style span-corruption planning: tokens grouped into "
+    f"{SPAN_LEN}-token spans, ~{SPAN_MASK_PCT}% of spans selected by a "
+    "salted-hash draw (deterministic => reproducible masking AND oracle-"
+    "checkable), per-doc masked-token census plus the encoder/decoder "
+    "sequence lengths (masked spans collapse to one sentinel each) a "
+    "pretraining batch planner needs. Entirely row-local — the span draw "
+    "is a fold over sequence(0, n_spans), no explode, no shuffle: the "
+    "whole objective plan for a 100 TB corpus is one narrow scan.",
+)
+def q_span_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents", fan_out=True).where(
+        F.col("text").isNotNull()
+    )
+    n_tokens = F.size(tokens(F.col("text")))
+    base = docs.select("doc_id", n_tokens.alias("n_tokens")).where(
+        F.col("n_tokens") > 0
+    )
+    n_spans = F.ceil(F.col("n_tokens") / SPAN_LEN).cast("bigint")
+
+    def _drawn(i):
+        h = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("doc_id").cast("string"),
+                        F.lit(":"),
+                        i.cast("string"),
+                    )
+                ),
+                1,
+                7,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        return (h % 100) < SPAN_MASK_PCT
+
+    span_ids = F.sequence(F.lit(0), (F.col("n_spans") - 1).cast("int"))
+    last_w = F.col("n_tokens") - SPAN_LEN * (F.col("n_spans") - 1)
+    width = lambda i: F.when(  # noqa: E731
+        i < F.col("n_spans") - 1, F.lit(SPAN_LEN)
+    ).otherwise(last_w)
+    masked_tokens = F.aggregate(
+        span_ids,
+        F.lit(0).cast("bigint"),
+        lambda acc, i: acc
+        + F.when(_drawn(i), width(i)).otherwise(F.lit(0)).cast("bigint"),
+    )
+    masked_spans = F.aggregate(
+        span_ids,
+        F.lit(0).cast("bigint"),
+        lambda acc, i: acc + F.when(_drawn(i), 1).otherwise(0).cast("bigint"),
+    )
+    return (
+        base.withColumn("n_spans", n_spans)
+        .withColumn("n_spans_masked", masked_spans)
+        .withColumn("n_tokens_masked", masked_tokens)
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_spans",
+            "n_spans_masked",
+            "n_tokens_masked",
+            F.round(
+                F.col("n_tokens_masked").cast("double") / F.col("n_tokens"), 6
+            ).alias("mask_ratio"),
+            (
+                F.col("n_tokens")
+                - F.col("n_tokens_masked")
+                + F.col("n_spans_masked")
+            ).alias("input_len"),
+            (F.col("n_tokens_masked") + F.col("n_spans_masked")).alias(
+                "target_len"
+            ),
+        )
+    )

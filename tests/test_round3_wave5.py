@@ -328,3 +328,39 @@ def test_quality_ensemble_lockstep_with_components(spark):
         )
         assert r["n_votes"] == votes
         assert r["keep_ensemble"] == (votes >= ENSEMBLE_MIN_VOTES)
+
+
+def test_span_mask_python_replay_and_length_algebra(spark):
+    """Masked-token census must match a pure-Python replay of the salted
+    span draw, and the encoder/decoder length algebra must balance."""
+    import hashlib
+    import math
+
+    from prefect_flow_arc_indexer_spark.operators.textprep import (
+        SPAN_LEN,
+        SPAN_MASK_PCT,
+    )
+
+    rows = _run("q_span_mask", spark).collect()
+    assert rows
+    for r in rows:
+        n = r["n_tokens"]
+        n_spans = math.ceil(n / SPAN_LEN)
+        masked_spans = masked_tokens = 0
+        for i in range(n_spans):
+            h = int(
+                hashlib.md5(f"{r['doc_id']}:{i}".encode()).hexdigest()[:7], 16
+            )
+            if h % 100 < SPAN_MASK_PCT:
+                masked_spans += 1
+                masked_tokens += (
+                    SPAN_LEN if i < n_spans - 1 else n - SPAN_LEN * (n_spans - 1)
+                )
+        assert r["n_spans"] == n_spans
+        assert r["n_spans_masked"] == masked_spans
+        assert r["n_tokens_masked"] == masked_tokens
+        # sentinel algebra: input keeps unmasked tokens + one sentinel per
+        # masked span; target holds masked tokens + the same sentinels
+        assert r["input_len"] == n - masked_tokens + masked_spans
+        assert r["target_len"] == masked_tokens + masked_spans
+        assert r["input_len"] + r["target_len"] == n + 2 * masked_spans
