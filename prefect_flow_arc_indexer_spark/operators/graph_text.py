@@ -477,3 +477,112 @@ def q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(oov.cast("double") / F.count("*"), 6).alias("oov_rate"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# per-source distinctive keywords: smoothed log-odds vs the rest of corpus
+# --------------------------------------------------------------------------
+KEYWORD_VOCAB = 200  # corpus top-K terms form the comparison vocabulary
+KEYWORDS_PER_SOURCE = 3
+
+
+@register(
+    "q_source_keywords",
+    oracle=f"""WITH src_toks AS (
+  SELECT source, {dd_tokens("text")} AS tok
+    FROM documents WHERE text IS NOT NULL
+),
+tf AS (
+  SELECT source, t.w, count(*) AS cnt
+    FROM src_toks, unnest(tok) AS t(w)
+   GROUP BY source, t.w
+),
+vocab AS (
+  SELECT w FROM (SELECT w, sum(cnt) AS c FROM tf GROUP BY w)
+   ORDER BY c DESC, w ASC LIMIT {KEYWORD_VOCAB}
+),
+st AS (SELECT tf.* FROM tf JOIN vocab USING (w)),
+tot AS (
+  SELECT st.*,
+         CAST(sum(cnt) OVER (PARTITION BY w) AS BIGINT) AS y_w,
+         CAST(sum(cnt) OVER (PARTITION BY source) AS BIGINT) AS n_s,
+         CAST(sum(cnt) OVER () AS BIGINT) AS n
+    FROM st
+),
+scored AS (
+  SELECT source, w AS term, CAST(cnt AS BIGINT) AS cnt,
+         round(ln((cnt + 0.5) / (n_s - cnt + 0.5))
+               - ln((y_w - cnt + 0.5) / (n - n_s - (y_w - cnt) + 0.5)),
+               6) AS log_odds
+    FROM tot
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY source
+                               ORDER BY log_odds DESC, term ASC) AS rk
+    FROM scored
+)
+SELECT source, term, cnt, log_odds, CAST(rk AS INT) AS rank
+  FROM ranked WHERE rk <= {KEYWORDS_PER_SOURCE}
+""",
+    doc="per-source distinctive keywords: Haldane-smoothed log-odds of each "
+    f"corpus top-{KEYWORD_VOCAB} term in a source vs the rest of the "
+    "corpus, top-3 per source — the slice-comparison tool (what makes "
+    "this crawl/source different?) behind dataset cards and mixture "
+    "debugging. One (source, term) shuffle over the token stream; every "
+    "later stage (vocab cut, marginals via windows, rank) runs on the "
+    "vocab-x-sources-bounded table, so the log-odds algebra never "
+    "touches corpus-scale data again.",
+)
+def q_source_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    tf = (
+        docs.where(F.col("text").isNotNull())
+        .select("source", F.explode(tokens(F.col("text"))).alias("w"))
+        .groupBy("source", "w")
+        .agg(F.count("*").alias("cnt"))
+        .localCheckpoint(eager=True)  # one tokenize feeds vocab + scoring
+    )
+    vocab = (
+        tf.groupBy("w")
+        .agg(F.sum("cnt").alias("c"))
+        .orderBy(F.col("c").desc(), F.col("w").asc())
+        .limit(KEYWORD_VOCAB)
+        .select("w")
+    )
+    st = tf.join(F.broadcast(vocab), "w")
+    y_w = F.sum("cnt").over(Window.partitionBy("w")).cast("bigint")
+    n_s = F.sum("cnt").over(Window.partitionBy("source")).cast("bigint")
+    n = F.sum("cnt").over(Window.partitionBy()).cast("bigint")
+    tot = st.select(
+        "source", "w", "cnt", y_w.alias("y_w"), n_s.alias("n_s"), n.alias("n")
+    )
+    log_odds = F.round(
+        F.log(
+            (F.col("cnt") + 0.5) / (F.col("n_s") - F.col("cnt") + 0.5)
+        )
+        - F.log(
+            (F.col("y_w") - F.col("cnt") + 0.5)
+            / (
+                F.col("n")
+                - F.col("n_s")
+                - (F.col("y_w") - F.col("cnt"))
+                + 0.5
+            )
+        ),
+        6,
+    )
+    scored = tot.select(
+        "source",
+        F.col("w").alias("term"),
+        F.col("cnt").cast("bigint").alias("cnt"),
+        log_odds.alias("log_odds"),
+    )
+    w_rank = Window.partitionBy("source").orderBy(
+        F.col("log_odds").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w_rank))
+        .where(F.col("rank") <= KEYWORDS_PER_SOURCE)
+    )

@@ -404,3 +404,119 @@ def q_quality_logistic(spark: SparkSession, sf_dir: str) -> DataFrame:
         p.alias("p_quality"),
         (p >= 0.5).alias("keep"),
     )
+
+
+# --------------------------------------------------------------------------
+# calibration audit: expected calibration error of the in-plan classifier
+# --------------------------------------------------------------------------
+ECE_BINS = 10
+
+
+def _register_ece_calibration():
+    """Closure-registered so the oracle embeds the registered classifier and
+    label oracles — the audit can never drift from the model it audits."""
+    from prefect_flow_arc_indexer_spark.plans.registry import _REGISTRY
+
+    # gopher rules live in corpus_quality; force registration on direct import
+    import prefect_flow_arc_indexer_spark.operators.corpus_quality  # noqa: F401
+
+    logi_sql = _REGISTRY["q_quality_logistic"].oracle
+    gopher_sql = _REGISTRY["q_gopher_rules"].oracle
+    oracle = f"""WITH pred AS ({logi_sql}),
+lab AS ({gopher_sql}),
+joined AS (
+  SELECT CAST(round(pred.p_quality * 1000000) AS BIGINT) AS p_micro,
+         CAST(lab.keep AS INT) AS y
+    FROM pred JOIN lab ON lab.doc_id = pred.doc_id
+),
+binned AS (
+  SELECT least(p_micro // {1000000 // ECE_BINS}, {ECE_BINS - 1}) AS bin,
+         count(*) AS n,
+         CAST(sum(p_micro) AS BIGINT) AS sum_p_micro,
+         CAST(sum(y) AS BIGINT) AS n_pos
+    FROM joined GROUP BY 1
+),
+gapped AS (
+  SELECT bin, n, n_pos,
+         round(CAST(sum_p_micro AS DOUBLE) / (n * 1000000.0), 6) AS conf,
+         round(CAST(n_pos AS DOUBLE) / n, 6) AS acc,
+         round(abs(CAST(sum_p_micro AS DOUBLE) / (n * 1000000.0)
+                   - CAST(n_pos AS DOUBLE) / n), 6) AS gap
+    FROM binned
+)
+SELECT bin, CAST(n AS BIGINT) AS n, n_pos, conf, acc, gap,
+       round(sum(n * gap) OVER () / sum(n) OVER (), 6) AS ece
+  FROM gapped
+"""
+
+    @register(
+        "q_ece_calibration",
+        oracle=oracle,
+        doc="model-calibration audit: expected calibration error of the "
+        "in-plan logistic quality classifier against the Gopher-rule "
+        "verdict as the label — per-bin confidence vs accuracy plus the "
+        "weighted ECE, the go/no-go check before trusting classifier "
+        "scores as sampling weights. Composed from the registered "
+        "operators (oracle embeds their oracles); binning is exact "
+        "integer micro-unit arithmetic (no float-boundary bin flips), "
+        "and the corpus contributes two scans joined on doc_id — the "
+        "bin table itself is 10 rows, so the audit's shuffle is "
+        "negligible at any scale.",
+    )
+    def q_ece_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pyspark.sql import Window
+
+        pred = _REGISTRY["q_quality_logistic"].builder(spark, sf_dir).select(
+            "doc_id", "p_quality"
+        )
+        lab = _REGISTRY["q_gopher_rules"].builder(spark, sf_dir).select(
+            "doc_id", F.col("keep").cast("int").alias("y")
+        )
+        joined = pred.join(lab, "doc_id").select(
+            F.round(F.col("p_quality") * 1_000_000)
+            .cast("bigint")
+            .alias("p_micro"),
+            "y",
+        )
+        binned = (
+            joined.groupBy(
+                F.least(
+                    F.floor(F.col("p_micro") / (1_000_000 // ECE_BINS)),
+                    F.lit(ECE_BINS - 1),
+                ).alias("bin")
+            )
+            .agg(
+                F.count("*").alias("n"),
+                F.sum("p_micro").cast("bigint").alias("sum_p_micro"),
+                F.sum("y").cast("bigint").alias("n_pos"),
+            )
+        )
+        conf = F.col("sum_p_micro").cast("double") / (
+            F.col("n") * 1_000_000.0
+        )
+        acc = F.col("n_pos").cast("double") / F.col("n")
+        gapped = binned.select(
+            "bin",
+            "n",
+            "n_pos",
+            F.round(conf, 6).alias("conf"),
+            F.round(acc, 6).alias("acc"),
+            F.round(F.abs(conf - acc), 6).alias("gap"),
+        )
+        w = Window.partitionBy()
+        return gapped.select(
+            "bin",
+            "n",
+            "n_pos",
+            "conf",
+            "acc",
+            "gap",
+            F.round(
+                F.sum(F.col("n") * F.col("gap")).over(w)
+                / F.sum("n").over(w),
+                6,
+            ).alias("ece"),
+        )
+
+
+_register_ece_calibration()

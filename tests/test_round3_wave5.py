@@ -364,3 +364,115 @@ def test_span_mask_python_replay_and_length_algebra(spark):
         assert r["input_len"] == n - masked_tokens + masked_spans
         assert r["target_len"] == masked_tokens + masked_spans
         assert r["input_len"] + r["target_len"] == n + 2 * masked_spans
+
+
+def test_ece_calibration_algebra(spark):
+    """Per-bin stats must recompute from the component operators, and the
+    ECE column must be the n-weighted mean gap."""
+    from prefect_flow_arc_indexer_spark.operators.text_analysis import (
+        ECE_BINS,
+    )
+
+    preds = {
+        r["doc_id"]: r["p_quality"]
+        for r in _run("q_quality_logistic", spark).collect()
+    }
+    labels = {
+        r["doc_id"]: r["keep"] for r in _run("q_gopher_rules", spark).collect()
+    }
+    bins: dict[int, list] = {}
+    for d, p in preds.items():
+        if d not in labels:
+            continue
+        p_micro = round(p * 1_000_000)
+        b = min(p_micro // (1_000_000 // ECE_BINS), ECE_BINS - 1)
+        bins.setdefault(b, []).append((p_micro, int(labels[d])))
+    rows = _run("q_ece_calibration", spark).collect()
+    assert {r["bin"] for r in rows} == set(bins)
+    total_n = sum(len(v) for v in bins.values())
+    exp_ece = round(
+        sum(
+            len(v)
+            * round(
+                abs(
+                    sum(p for p, _ in v) / (len(v) * 1e6)
+                    - sum(y for _, y in v) / len(v)
+                ),
+                6,
+            )
+            for v in bins.values()
+        )
+        / total_n,
+        6,
+    )
+    for r in rows:
+        v = bins[r["bin"]]
+        assert r["n"] == len(v)
+        assert r["n_pos"] == sum(y for _, y in v)
+        assert abs(r["conf"] - round(sum(p for p, _ in v) / (len(v) * 1e6), 6)) < 1e-9
+        assert abs(r["acc"] - round(sum(y for _, y in v) / len(v), 6)) < 1e-9
+        assert abs(r["ece"] - exp_ece) < 1e-6
+
+
+def test_source_keywords_score_replay(spark):
+    """Log-odds must match a replay from raw (source, term) counts over the
+    top-K vocabulary, and ranks must order by (score desc, term)."""
+    import math
+    import re
+    from collections import Counter
+
+    from prefect_flow_arc_indexer_spark.operators.graph_text import (
+        KEYWORD_VOCAB,
+        KEYWORDS_PER_SOURCE,
+    )
+    from prefect_flow_arc_indexer_spark.sources.parquet import load_table
+
+    tf = Counter()
+    for r in (
+        load_table(spark, SF_DIR, "documents")
+        .where(F.col("text").isNotNull())
+        .select("source", "text")
+        .collect()
+    ):
+        for w in re.split(r"\s+", r["text"].lower()):
+            if w:
+                tf[(r["source"], w)] += 1
+    term_tot = Counter()
+    for (s, w), c in tf.items():
+        term_tot[w] += c
+    vocab = {
+        w
+        for w, _ in sorted(term_tot.items(), key=lambda kv: (-kv[1], kv[0]))[
+            :KEYWORD_VOCAB
+        ]
+    }
+    st = {(s, w): c for (s, w), c in tf.items() if w in vocab}
+    y_w = Counter()
+    n_s = Counter()
+    for (s, w), c in st.items():
+        y_w[w] += c
+        n_s[s] += c
+    n = sum(st.values())
+    scores = {
+        (s, w): round(
+            math.log((c + 0.5) / (n_s[s] - c + 0.5))
+            - math.log(
+                (y_w[w] - c + 0.5) / (n - n_s[s] - (y_w[w] - c) + 0.5)
+            ),
+            6,
+        )
+        for (s, w), c in st.items()
+    }
+    rows = _run("q_source_keywords", spark).collect()
+    by_source: dict[str, list] = {}
+    for r in rows:
+        assert abs(r["log_odds"] - scores[(r["source"], r["term"])]) < 2e-6
+        by_source.setdefault(r["source"], []).append(r)
+    for s, rl in by_source.items():
+        assert len(rl) == KEYWORDS_PER_SOURCE
+        rl.sort(key=lambda r: r["rank"])
+        expect = sorted(
+            ((w2, sc) for (s2, w2), sc in scores.items() if s2 == s),
+            key=lambda kv: (-kv[1], kv[0]),
+        )[:KEYWORDS_PER_SOURCE]
+        assert [(r["term"], r["log_odds"]) for r in rl] == expect
