@@ -48,6 +48,15 @@ DOC_QUERIES = [
     "q_boilerplate",
     "q_image_phash",
     "q_quality_logistic",
+    # fifth/sixth-wave round-3 additions
+    "q_oov_rate",
+    "q_write_bins",
+    "q_span_mask",
+    "q_quality_ensemble",
+    "q_video_scene",
+    "q_dataset_diff",
+    "q_source_keywords",
+    "q_ece_calibration",
 ]
 
 
