@@ -520,3 +520,142 @@ SELECT bin, CAST(n AS BIGINT) AS n, n_pos, conf, acc, gap,
 
 
 _register_ece_calibration()
+
+
+# --------------------------------------------------------------------------
+# split-conformal calibration of the quality classifier
+# --------------------------------------------------------------------------
+CONFORMAL_ALPHA = 0.1  # target miscoverage: accept 10% missed keeps
+CONFORMAL_CAL_PCT = 50  # salted-hash calibration split share
+
+
+def _register_conformal():
+    """Split-conformal threshold for the in-plan classifier: on a hash-split
+    calibration set, take the ceil((n+1)(1-alpha))-th smallest nonconformity
+    score among true-keep rows; on the held-out split, measure empirical
+    coverage. All rank arithmetic is exact-integer (micro-unit scores,
+    row_number), so both engines pick the identical threshold."""
+    from prefect_flow_arc_indexer_spark.plans.registry import _REGISTRY
+
+    import prefect_flow_arc_indexer_spark.operators.corpus_quality  # noqa: F401
+
+    logi_sql = _REGISTRY["q_quality_logistic"].oracle
+    gopher_sql = _REGISTRY["q_gopher_rules"].oracle
+    oracle = f"""WITH pred AS ({logi_sql}),
+lab AS ({gopher_sql}),
+joined AS (
+  SELECT pred.doc_id,
+         1000000 - CAST(round(pred.p_quality * 1000000) AS BIGINT) AS s_micro,
+         CAST('0x' || substr(md5('conf:' || CAST(pred.doc_id AS VARCHAR)), 1, 7)
+              AS BIGINT) % 100 < {CONFORMAL_CAL_PCT} AS is_cal
+    FROM pred JOIN lab ON lab.doc_id = pred.doc_id
+   WHERE lab.keep
+),
+cal AS (
+  SELECT s_micro,
+         row_number() OVER (ORDER BY s_micro ASC, doc_id ASC) AS rk,
+         count(*) OVER () AS n_cal
+    FROM joined WHERE is_cal
+),
+qhat AS (
+  SELECT n_cal, s_micro AS q_hat_micro
+    FROM cal
+   WHERE rk = least(CAST(ceil((n_cal + 1) * {1 - CONFORMAL_ALPHA}) AS BIGINT),
+                    n_cal)
+),
+ev AS (
+  SELECT count(*) AS n_eval,
+         CAST(sum(CASE WHEN s_micro <= (SELECT q_hat_micro FROM qhat)
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_covered
+    FROM joined WHERE NOT is_cal
+)
+SELECT (SELECT CAST(n_cal AS BIGINT) FROM qhat LIMIT 1) AS n_cal,
+       (SELECT q_hat_micro FROM qhat LIMIT 1) AS q_hat_micro,
+       n_eval, n_covered,
+       round(CAST(n_covered AS DOUBLE) / n_eval, 6) AS coverage
+  FROM ev
+"""
+
+    @register(
+        "q_conformal_threshold",
+        oracle=oracle,
+        doc="split-conformal calibration: the nonconformity threshold that "
+        f"guarantees >= {1 - CONFORMAL_ALPHA:.0%} coverage of true keeps "
+        "(finite-sample, distribution-free) for the in-plan quality "
+        "classifier, plus the held-out empirical coverage that validates "
+        "it — the statistical contract a pipeline publishes when "
+        "classifier scores gate what enters training data. Calibration "
+        "membership is a salted hash (reproducible split), the quantile "
+        "rank is exact-integer ceil((n+1)(1-a)), and the corpus "
+        "contributes the two classifier scans; the quantile itself runs "
+        "on the calibration slice (one bounded single-partition window, "
+        "same aggregate-then-rank discipline as q_vocab_coverage).",
+    )
+    def q_conformal_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pyspark.sql import Window
+
+        from prefect_flow_arc_indexer_spark.functions.hashing import (
+            stable_hash,
+        )
+
+        pred = _REGISTRY["q_quality_logistic"].builder(spark, sf_dir).select(
+            "doc_id", "p_quality"
+        )
+        lab = (
+            _REGISTRY["q_gopher_rules"].builder(spark, sf_dir)
+            .where(F.col("keep"))
+            .select("doc_id")
+        )
+        joined = pred.join(lab, "doc_id").select(
+            "doc_id",
+            (
+                F.lit(1_000_000)
+                - F.round(F.col("p_quality") * 1_000_000).cast("bigint")
+            ).alias("s_micro"),
+            (
+                stable_hash(
+                    F.concat(F.lit("conf:"), F.col("doc_id").cast("string"))
+                )
+                % 100
+                < CONFORMAL_CAL_PCT
+            ).alias("is_cal"),
+        )
+        joined = joined.localCheckpoint(eager=True)  # both splits reuse it
+        w = Window.orderBy(F.col("s_micro").asc(), F.col("doc_id").asc())
+        cal = (
+            joined.where("is_cal")
+            .withColumn("rk", F.row_number().over(w))
+            .withColumn("n_cal", F.count("*").over(Window.partitionBy()))
+        )
+        qhat = cal.where(
+            F.col("rk")
+            == F.least(
+                F.ceil((F.col("n_cal") + 1) * (1 - CONFORMAL_ALPHA)).cast(
+                    "bigint"
+                ),
+                F.col("n_cal"),
+            )
+        ).select(
+            F.col("n_cal").cast("bigint").alias("n_cal"),
+            F.col("s_micro").alias("q_hat_micro"),
+        )
+        ev = joined.where(~F.col("is_cal")).crossJoin(F.broadcast(qhat))
+        return ev.groupBy("n_cal", "q_hat_micro").agg(
+            F.count("*").alias("n_eval"),
+            F.sum(
+                (F.col("s_micro") <= F.col("q_hat_micro")).cast("int")
+            )
+            .cast("bigint")
+            .alias("n_covered"),
+        ).select(
+            "n_cal",
+            "q_hat_micro",
+            "n_eval",
+            "n_covered",
+            F.round(
+                F.col("n_covered").cast("double") / F.col("n_eval"), 6
+            ).alias("coverage"),
+        )
+
+
+_register_conformal()

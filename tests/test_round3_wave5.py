@@ -476,3 +476,43 @@ def test_source_keywords_score_replay(spark):
             key=lambda kv: (-kv[1], kv[0]),
         )[:KEYWORDS_PER_SOURCE]
         assert [(r["term"], r["log_odds"]) for r in rl] == expect
+
+
+def test_conformal_threshold_replay_and_guarantee_shape(spark):
+    """Threshold must equal the exact-integer quantile of the calibration
+    nonconformities, coverage must recompute, and the empirical coverage
+    should sit near the 1-alpha target (finite-sample guarantee is on the
+    expectation, so assert a loose band)."""
+    import hashlib
+
+    from prefect_flow_arc_indexer_spark.operators.text_analysis import (
+        CONFORMAL_ALPHA,
+        CONFORMAL_CAL_PCT,
+    )
+
+    preds = {
+        r["doc_id"]: r["p_quality"]
+        for r in _run("q_quality_logistic", spark).collect()
+    }
+    keeps = {
+        r["doc_id"] for r in _run("q_gopher_rules", spark).collect() if r["keep"]
+    }
+    cal, ev = [], []
+    for d in sorted(keeps):
+        s = 1_000_000 - round(preds[d] * 1_000_000)
+        h = int(hashlib.md5(f"conf:{d}".encode()).hexdigest()[:7], 16)
+        (cal if h % 100 < CONFORMAL_CAL_PCT else ev).append((s, d))
+    cal.sort()
+    import math
+
+    k = min(math.ceil((len(cal) + 1) * (1 - CONFORMAL_ALPHA)), len(cal))
+    q_hat = cal[k - 1][0]
+    covered = sum(1 for s, _ in ev if s <= q_hat)
+
+    [r] = _run("q_conformal_threshold", spark).collect()
+    assert r["n_cal"] == len(cal)
+    assert r["q_hat_micro"] == q_hat
+    assert r["n_eval"] == len(ev)
+    assert r["n_covered"] == covered
+    assert abs(r["coverage"] - round(covered / len(ev), 6)) < 1e-9
+    assert r["coverage"] >= 1 - CONFORMAL_ALPHA - 0.1  # loose sanity band
