@@ -1100,3 +1100,141 @@ SELECT split_a, split_b,
 
 
 _register_split_leakage()
+
+
+# --------------------------------------------------------------------------
+# containment similarity: subset-duplicate detection (quotes, inclusions)
+# --------------------------------------------------------------------------
+CONTAIN_MIN = 0.8  # max-side containment that flags a subset duplicate
+
+
+@register(
+    "q_containment",
+    oracle=f"""WITH {_dd_shingle_cte()},
+sizes AS (
+  SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id
+),
+meta AS (
+  SELECT doc_id, source FROM documents
+),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+    FROM shingles a
+    JOIN shingles b ON a.s = b.s AND a.doc_id < b.doc_id
+    JOIN meta ma ON ma.doc_id = a.doc_id
+    JOIN meta mb ON mb.doc_id = b.doc_id
+   WHERE ma.source = mb.source
+     AND b.doc_id - a.doc_id <= {JACCARD_BLOCK_ID_DIST}
+   GROUP BY a.doc_id, b.doc_id
+),
+scored AS (
+  SELECT doc_a, doc_b, CAST(i AS BIGINT) AS i,
+         CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b,
+         round(CAST(i AS DOUBLE) / least(sa.n, sb.n), 6) AS containment,
+         round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+)
+SELECT *,
+       CASE WHEN n_a <= n_b THEN 'a_in_b' ELSE 'b_in_a' END AS direction,
+       containment >= {CONTAIN_MIN} AS is_subset_dup
+  FROM scored
+ ORDER BY containment DESC, doc_a ASC, doc_b ASC
+ LIMIT 20
+""",
+    doc="containment (asymmetric Jaccard) for SUBSET duplicates: "
+    "i / min(|A|,|B|) flags a small doc embedded in a bigger one (quotes, "
+    "boilerplate inclusion, excerpt pages) that symmetric Jaccard scores "
+    "low and MinHash-LSH therefore misses — the standard companion "
+    "measure in web-dedup stacks. Same blocked shingle equi-join shape "
+    "(and cost) as q_ngram_jaccard: pair volume is bounded by the "
+    "blocking key, the shingle join is a hash join, and the verdict "
+    "columns are row-local arithmetic on the pair aggregates. Output is "
+    "the deterministic top-20 review queue by containment (TakeOrdered, "
+    "no materialized global sort) with the subset-dup flag at "
+    f"{CONTAIN_MIN}.",
+)
+def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    sh = (
+        docs.select("doc_id", "source", tokens(F.col("text")).alias("tok"))
+        .select(
+            "doc_id",
+            "source",
+            F.explode(word_ngrams(F.col("tok"), SHINGLE_N)).alias("s"),
+        )
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (
+                F.col("b.doc_id") - F.col("a.doc_id")
+                <= JACCARD_BLOCK_ID_DIST
+            ),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").cast("bigint").alias("i"))
+    )
+    scored = (
+        inter.join(
+            sizes.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("n").cast("bigint").alias("n_a"),
+            ),
+            "doc_a",
+        )
+        .join(
+            sizes.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("n").cast("bigint").alias("n_b"),
+            ),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "i",
+            "n_a",
+            "n_b",
+            F.round(
+                F.col("i").cast("double") / F.least("n_a", "n_b"), 6
+            ).alias("containment"),
+            F.round(
+                F.col("i").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("i")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+    return (
+        scored.select(
+            "doc_a",
+            "doc_b",
+            "i",
+            "n_a",
+            "n_b",
+            "containment",
+            "jaccard",
+            F.when(F.col("n_a") <= F.col("n_b"), F.lit("a_in_b"))
+            .otherwise(F.lit("b_in_a"))
+            .alias("direction"),
+            (F.col("containment") >= CONTAIN_MIN).alias("is_subset_dup"),
+        )
+        # deterministic top-k (TakeOrdered — no global sort materialized):
+        # the review queue is the k most-contained pairs, however low
+        .orderBy(
+            F.col("containment").desc(),
+            F.col("doc_a").asc(),
+            F.col("doc_b").asc(),
+        )
+        .limit(20)
+    )

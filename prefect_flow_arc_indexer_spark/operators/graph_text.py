@@ -586,3 +586,89 @@ def q_source_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rank", F.row_number().over(w_rank))
         .where(F.col("rank") <= KEYWORDS_PER_SOURCE)
     )
+
+
+# --------------------------------------------------------------------------
+# contrastive-objective noise distribution: unigram^0.75 sampling table
+# --------------------------------------------------------------------------
+NEG_VOCAB = 100  # sampling table over the corpus top-K terms
+NEG_POWER = 0.75
+
+
+@register(
+    "q_negative_sampling",
+    oracle=f"""WITH src_tf AS (
+  SELECT t.w, count(*) AS cnt
+    FROM (SELECT {dd_tokens("text")} AS tok
+            FROM documents WHERE text IS NOT NULL), unnest(tok) AS t(w)
+   GROUP BY t.w
+),
+vocab AS (
+  SELECT w, CAST(cnt AS BIGINT) AS cnt,
+         CAST(round(pow(cnt, {NEG_POWER}) * 1000000) AS BIGINT) AS w_micro
+    FROM src_tf
+   ORDER BY cnt DESC, w ASC LIMIT {NEG_VOCAB}
+),
+cum AS (
+  SELECT *,
+         CAST(sum(w_micro) OVER (ORDER BY cnt DESC, w ASC
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_end,
+         CAST(sum(w_micro) OVER () AS BIGINT) AS total_micro
+    FROM vocab
+)
+SELECT w AS term, cnt, w_micro,
+       cum_end - w_micro AS cum_start, cum_end,
+       round(CAST(w_micro AS DOUBLE) / total_micro, 6) AS p_draw
+  FROM cum
+""",
+    doc="noise distribution for contrastive objectives (word2vec negative "
+    f"sampling / InfoNCE): unigram counts tempered by the {NEG_POWER} "
+    "power over the corpus top-"
+    f"{NEG_VOCAB} vocabulary, emitted as an inverse-CDF table "
+    "(cumulative micro-unit ranges) a sampler probes with "
+    "hash-uniform draws. Weights quantized to integer micro-units "
+    "BEFORE the cumulative sum, so partial-aggregation order cannot "
+    "drift the ranges; one corpus-token shuffle, then everything runs "
+    "on the vocab-bounded table (the single-partition cumsum window is "
+    f"{NEG_VOCAB} rows by construction).",
+)
+def q_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    vocab = (
+        docs.where(F.col("text").isNotNull())
+        .select(F.explode(tokens(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("w").asc())
+        .limit(NEG_VOCAB)
+        .select(
+            "w",
+            F.col("cnt").cast("bigint").alias("cnt"),
+            F.round(F.pow(F.col("cnt"), NEG_POWER) * 1_000_000)
+            .cast("bigint")
+            .alias("w_micro"),
+        )
+    )
+    w_cum = Window.orderBy(F.col("cnt").desc(), F.col("w").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.partitionBy()
+    cum = vocab.select(
+        "w",
+        "cnt",
+        "w_micro",
+        F.sum("w_micro").over(w_cum).cast("bigint").alias("cum_end"),
+        F.sum("w_micro").over(w_all).cast("bigint").alias("total_micro"),
+    )
+    return cum.select(
+        F.col("w").alias("term"),
+        "cnt",
+        "w_micro",
+        (F.col("cum_end") - F.col("w_micro")).alias("cum_start"),
+        "cum_end",
+        F.round(
+            F.col("w_micro").cast("double") / F.col("total_micro"), 6
+        ).alias("p_draw"),
+    )

@@ -516,3 +516,39 @@ def test_conformal_threshold_replay_and_guarantee_shape(spark):
     assert r["n_covered"] == covered
     assert abs(r["coverage"] - round(covered / len(ev), 6)) < 1e-9
     assert r["coverage"] >= 1 - CONFORMAL_ALPHA - 0.1  # loose sanity band
+
+
+def test_containment_bounds_and_subset_relation(spark):
+    """Containment >= Jaccard always; ranges partition correctly; the
+    direction flag must point from the smaller shingle set."""
+    rows = _run("q_containment", spark).collect()
+    assert rows
+    sims = [r["containment"] for r in rows]
+    assert sims == sorted(sims, reverse=True)
+    for r in rows:
+        assert 0 < r["containment"] <= 1
+        assert r["containment"] >= r["jaccard"] - 1e-9
+        assert r["i"] <= min(r["n_a"], r["n_b"])
+        assert r["direction"] == (
+            "a_in_b" if r["n_a"] <= r["n_b"] else "b_in_a"
+        )
+        assert r["is_subset_dup"] == (r["containment"] >= 0.8)
+
+
+def test_negative_sampling_table_properties(spark):
+    """Ranges must tile [0, total) contiguously in (cnt desc, term) order,
+    weights must replay pow(cnt, 0.75), and p must normalize to ~1."""
+    rows = _run("q_negative_sampling", spark).collect()
+    assert rows
+    rows.sort(key=lambda r: r["cum_end"])
+    prev_end = 0
+    for r in rows:
+        assert r["w_micro"] == round(r["cnt"] ** 0.75 * 1_000_000)
+        assert r["cum_start"] == prev_end
+        assert r["cum_end"] == r["cum_start"] + r["w_micro"]
+        prev_end = r["cum_end"]
+    assert abs(sum(r["p_draw"] for r in rows) - 1.0) < 1e-3
+    # tempering flattens: min p_draw ratio must exceed raw count ratio
+    mx, mn = max(rows, key=lambda r: r["cnt"]), min(rows, key=lambda r: r["cnt"])
+    if mx["cnt"] > mn["cnt"]:
+        assert mn["p_draw"] / mx["p_draw"] > mn["cnt"] / mx["cnt"]
