@@ -632,3 +632,105 @@ def q_dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("n_true") + noise, 6).alias("n_noisy"),
         ((F.col("n_true") + noise) >= DP_RELEASE_MIN).alias("released"),
     )
+
+
+# --------------------------------------------------------------------------
+# entity resolution completed: golden records from fuzzy-match clusters
+# --------------------------------------------------------------------------
+def _register_golden_record():
+    """Closure-registered so the oracle embeds the registered fuzzy-match
+    oracle as its edge list — the canonicalization stays in lockstep with
+    the matcher that feeds it."""
+    from prefect_flow_arc_indexer_spark.plans.registry import _REGISTRY
+
+    fuzzy_sql = _REGISTRY["q_fuzzy_match"].oracle
+    oracle = f"""WITH RECURSIVE pairs AS ({fuzzy_sql}),
+edges AS (
+  SELECT key_a AS src, key_b AS dst FROM pairs
+  UNION ALL
+  SELECT key_b, key_a FROM pairs
+),
+reach(id, comp) AS (
+  SELECT DISTINCT src, src FROM edges
+  UNION
+  SELECT e.dst AS id, r.comp FROM reach r JOIN edges e ON e.src = r.id
+),
+labels AS (
+  SELECT id AS c_custkey, min(comp) AS entity_id FROM reach GROUP BY id
+),
+members AS (
+  SELECT l.entity_id, c.c_custkey, c.c_name, c.c_nationkey, c.c_mktsegment,
+         CAST(round(c.c_acctbal * 100) AS BIGINT) AS bal_cents
+    FROM labels l JOIN customer c ON c.c_custkey = l.c_custkey
+)
+SELECT entity_id,
+       count(*) AS n_members,
+       min(CASE WHEN c_custkey = entity_id THEN c_name END) AS canonical_name,
+       min(c_nationkey) AS nationkey,
+       min(c_mktsegment) AS mktsegment,
+       CAST(sum(bal_cents) AS BIGINT) AS bal_cents_total,
+       round(CAST(sum(bal_cents) AS DOUBLE) / count(*) / 100.0, 6)
+           AS avg_acctbal
+  FROM members
+ GROUP BY entity_id
+HAVING count(*) > 1
+"""
+
+    @register(
+        "q_golden_record",
+        oracle=oracle,
+        doc="entity resolution completed: fuzzy-match pairs (blocked "
+        "levenshtein) -> connected components (min-label propagation + "
+        "pointer jumping, the same O(log diameter) CC kernel as "
+        "q_dedup_components) -> one GOLDEN RECORD per multi-member "
+        "entity: canonical name from the min-key member, merged balance "
+        "in exact integer cents — the master-data-management "
+        "canonicalization step downstream systems consume instead of raw "
+        "duplicated rows. Corpus cost: the blocked pair join + "
+        "O(log diameter) label rounds over edge-incident nodes only; "
+        "the golden-record aggregation is one hash agg on entity_id.",
+    )
+    def q_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from prefect_flow_arc_indexer_spark.operators.dedup import (
+            connected_components,
+        )
+
+        pairs = _REGISTRY["q_fuzzy_match"].builder(spark, sf_dir).select(
+            F.col("key_a").alias("src"), F.col("key_b").alias("dst")
+        )
+        labels = connected_components(pairs).select(
+            F.col("id").alias("c_custkey"), F.col("comp").alias("entity_id")
+        )
+        cust = load_table(spark, sf_dir, "customer").select(
+            "c_custkey",
+            "c_name",
+            "c_nationkey",
+            "c_mktsegment",
+            F.round(F.col("c_acctbal") * 100).cast("bigint").alias(
+                "bal_cents"
+            ),
+        )
+        members = labels.join(cust, "c_custkey")
+        return (
+            members.groupBy("entity_id")
+            .agg(
+                F.count("*").alias("n_members"),
+                F.min(
+                    F.when(
+                        F.col("c_custkey") == F.col("entity_id"),
+                        F.col("c_name"),
+                    )
+                ).alias("canonical_name"),
+                F.min("c_nationkey").alias("nationkey"),
+                F.min("c_mktsegment").alias("mktsegment"),
+                F.sum("bal_cents").cast("bigint").alias("bal_cents_total"),
+                F.round(
+                    F.sum("bal_cents").cast("double") / F.count("*") / 100.0,
+                    6,
+                ).alias("avg_acctbal"),
+            )
+            .where(F.col("n_members") > 1)
+        )
+
+
+_register_golden_record()

@@ -552,3 +552,43 @@ def test_negative_sampling_table_properties(spark):
     mx, mn = max(rows, key=lambda r: r["cnt"]), min(rows, key=lambda r: r["cnt"])
     if mx["cnt"] > mn["cnt"]:
         assert mn["p_draw"] / mx["p_draw"] > mn["cnt"] / mx["cnt"]
+
+
+def test_golden_record_matches_python_union_find(spark):
+    """Entities must equal union-find over the fuzzy pairs, and the merged
+    fields must recompute from raw members."""
+    from prefect_flow_arc_indexer_spark.sources.parquet import load_table
+
+    pairs = [
+        (r["key_a"], r["key_b"]) for r in _run("q_fuzzy_match", spark).collect()
+    ]
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    clusters: dict[int, list[int]] = {}
+    for x in parent:
+        clusters.setdefault(find(x), []).append(x)
+    multi = {k: sorted(v) for k, v in clusters.items() if len(v) > 1}
+
+    cust = {
+        r["c_custkey"]: r
+        for r in load_table(spark, SF_DIR, "customer").collect()
+    }
+    rows = _run("q_golden_record", spark).collect()
+    assert {r["entity_id"] for r in rows} == set(multi)
+    for r in rows:
+        mem = multi[r["entity_id"]]
+        assert r["n_members"] == len(mem)
+        assert r["canonical_name"] == cust[r["entity_id"]]["c_name"]
+        cents = sum(round(cust[m]["c_acctbal"] * 100) for m in mem)
+        assert r["bal_cents_total"] == cents
+        assert abs(r["avg_acctbal"] - round(cents / len(mem) / 100.0, 6)) < 1e-9
