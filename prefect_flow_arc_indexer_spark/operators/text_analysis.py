@@ -659,3 +659,93 @@ SELECT (SELECT CAST(n_cal AS BIGINT) FROM qhat LIMIT 1) AS n_cal,
 
 
 _register_conformal()
+
+
+# --------------------------------------------------------------------------
+# language-mix profile: code-switching detection via per-language evidence
+# --------------------------------------------------------------------------
+LANGMIX_DOMINANT_MIN = 0.7  # below this top-language share => mixed doc
+
+
+def _dd_langmix_sql() -> str:
+    langs = sorted(STOPWORDS)
+    hits = ",\n       ".join(
+        f"CAST({_dd_stopword_hits('tok', STOPWORDS[lang])} AS BIGINT) AS hits_{lang}"
+        for lang in langs
+    )
+    total = " + ".join(f"hits_{lang}" for lang in langs)
+    best = "greatest(" + ", ".join(f"hits_{lang}" for lang in langs) + ")"
+    case = "CASE " + " ".join(
+        f"WHEN hits_{lang} = {best} THEN '{lang}'" for lang in langs
+    ) + " END"
+    return f"""WITH toks AS (
+  SELECT doc_id, coalesce({dd_tokens("text")}, []) AS tok FROM documents
+),
+scored AS (
+  SELECT doc_id,
+       {hits}
+    FROM toks
+),
+tot AS (
+  SELECT *, {total} AS total_hits FROM scored
+)
+SELECT doc_id, {", ".join(f"hits_{lang}" for lang in langs)},
+       CAST(total_hits AS BIGINT) AS total_hits,
+       CASE WHEN total_hits > 0 THEN {case} END AS dominant_lang,
+       CASE WHEN total_hits > 0
+            THEN round(CAST({best} AS DOUBLE) / total_hits, 6) END
+           AS dominant_frac,
+       total_hits > 0 AND
+       CAST({best} AS DOUBLE) / total_hits < {LANGMIX_DOMINANT_MIN}
+           AS is_mixed
+  FROM tot
+"""
+
+
+@register(
+    "q_doc_langmix",
+    oracle=_dd_langmix_sql(),
+    doc="language-mix (code-switching) profile: per-doc stopword evidence "
+    "for every supported language, the dominant language's share, and a "
+    f"mixed-doc flag below {LANGMIX_DOMINANT_MIN} dominance — the signal "
+    "that routes a doc to split-by-span language handling instead of "
+    "whole-doc language ID (q_lang_id only answers argmax; mixed docs "
+    "are where that answer misleads). Entirely row-local expressions "
+    "over one shared token array: no joins, no shuffle, scoring cost is "
+    "scan cost.",
+)
+def q_doc_langmix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    langs = sorted(STOPWORDS)
+    docs = load_table(spark, sf_dir, "documents", fan_out=True).withColumn(
+        "tok",
+        F.coalesce(tokens(F.col("text")), F.array().cast("array<string>")),
+    )
+    hits = {
+        lang: _stopword_hits(F.col("tok"), STOPWORDS[lang]).cast("bigint")
+        for lang in langs
+    }
+    scored = docs.select(
+        "doc_id", *[hits[lang].alias(f"hits_{lang}") for lang in langs]
+    )
+    total = sum((F.col(f"hits_{lang}") for lang in langs[1:]),
+                F.col(f"hits_{langs[0]}"))
+    best = F.greatest(*[F.col(f"hits_{lang}") for lang in langs])
+    dominant = F.lit(None).cast("string")
+    for lang in reversed(langs):
+        dominant = F.when(
+            F.col(f"hits_{lang}") == best, F.lit(lang)
+        ).otherwise(dominant)
+    tot = scored.withColumn("total_hits", total.cast("bigint"))
+    frac = best.cast("double") / F.col("total_hits")
+    return tot.select(
+        "doc_id",
+        *[f"hits_{lang}" for lang in langs],
+        "total_hits",
+        F.when(F.col("total_hits") > 0, dominant).alias("dominant_lang"),
+        F.when(F.col("total_hits") > 0, F.round(frac, 6)).alias(
+            "dominant_frac"
+        ),
+        (
+            (F.col("total_hits") > 0) & (frac < LANGMIX_DOMINANT_MIN)
+        ).alias("is_mixed"),
+    )

@@ -592,3 +592,35 @@ def test_golden_record_matches_python_union_find(spark):
         cents = sum(round(cust[m]["c_acctbal"] * 100) for m in mem)
         assert r["bal_cents_total"] == cents
         assert abs(r["avg_acctbal"] - round(cents / len(mem) / 100.0, 6)) < 1e-9
+
+
+def test_doc_langmix_consistent_with_lang_id(spark):
+    """The dominant language must agree with q_lang_id's argmax wherever
+    evidence exists, shares must be exact, and the mixed flag must be the
+    dominance-threshold rule."""
+    from prefect_flow_arc_indexer_spark.operators.text_analysis import (
+        LANGMIX_DOMINANT_MIN,
+    )
+
+    lang = {
+        r["doc_id"]: (r["predicted_lang"], r["best_hits"])
+        for r in _run("q_lang_id", spark).collect()
+    }
+    rows = _run("q_doc_langmix", spark).collect()
+    assert rows
+    langs = sorted(
+        c[len("hits_"):] for c in rows[0].asDict() if c.startswith("hits_")
+    )
+    for r in rows:
+        total = sum(r[f"hits_{lg}"] for lg in langs)
+        assert r["total_hits"] == total
+        if total == 0:
+            assert r["dominant_lang"] is None and not r["is_mixed"]
+            continue
+        best = max(r[f"hits_{lg}"] for lg in langs)
+        if r["doc_id"] in lang:
+            pred, best_hits = lang[r["doc_id"]]
+            assert best == best_hits
+            assert r["dominant_lang"] == pred
+        assert abs(r["dominant_frac"] - round(best / total, 6)) < 1e-9
+        assert r["is_mixed"] == (best / total < LANGMIX_DOMINANT_MIN)
