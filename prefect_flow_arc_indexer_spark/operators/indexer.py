@@ -335,3 +335,49 @@ def q_variant_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("k").alias("max_k"),
         )
     )
+
+
+@register(
+    "q_watermark_compute",
+    oracle=f"""WITH {IDX_DOCS_CTE}
+SELECT "index",
+       max(updated_at) AS next_watermark,
+       count(*) AS n_rows,
+       CAST(sum(CASE WHEN updated_at >= TIMESTAMP '{WATERMARK}'
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+       CAST(sum(CASE WHEN updated_at >= TIMESTAMP '{WATERMARK}'
+                     AND is_deleted THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_tombstones,
+       sum(CASE WHEN updated_at >= TIMESTAMP '{WATERMARK}'
+                THEN 1 ELSE 0 END) = 0 AS skip_batch
+  FROM index_documents
+ WHERE "index" IS NOT NULL
+ GROUP BY "index"
+""",
+    doc="T1/T4 as a query: the per-index watermark state the reference "
+    "persists between runs (save_last_run_config, flows/main_flow.py:7,"
+    "603,611 — here max(updated_at), the honest high-water mark, rather "
+    "than the flow-run wall clock) plus the skip-empty-batch gate "
+    "(record_count == 0 -> continue, flows/main_flow.py:705-707) and the "
+    "tombstone share of the pending batch (T3 routing volume). One "
+    "map-side-combined aggregation per index — the bookkeeping query an "
+    "incremental pipeline runs FIRST each cycle, at the cost of one "
+    "narrow scan.",
+)
+def q_watermark_compute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = index_documents(spark, sf_dir).where(F.col("index").isNotNull())
+    changed = F.when(
+        F.col("updated_at") >= F.lit(WATERMARK).cast("timestamp"), 1
+    ).otherwise(0)
+    tomb = F.when(
+        (F.col("updated_at") >= F.lit(WATERMARK).cast("timestamp"))
+        & F.col("is_deleted"),
+        1,
+    ).otherwise(0)
+    return docs.groupBy("index").agg(
+        F.max("updated_at").alias("next_watermark"),
+        F.count("*").alias("n_rows"),
+        F.sum(changed).cast("bigint").alias("n_changed"),
+        F.sum(tomb).cast("bigint").alias("n_tombstones"),
+        (F.sum(changed) == 0).alias("skip_batch"),
+    )

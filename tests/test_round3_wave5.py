@@ -624,3 +624,30 @@ def test_doc_langmix_consistent_with_lang_id(spark):
             assert r["dominant_lang"] == pred
         assert abs(r["dominant_frac"] - round(best / total, 6)) < 1e-9
         assert r["is_mixed"] == (best / total < LANGMIX_DOMINANT_MIN)
+
+
+def test_watermark_compute_state_algebra(spark):
+    """Watermark state must recompute from the raw view: max timestamp,
+    inclusive >= change counts, tombstone subset, and the skip gate."""
+    from prefect_flow_arc_indexer_spark.operators.indexer import WATERMARK
+    from prefect_flow_arc_indexer_spark.sources.parquet import index_documents
+    from datetime import datetime
+
+    wm = datetime.fromisoformat(WATERMARK)
+    state: dict[str, list] = {}
+    for r in index_documents(spark, SF_DIR).collect():
+        if r["index"] is None:
+            continue
+        state.setdefault(r["index"], []).append(
+            (r["updated_at"], r["is_deleted"])
+        )
+    rows = _run("q_watermark_compute", spark).collect()
+    assert {r["index"] for r in rows} == set(state)
+    for r in rows:
+        mem = state[r["index"]]
+        changed = [(t, d) for t, d in mem if t >= wm]
+        assert r["next_watermark"] == max(t for t, _ in mem)
+        assert r["n_rows"] == len(mem)
+        assert r["n_changed"] == len(changed)
+        assert r["n_tombstones"] == sum(1 for _, d in changed if d)
+        assert r["skip_batch"] == (len(changed) == 0)
