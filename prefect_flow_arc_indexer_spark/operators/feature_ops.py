@@ -395,3 +395,141 @@ SELECT d.doc_id, d.source,
 
 
 _register_mixture_apply()
+
+
+# --------------------------------------------------------------------------
+# experiment guardrail: sample-ratio mismatch (SRM) chi-square
+# --------------------------------------------------------------------------
+SRM_EXPECTED_TREAT = 0.5  # designed treatment share
+
+
+@register(
+    "q_ab_srm",
+    oracle=f"""WITH arms AS (
+  SELECT DISTINCT user_id,
+         (CAST('0x' || substr(md5('{AB_SALT}' || CAST(user_id AS VARCHAR)), 1, 7)
+               AS BIGINT) % 100) < 50 AS is_treatment
+    FROM events
+),
+counts AS (
+  SELECT CAST(sum(CASE WHEN is_treatment THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
+         CAST(sum(CASE WHEN is_treatment THEN 0 ELSE 1 END) AS BIGINT) AS n_c
+    FROM arms
+)
+SELECT n_t, n_c, n_t + n_c AS n_total,
+       round((n_t + n_c) * {SRM_EXPECTED_TREAT}, 6) AS expected_each,
+       round(pow(n_t - (n_t + n_c) * {SRM_EXPECTED_TREAT}, 2)
+               / ((n_t + n_c) * {SRM_EXPECTED_TREAT})
+             + pow(n_c - (n_t + n_c) * {1 - SRM_EXPECTED_TREAT}, 2)
+               / ((n_t + n_c) * {1 - SRM_EXPECTED_TREAT}), 6) AS chi2,
+       (pow(n_t - (n_t + n_c) * {SRM_EXPECTED_TREAT}, 2)
+          / ((n_t + n_c) * {SRM_EXPECTED_TREAT})
+        + pow(n_c - (n_t + n_c) * {1 - SRM_EXPECTED_TREAT}, 2)
+          / ((n_t + n_c) * {1 - SRM_EXPECTED_TREAT})) > 3.841 AS srm_alarm
+  FROM counts
+""",
+    doc="experiment guardrail: sample-ratio mismatch — chi-square (1 df) of "
+    "the realized arm split against the designed 50/50, alarming at the "
+    "0.05 critical value (3.841). SRM is the first thing a trustworthy "
+    "experimentation pipeline checks, BEFORE reading q_abtest_lift: a "
+    "mismatched split means assignment or logging is broken and the lift "
+    "is meaningless. Same deterministic salted-hash arms as the lift "
+    "readout (shared salt constant, so the two queries can never test "
+    "different populations); cost is one distinct-user aggregation.",
+)
+def q_ab_srm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from prefect_flow_arc_indexer_spark.functions.hashing import stable_hash
+
+    ev = load_table(spark, sf_dir, "events", fan_out=True)
+    arms = ev.select(
+        "user_id",
+        (
+            stable_hash(
+                F.concat(F.lit(AB_SALT), F.col("user_id").cast("string"))
+            )
+            % 100
+            < 50
+        ).alias("is_treatment"),
+    ).distinct()
+    counts = arms.agg(
+        F.sum(F.col("is_treatment").cast("int")).cast("bigint").alias("n_t"),
+        F.sum((~F.col("is_treatment")).cast("int"))
+        .cast("bigint")
+        .alias("n_c"),
+    )
+    n_total = F.col("n_t") + F.col("n_c")
+    exp_t = n_total * SRM_EXPECTED_TREAT
+    exp_c = n_total * (1 - SRM_EXPECTED_TREAT)
+    chi2 = (
+        F.pow(F.col("n_t") - exp_t, 2) / exp_t
+        + F.pow(F.col("n_c") - exp_c, 2) / exp_c
+    )
+    return counts.select(
+        "n_t",
+        "n_c",
+        n_total.alias("n_total"),
+        F.round(exp_t, 6).alias("expected_each"),
+        F.round(chi2, 6).alias("chi2"),
+        (chi2 > 3.841).alias("srm_alarm"),
+    )
+
+
+# --------------------------------------------------------------------------
+# hashing-trick feature crosses: (nation x segment) -> fixed bucket space
+# --------------------------------------------------------------------------
+FX_BUCKETS = 64
+FX_SALT = "fx:"
+
+
+@register(
+    "q_feature_hash",
+    oracle=f"""WITH crossed AS (
+  SELECT CAST(c_nationkey AS VARCHAR) || '|' || c_mktsegment AS cross_key
+    FROM customer
+),
+bucketed AS (
+  SELECT cross_key,
+         CAST('0x' || substr(md5('{FX_SALT}' || cross_key), 1, 7) AS BIGINT)
+           % {FX_BUCKETS} AS bucket
+    FROM crossed
+)
+SELECT bucket,
+       count(*) AS n_rows,
+       CAST(count(DISTINCT cross_key) AS BIGINT) AS n_crosses,
+       count(DISTINCT cross_key) > 1 AS has_collision,
+       min(cross_key) AS example_cross
+  FROM bucketed GROUP BY bucket
+""",
+    doc="the hashing trick for categorical feature crosses: "
+    f"(nation x segment) hashed into a fixed {FX_BUCKETS}-bucket space — "
+    "how a feature pipeline keeps unbounded-cardinality crosses at a "
+    "fixed model width with no vocabulary build, no fit step, and no "
+    "driver state. The census reports per-bucket load and collisions "
+    "(the accuracy cost the bucket-count knob trades against width). "
+    "Row-local salted hash, one bucket-keyed aggregation; the distinct "
+    "count runs inside the bounded bucket space.",
+)
+def q_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from prefect_flow_arc_indexer_spark.functions.hashing import stable_hash
+
+    cust = load_table(spark, sf_dir, "customer")
+    crossed = cust.select(
+        F.concat(
+            F.col("c_nationkey").cast("string"),
+            F.lit("|"),
+            F.col("c_mktsegment"),
+        ).alias("cross_key")
+    )
+    bucketed = crossed.select(
+        "cross_key",
+        (
+            stable_hash(F.concat(F.lit(FX_SALT), F.col("cross_key")))
+            % FX_BUCKETS
+        ).alias("bucket"),
+    )
+    return bucketed.groupBy("bucket").agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("cross_key").cast("bigint").alias("n_crosses"),
+        (F.countDistinct("cross_key") > 1).alias("has_collision"),
+        F.min("cross_key").alias("example_cross"),
+    )

@@ -651,3 +651,64 @@ def test_watermark_compute_state_algebra(spark):
         assert r["n_changed"] == len(changed)
         assert r["n_tombstones"] == sum(1 for _, d in changed if d)
         assert r["skip_batch"] == (len(changed) == 0)
+
+
+def test_ab_srm_chi_square_replay(spark):
+    """Arm counts must match the lift readout's assignment and the
+    chi-square must recompute exactly."""
+    import hashlib
+
+    from prefect_flow_arc_indexer_spark.operators.feature_ops import (
+        AB_SALT,
+        SRM_EXPECTED_TREAT,
+    )
+    from prefect_flow_arc_indexer_spark.sources.parquet import load_table
+
+    users = {
+        r["user_id"]
+        for r in load_table(spark, SF_DIR, "events").select("user_id").distinct().collect()
+    }
+    n_t = sum(
+        1
+        for u in users
+        if int(hashlib.md5(f"{AB_SALT}{u}".encode()).hexdigest()[:7], 16) % 100 < 50
+    )
+    n_c = len(users) - n_t
+    [r] = _run("q_ab_srm", spark).collect()
+    assert (r["n_t"], r["n_c"], r["n_total"]) == (n_t, n_c, len(users))
+    exp = len(users) * SRM_EXPECTED_TREAT
+    chi2 = (n_t - exp) ** 2 / exp + (n_c - (len(users) - exp)) ** 2 / (
+        len(users) - exp
+    )
+    assert abs(r["chi2"] - round(chi2, 6)) < 1e-9
+    assert r["srm_alarm"] == (chi2 > 3.841)
+
+
+def test_feature_hash_bucket_census(spark):
+    """Bucket census must replay the salted hash, cover every cross, and
+    bound the bucket space."""
+    import hashlib
+
+    from prefect_flow_arc_indexer_spark.operators.feature_ops import (
+        FX_BUCKETS,
+        FX_SALT,
+    )
+    from prefect_flow_arc_indexer_spark.sources.parquet import load_table
+
+    from collections import Counter
+
+    rows_per_bucket = Counter()
+    crosses_per_bucket: dict[int, set] = {}
+    for r in load_table(spark, SF_DIR, "customer").collect():
+        key = f"{r['c_nationkey']}|{r['c_mktsegment']}"
+        b = int(hashlib.md5(f"{FX_SALT}{key}".encode()).hexdigest()[:7], 16) % FX_BUCKETS
+        rows_per_bucket[b] += 1
+        crosses_per_bucket.setdefault(b, set()).add(key)
+    got = _run("q_feature_hash", spark).collect()
+    assert {r["bucket"] for r in got} == set(rows_per_bucket)
+    for r in got:
+        assert 0 <= r["bucket"] < FX_BUCKETS
+        assert r["n_rows"] == rows_per_bucket[r["bucket"]]
+        assert r["n_crosses"] == len(crosses_per_bucket[r["bucket"]])
+        assert r["has_collision"] == (r["n_crosses"] > 1)
+        assert r["example_cross"] == min(crosses_per_bucket[r["bucket"]])
