@@ -1,0 +1,461 @@
+"""Corpus curation wave: normalization, winnowing fingerprints, preference
+pairs, contrastive-batch auditing, embedding outliers, and coreset selection.
+
+Training-data-pipeline extension surface (ABSENT in the reference, which
+ships documents verbatim to ES — `flows/main_flow.py:366-395` never rewrites
+a payload). Six operators a curation pipeline runs between ingest and
+training:
+
+- ``q_text_normalize`` — canonical text form (casefold, non-alphanumeric →
+  space, whitespace collapse) + content hash: the pre-pass that makes exact
+  dedup robust to formatting noise. Row-local projection, zero shuffles.
+- ``q_winnowing`` — MOSS-style winnowing fingerprint selection (Schleimer,
+  Wilkerson, Aiken, SIGMOD'03): k-gram rolling hashes, per-window minimum;
+  the guaranteed-coverage local fingerprinting scheme behind plagiarism /
+  near-dup detection at substring granularity. Row-local higher-order
+  functions, zero shuffles.
+- ``q_preference_pairs`` — DPO/RLHF-style (chosen, rejected) pair
+  construction from logged feedback: one map-side-combinable aggregation,
+  no window sort.
+- ``q_contrastive_batches`` — in-batch-negative audit for contrastive
+  training: deterministic batch assignment + per-batch label-collision
+  census (the false-negative exposure of in-batch negatives).
+- ``q_embed_outliers`` — embedding-space outlier pruning by cosine to the
+  engine-stable global centroid.
+- ``q_coreset_kcenter`` — greedy k-center (farthest-first traversal,
+  Gonzalez'85) coreset selection: the classic 2-approximation diversity
+  sampler used for data pruning; k corpus scans, O(1) lineage per round.
+
+All hash-bearing outputs use the engine-stable 28-bit md5 hash
+(`functions.hashing`) so DuckDB replays them bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from prefect_flow_arc_indexer_spark.functions.hashing import (
+    dd_stable_hash,
+    stable_hash,
+)
+from prefect_flow_arc_indexer_spark.functions.vectors import (
+    cosine_similarity,
+    dd_cosine_similarity,
+)
+from prefect_flow_arc_indexer_spark.plans.registry import register
+from prefect_flow_arc_indexer_spark.sources.parquet import load_table
+
+# --------------------------------------------------------------------------
+# text normalization
+# --------------------------------------------------------------------------
+# one regex pass: any run of non-[a-z0-9] becomes a single space (applied on
+# the casefolded text), then trim. Identical RE2/Java semantics.
+_NORM_RE = "[^a-z0-9]+"
+
+
+@register(
+    "q_text_normalize",
+    oracle=f"""SELECT doc_id,
+       length(text) AS len_raw,
+       length(trim(regexp_replace(lower(text), '{_NORM_RE}', ' ', 'g'))) AS len_norm,
+       md5(trim(regexp_replace(lower(text), '{_NORM_RE}', ' ', 'g'))) AS norm_hash,
+       (text IS DISTINCT FROM trim(regexp_replace(lower(text), '{_NORM_RE}', ' ', 'g'))) AS changed
+  FROM documents
+""",
+    doc="canonical text normalization: casefold, non-alphanumeric runs -> "
+    "single space, trim; emits the md5 content hash of the normal form — "
+    "the key exact dedup should group on so formatting noise (case, "
+    "punctuation, whitespace) doesn't split duplicate groups. Pure "
+    "row-local projection inside whole-stage codegen: at 100 TB this is "
+    "scan-speed, zero shuffles, and the hash (16 bytes) is all that needs "
+    "to flow into the downstream dedup exchange — never the text.",
+)
+def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), _NORM_RE, " "))
+    return docs.select(
+        "doc_id",
+        F.length("text").alias("len_raw"),
+        F.length(norm).alias("len_norm"),
+        F.md5(norm).alias("norm_hash"),
+        (~F.col("text").eqNullSafe(norm)).alias("changed"),
+    )
+
+
+# --------------------------------------------------------------------------
+# winnowing fingerprints (MOSS)
+# --------------------------------------------------------------------------
+WINNOW_K = 7  # char k-gram width
+WINNOW_W = 5  # winnowing window (guarantee: any match >= K+W-1 chars shares
+# a fingerprint)
+
+
+@register(
+    "q_winnowing",
+    oracle=f"""WITH g AS (
+  SELECT doc_id,
+         CASE WHEN coalesce(length(text), 0) >= {WINNOW_K}
+              THEN coalesce(length(text), 0) - {WINNOW_K - 1} ELSE 0 END AS n_grams,
+         CASE WHEN coalesce(length(text), 0) >= {WINNOW_K} THEN
+           list_transform(generate_series(1, coalesce(length(text), 0) - {WINNOW_K - 1}),
+                          i -> {dd_stable_hash(f"substr(text, i, {WINNOW_K})")})
+         ELSE CAST([] AS BIGINT[]) END AS h
+    FROM documents
+), w AS (
+  SELECT doc_id, n_grams,
+         CASE WHEN n_grams >= 1 THEN greatest(n_grams - {WINNOW_W - 1}, 1)
+              ELSE 0 END AS n_windows, h
+    FROM g
+), f AS (
+  SELECT doc_id, n_grams, n_windows,
+         CASE WHEN n_windows >= 1 THEN
+           list_distinct(list_transform(generate_series(1, n_windows),
+                         j -> list_min(h[j:j+{WINNOW_W - 1}])))
+         ELSE CAST([] AS BIGINT[]) END AS fps
+    FROM w
+)
+SELECT doc_id, n_grams, n_windows,
+       len(fps) AS n_fps,
+       CASE WHEN n_windows = 0 THEN NULL
+            ELSE round(CAST(len(fps) AS DOUBLE) / n_windows, 6) END AS density,
+       list_min(fps) AS min_fp,
+       list_max(fps) AS max_fp
+  FROM f
+""",
+    doc="winnowing fingerprint selection (MOSS, SIGMOD'03): hash every "
+    f"{WINNOW_K}-char gram, keep the minimum of each {WINNOW_W}-wide "
+    "window — guarantees any shared substring of length >= K+W-1 shares a "
+    "selected fingerprint, at ~2/(W+1) selection density. Entirely "
+    "row-local higher-order functions (sequence/transform/slice/"
+    "array_min) in whole-stage codegen: at 100 TB the fingerprints are "
+    "computed at scan speed with zero shuffles, and only the selected "
+    "~1/3 of gram hashes (8 bytes each) would flow into a downstream "
+    "substring-dedup exchange — the payload never leaves the scan.",
+)
+def q_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents", fan_out=True).select(
+        "doc_id", "text"
+    )
+    n = F.coalesce(F.length("text"), F.lit(0))
+    g = docs.select(
+        "doc_id",
+        "text",
+        F.when(n >= WINNOW_K, n - (WINNOW_K - 1)).otherwise(0).alias("n_grams"),
+    ).withColumn(
+        "h",
+        F.when(
+            F.col("n_grams") >= 1,
+            F.expr(
+                f"transform(sequence(1, n_grams), i -> "
+                f"cast(conv(substring(md5(substring(text, i, {WINNOW_K})), 1, 7), 16, 10) as bigint))"
+            ),
+        ).otherwise(F.expr("cast(array() as array<bigint>)")),
+    )
+    w = g.withColumn(
+        "n_windows",
+        F.when(
+            F.col("n_grams") >= 1,
+            F.greatest(F.col("n_grams") - (WINNOW_W - 1), F.lit(1)),
+        ).otherwise(0),
+    )
+    f = w.withColumn(
+        "fps",
+        F.when(
+            F.col("n_windows") >= 1,
+            F.expr(
+                f"array_distinct(transform(sequence(1, n_windows), "
+                f"j -> array_min(slice(h, j, {WINNOW_W}))))"
+            ),
+        ).otherwise(F.expr("cast(array() as array<bigint>)")),
+    )
+    return f.select(
+        "doc_id",
+        "n_grams",
+        "n_windows",
+        F.size("fps").cast("bigint").alias("n_fps"),
+        F.when(F.col("n_windows") == 0, F.lit(None).cast("double"))
+        .otherwise(
+            F.round(F.size("fps").cast("double") / F.col("n_windows"), 6)
+        )
+        .alias("density"),
+        F.array_min("fps").alias("min_fp"),
+        F.array_max("fps").alias("max_fp"),
+    )
+
+
+# --------------------------------------------------------------------------
+# preference-pair construction (DPO/RLHF shape)
+# --------------------------------------------------------------------------
+@register(
+    "q_preference_pairs",
+    oracle="""WITH p AS (
+  SELECT user_id, event_id, value FROM events WHERE event_type = 'purchase'
+), c AS (
+  SELECT user_id, event_id AS chosen_event, value AS chosen_value
+    FROM p
+   QUALIFY row_number() OVER (PARTITION BY user_id
+                              ORDER BY value DESC, event_id) = 1
+), r AS (
+  SELECT user_id, event_id AS rejected_event, value AS rejected_value
+    FROM p
+   QUALIFY row_number() OVER (PARTITION BY user_id
+                              ORDER BY value ASC, event_id) = 1
+)
+SELECT c.user_id, chosen_event,
+       round(chosen_value, 6) AS chosen_value,
+       rejected_event,
+       round(rejected_value, 6) AS rejected_value,
+       round(chosen_value - rejected_value, 6) AS margin
+  FROM c JOIN r ON c.user_id = r.user_id
+ WHERE chosen_value > rejected_value
+""",
+    doc="preference-pair construction for reward-model / DPO training from "
+    "logged feedback: per user, chosen = highest-valued purchase, rejected "
+    "= lowest (event_id tie-breaks make both picks unique), strict-margin "
+    "pairs only. One map-side-combinable aggregation (max_by/min_by over "
+    "a unique (value, event_id) ordering struct) — no window sort, one "
+    "shuffle on the grouping key; at 100 TB this beats the row_number "
+    "formulation by skipping the per-group sort entirely and combining "
+    "partials at the scan.",
+)
+def q_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("event_type") == "purchase")
+        .select("user_id", "event_id", "value")
+    )
+    agg = p.groupBy("user_id").agg(
+        F.expr(
+            "max_by(event_id, struct(value, -event_id))"
+        ).alias("chosen_event"),
+        F.max("value").alias("chosen_raw"),
+        F.expr(
+            "min_by(event_id, struct(value, event_id))"
+        ).alias("rejected_event"),
+        F.min("value").alias("rejected_raw"),
+    )
+    return (
+        agg.where(F.col("chosen_raw") > F.col("rejected_raw"))
+        .select(
+            "user_id",
+            "chosen_event",
+            F.round("chosen_raw", 6).alias("chosen_value"),
+            "rejected_event",
+            F.round("rejected_raw", 6).alias("rejected_value"),
+            F.round(F.col("chosen_raw") - F.col("rejected_raw"), 6).alias(
+                "margin"
+            ),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# contrastive in-batch-negative audit
+# --------------------------------------------------------------------------
+N_BATCHES = 16
+_CB_SALT = "cb:"
+
+
+@register(
+    "q_contrastive_batches",
+    oracle=f"""WITH assigned AS (
+  SELECT {dd_stable_hash(f"'{_CB_SALT}' || CAST(vec_id AS VARCHAR)")} % {N_BATCHES} AS batch,
+         label
+    FROM embeddings
+), per_label AS (
+  SELECT batch, label, count(*) AS c FROM assigned GROUP BY batch, label
+)
+SELECT batch,
+       CAST(sum(c) AS BIGINT) AS batch_size,
+       count(*) AS n_labels,
+       CAST(sum(c * (c - 1) / 2) AS BIGINT) AS dup_label_pairs,
+       round(CAST(sum(c * (c - 1) / 2) AS DOUBLE)
+             / (sum(c) * (sum(c) - 1) / 2), 6) AS collision_rate
+  FROM per_label GROUP BY batch
+""",
+    doc="in-batch-negative audit for contrastive training: deterministic "
+    f"salted-hash assignment into {N_BATCHES} batches, then per batch the "
+    "same-label pair count (pairs that would be FALSE negatives if used "
+    "as in-batch negatives) and its rate over all pairs. Exact integer "
+    "pair combinatorics (c*(c-1)/2) so partial-agg order can't drift. Two "
+    "cheap aggregations on bounded keys (batch x label, then batch) — at "
+    "100 TB the first agg combines map-side to |batches|x|labels| rows "
+    "and everything after is driver-trivial.",
+)
+def q_contrastive_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    batch = (
+        stable_hash(F.concat(F.lit(_CB_SALT), F.col("vec_id").cast("string")))
+        % N_BATCHES
+    )
+    per_label = (
+        e.select(batch.alias("batch"), "label")
+        .groupBy("batch", "label")
+        .agg(F.count("*").alias("c"))
+    )
+    pairs = (F.col("c") * (F.col("c") - 1) / 2).cast("bigint")
+    return per_label.groupBy("batch").agg(
+        F.sum("c").alias("batch_size"),
+        F.count("*").alias("n_labels"),
+        F.sum(pairs).alias("dup_label_pairs"),
+        F.round(
+            F.sum(pairs).cast("double")
+            / (F.sum("c") * (F.sum("c") - 1) / 2),
+            6,
+        ).alias("collision_rate"),
+    )
+
+
+# --------------------------------------------------------------------------
+# embedding-space outliers vs the engine-stable global centroid
+# --------------------------------------------------------------------------
+QUANT = 1_000_000
+# cosine-to-centroid below this (in 1e-6 units) flags the vector; an
+# orthogonal-or-worse vector is pointing away from the corpus bulk.
+OUTLIER_COS_MICRO = 0
+
+
+def _global_centroid(e: DataFrame) -> DataFrame:
+    """One-row (centroid array<double>) frame, micro-unit-exact mean."""
+    comp = (
+        e.select(
+            F.posexplode(F.col("embedding").cast("array<double>")).alias(
+                "pos", "x"
+            )
+        )
+        .groupBy("pos")
+        .agg(
+            F.sum(F.round(F.col("x") * QUANT).cast("bigint")).alias("s"),
+            F.count("*").alias("n"),
+        )
+    )
+    return comp.agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        "pos",
+                        (F.col("s").cast("double") / F.col("n")).alias("c"),
+                    )
+                )
+            ),
+            lambda p: p["c"],
+        ).alias("centroid")
+    )
+
+
+@register(
+    "q_embed_outliers",
+    oracle=f"""WITH comp AS (
+  SELECT i,
+         sum(CAST(round((embedding::DOUBLE[])[i] * {QUANT}) AS BIGINT)) AS s,
+         count(*) AS n
+    FROM embeddings CROSS JOIN range(1, 65) t(i)
+   GROUP BY i
+), cent AS (
+  SELECT list(CAST(s AS DOUBLE) / n ORDER BY i) AS centroid FROM comp
+)
+SELECT vec_id, label,
+       round({dd_cosine_similarity('embedding', 'centroid')}, 6) AS cos_centroid,
+       (CAST(round({dd_cosine_similarity('embedding', 'centroid')} * {QUANT}) AS BIGINT)
+        < {OUTLIER_COS_MICRO}) AS is_outlier
+  FROM embeddings CROSS JOIN cent
+""",
+    doc="embedding-space outlier pruning: cosine of every vector against "
+    "the global corpus centroid (micro-unit-quantized integer mean — "
+    "partial-agg-order-proof, same recipe as the IVF centroids), outliers "
+    "flagged on the exact integer micro-cosine so the boundary compare "
+    "can't half-round differently across engines. The centroid is a "
+    "64-group aggregate that map-side-combines to nothing; the scoring "
+    "pass is a broadcast of one 512-byte row + a row-local fold — at "
+    "100 TB: two scans, no data-sized shuffle.",
+)
+def q_embed_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings", fan_out=True).select(
+        "vec_id", "label", "embedding"
+    )
+    cent = _global_centroid(e)
+    cos = cosine_similarity(F.col("embedding"), F.col("centroid"))
+    return e.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "label",
+        F.round(cos, 6).alias("cos_centroid"),
+        (
+            F.round(cos * QUANT).cast("bigint") < OUTLIER_COS_MICRO
+        ).alias("is_outlier"),
+    )
+
+
+# --------------------------------------------------------------------------
+# greedy k-center coreset (farthest-first traversal)
+# --------------------------------------------------------------------------
+CORESET_K = 8
+
+
+@register(
+    "q_coreset_kcenter",
+    oracle=None,  # iterative driver-loop algorithm (same class as q_kmeans):
+    # rows-only check; exactness pinned by the pure-Python replay test in
+    # tests/test_curation.py
+    doc="greedy k-center coreset selection (farthest-first traversal, "
+    "Gonzalez'85 2-approximation): seed = min vec_id, each round adds the "
+    "point farthest from the selected set and records the covering radius "
+    "— the diversity sampler behind data-pruning/active-learning "
+    "selection. Per round: the <=k selected vectors ship as ONE broadcast "
+    "local relation, distance-to-set is a row-local fold over that tiny "
+    "array, and the argmax is a map-side-combinable max_by — a corpus "
+    "scan per round with O(1) lineage (no growing plan), exactly the "
+    "k-scan cost the algorithm's sequential dependency forces. Radii are "
+    "squared-L2 in 1e-6 units (exact integers) so ties and replay are "
+    "deterministic.",
+)
+def q_coreset_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = (
+        load_table(spark, sf_dir, "embeddings", fan_out=True)
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("x"))
+        .persist()
+    )
+    try:
+        seed = e.agg(F.min("vec_id")).first()[0]
+        seed_vec = e.where(F.col("vec_id") == seed).first()["x"]
+        selected: list[tuple[int, list[float]]] = [(int(seed), list(seed_vec))]
+        out_rows: list[tuple[int, int, int]] = [(0, int(seed), 0)]
+
+        for rnd in range(1, CORESET_K):
+            centers = spark.createDataFrame(
+                [([list(v) for _, v in selected],)],
+                "centers array<array<double>>",
+            )
+            # squared L2 to the nearest selected center, in exact 1e-6 units
+            d2 = F.aggregate(
+                F.transform(
+                    F.col("centers"),
+                    lambda c: F.aggregate(
+                        F.zip_with(
+                            F.col("x"), c, lambda a, b: (a - b) * (a - b)
+                        ),
+                        F.lit(0.0),
+                        lambda acc, v: acc + v,
+                    ),
+                ),
+                F.lit(float("inf")),
+                lambda acc, v: F.least(acc, v),
+            )
+            scored = e.crossJoin(F.broadcast(centers)).select(
+                "vec_id",
+                "x",
+                F.round(d2 * QUANT).cast("bigint").alias("d2u"),
+            )
+            far = scored.agg(
+                F.expr("max_by(vec_id, struct(d2u, -vec_id))").alias("vid"),
+                F.max("d2u").alias("radius"),
+            ).first()
+            vec = e.where(F.col("vec_id") == far["vid"]).first()["x"]
+            selected.append((int(far["vid"]), list(vec)))
+            out_rows.append((rnd, int(far["vid"]), int(far["radius"])))
+    finally:
+        e.unpersist()
+
+    return spark.createDataFrame(
+        out_rows, "round int, vec_id bigint, radius_d2_micro bigint"
+    )

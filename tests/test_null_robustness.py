@@ -48,6 +48,9 @@ DOC_QUERIES = [
     "q_boilerplate",
     "q_image_phash",
     "q_quality_logistic",
+    # curation wave (round 3)
+    "q_text_normalize",
+    "q_winnowing",
     # fifth/sixth-wave round-3 additions
     "q_oov_rate",
     "q_write_bins",
