@@ -621,3 +621,133 @@ SELECT doc_id,
 
 
 _register_video_scene()
+
+
+# --------------------------------------------------------------------------
+# voice-activity detection: threshold + islands over the windowed energy
+# --------------------------------------------------------------------------
+# exact-integer activity rule: window active iff sum-of-squares > threshold
+# (equivalent to RMS > sqrt(T/W) but compared in exact integers, so the
+# boundary can never half-round differently across engines). 628000 sits at
+# the corpus median energy -> a realistic active/silent mix.
+VAD_SS_THRESHOLD = 628_000
+VAD_SCHEMA = "doc_id long, window_idx long, ss long"
+
+
+def _vad_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
+    for pdf in batches:
+        out: dict[str, list] = {"doc_id": [], "window_idx": [], "ss": []}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            samples = np.frombuffer(payload, dtype=np.uint8)
+            n_full = len(samples) // AUDIO_WINDOW
+            if n_full == 0:
+                continue
+            wins = samples[: n_full * AUDIO_WINDOW].reshape(
+                n_full, AUDIO_WINDOW
+            )
+            ss = (wins.astype(np.int64) ** 2).sum(axis=1)
+            out["doc_id"].extend([doc_id] * n_full)
+            out["window_idx"].extend(range(n_full))
+            out["ss"].extend(ss.tolist())
+        yield pd.DataFrame(out)
+
+
+@register(
+    "q_speech_vad",
+    oracle=f"""WITH m AS (
+  SELECT doc_id, text FROM documents
+   WHERE text IS NOT NULL AND regexp_matches(text, '^[\\x00-\\x7f]*$')
+     AND doc_id % 3 = 1
+),
+b AS (
+  SELECT doc_id,
+         CAST((i - 1) // {AUDIO_WINDOW} AS BIGINT) AS wi,
+         ascii(substr(text, CAST(i AS INT), 1)) AS v
+    FROM (SELECT doc_id, text,
+                 unnest(generate_series(1, length(text))) AS i
+            FROM m)
+),
+w AS (
+  SELECT doc_id, wi, sum(v * v) AS ss
+    FROM b GROUP BY doc_id, wi
+  HAVING count(*) = {AUDIO_WINDOW}
+),
+a AS (
+  SELECT doc_id, wi,
+         CASE WHEN ss > {VAD_SS_THRESHOLD} THEN 1 ELSE 0 END AS active
+    FROM w
+),
+s AS (
+  SELECT doc_id,
+         wi - row_number() OVER (PARTITION BY doc_id ORDER BY wi) AS seg
+    FROM a WHERE active = 1
+),
+g AS (SELECT doc_id, seg, count(*) AS seg_len FROM s GROUP BY doc_id, seg),
+pseg AS (
+  SELECT doc_id, count(*) AS n_segments, max(seg_len) AS longest_seg
+    FROM g GROUP BY doc_id
+),
+pd AS (
+  SELECT doc_id, count(*) AS n_windows,
+         CAST(sum(active) AS BIGINT) AS n_active
+    FROM a GROUP BY doc_id
+)
+SELECT pd.doc_id, n_windows, n_active,
+       CAST(coalesce(n_segments, 0) AS BIGINT) AS n_segments,
+       CAST(coalesce(longest_seg, 0) AS BIGINT) AS longest_seg,
+       round(CAST(n_active AS DOUBLE) / n_windows, 6) AS active_frac
+  FROM pd LEFT JOIN pseg ON pd.doc_id = pseg.doc_id
+""",
+    doc="voice-activity detection over the audio stream: windows are "
+    "active iff their EXACT integer sum-of-squares clears the energy "
+    "threshold, consecutive active windows merge into speech segments "
+    "(gaps-and-islands: window_idx minus active-rank), per doc the "
+    "segment census + active fraction — the silence-trim planner an "
+    "audio training pipeline runs before feature extraction. Scale "
+    "shape: the payload dies inside the Arrow-batched sampler (only "
+    "(doc, window, ss) rows ever shuffle); islands run per doc "
+    "(bounded windows per doc), and the two aggregations map-side "
+    "combine on doc_id.",
+)
+def q_speech_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    wins = (
+        media_frame(spark, sf_dir)
+        .where(F.col("media_type") == "audio/wav")
+        .mapInPandas(_vad_batches, schema=VAD_SCHEMA)
+    )
+    act = wins.withColumn(
+        "active", (F.col("ss") > VAD_SS_THRESHOLD).cast("int")
+    )
+    w_doc = Window.partitionBy("doc_id").orderBy("window_idx")
+    seg_sizes = (
+        act.where(F.col("active") == 1)
+        .withColumn("seg", F.col("window_idx") - F.row_number().over(w_doc))
+        .groupBy("doc_id", "seg")
+        .agg(F.count("*").alias("seg_len"))
+    )
+    per_doc_seg = seg_sizes.groupBy("doc_id").agg(
+        F.count("*").alias("n_segments"),
+        F.max("seg_len").alias("longest_seg"),
+    )
+    per_doc = act.groupBy("doc_id").agg(
+        F.count("*").alias("n_windows"),
+        F.sum("active").cast("bigint").alias("n_active"),
+    )
+    return per_doc.join(per_doc_seg, "doc_id", "left").select(
+        "doc_id",
+        "n_windows",
+        "n_active",
+        F.coalesce("n_segments", F.lit(0)).cast("bigint").alias("n_segments"),
+        F.coalesce("longest_seg", F.lit(0)).cast("bigint").alias(
+            "longest_seg"
+        ),
+        F.round(
+            F.col("n_active").cast("double") / F.col("n_windows"), 6
+        ).alias("active_frac"),
+    )

@@ -183,3 +183,116 @@ def q_hopping_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# chat-format training-example assembly (session -> budgeted turn prefix)
+# --------------------------------------------------------------------------
+CHAT_TOKEN_BUDGET = 16
+CHAT_GAP_US = 1_800_000_000  # 30 min in microseconds, exact-integer compare
+
+
+@register(
+    "q_chat_assembly",
+    oracle=f"""WITH flagged AS (
+  SELECT user_id, event_id, ts, event_type, props,
+         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > {CHAT_GAP_US}
+              THEN 1 ELSE 0 END AS new_session
+    FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT *,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_seq,
+         1 + coalesce(length(props), 0) // 8 AS cost
+    FROM flagged
+), cum AS (
+  SELECT *,
+         sum(cost) OVER (PARTITION BY user_id, session_seq
+                         ORDER BY ts, event_id
+                         ROWS UNBOUNDED PRECEDING) AS cum
+    FROM sess
+)
+SELECT user_id,
+       min(epoch_us(ts)) AS session_start_us,
+       count(*) AS n_events,
+       CAST(sum(CASE WHEN cum <= {CHAT_TOKEN_BUDGET} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_kept,
+       CAST(max(CASE WHEN cum <= {CHAT_TOKEN_BUDGET} THEN cum ELSE 0 END)
+            AS BIGINT) AS tokens_used,
+       coalesce(string_agg(event_type, '|' ORDER BY ts, event_id)
+                FILTER (WHERE cum <= {CHAT_TOKEN_BUDGET}), '') AS transcript
+  FROM cum GROUP BY user_id, session_seq
+""",
+    doc="chat-format training-example assembly: 30-min-gap sessions "
+    "(exact-integer microsecond gap compare), each event is a turn whose "
+    "token cost is 1 + len(props) div 8, and the example keeps the "
+    "longest turn PREFIX whose cumulative cost fits the context budget "
+    f"of {CHAT_TOKEN_BUDGET} (prefix = running-sum <= budget; no "
+    "re-packing after the first overflow). Emits the ordered transcript, "
+    "kept-turn count and tokens used — the conversation->context-window "
+    "materialization step of a chat-training pipeline. Scale shape: all "
+    "three windows cluster on user_id (one exchange; the session-level "
+    "window's (user, session) requirement is satisfied by the user_id "
+    "hash partitioning, Spark adds only the sort), transcripts are "
+    "assembled per session with bounded length, and the final agg "
+    "combines map-side on (user, session).",
+)
+def q_chat_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type", "props"
+    )
+    w_u = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tsu = F.unix_micros("ts")
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(
+            F.lag(tsu).over(w_u).isNull()
+            | (tsu - F.lag(tsu).over(w_u) > CHAT_GAP_US),
+            1,
+        ).otherwise(0),
+    )
+    sess = flagged.withColumn(
+        "session_seq",
+        F.sum("new_session").over(
+            w_u.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    ).withColumn(
+        "cost", F.expr("1 + coalesce(length(props), 0) div 8")
+    )
+    w_s = (
+        Window.partitionBy("user_id", "session_seq")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = sess.withColumn("cum", F.sum("cost").over(w_s)).withColumn(
+        "kept", F.col("cum") <= CHAT_TOKEN_BUDGET
+    )
+    turns = F.array_sort(
+        F.collect_list(
+            F.struct(
+                tsu.alias("tsu"),
+                F.col("event_id").alias("eid"),
+                F.col("kept").alias("kept"),
+                F.col("event_type").alias("etype"),
+            )
+        )
+    )
+    return cum.groupBy("user_id", "session_seq").agg(
+        F.min(tsu).alias("session_start_us"),
+        F.count("*").alias("n_events"),
+        F.sum(F.col("kept").cast("int")).cast("bigint").alias("n_kept"),
+        F.max(F.when(F.col("kept"), F.col("cum")).otherwise(0))
+        .cast("bigint")
+        .alias("tokens_used"),
+        F.concat_ws(
+            "|",
+            F.transform(
+                F.filter(turns, lambda t: t["kept"]),
+                lambda t: t["etype"],
+            ),
+        ).alias("transcript"),
+    ).drop("session_seq")

@@ -235,3 +235,61 @@ def q_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(fresh, F.col("asof_totalprice")).alias("asof_totalprice"),
         F.coalesce(fresh, F.lit(False)).alias("is_fresh"),
     )
+
+
+# --------------------------------------------------------------------------
+# sweep-line interval concurrency (order-to-ship backlog depth)
+# --------------------------------------------------------------------------
+@register(
+    "q_backlog_sweep",
+    oracle="""WITH iv AS (
+  SELECT CAST(least(o.o_orderdate, l.l_shipdate) AS DATE) AS start_day,
+         CAST(greatest(o.o_orderdate, l.l_shipdate) AS DATE) + 1 AS end_day
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+), deltas AS (
+  SELECT start_day AS day, 1 AS delta FROM iv
+  UNION ALL
+  SELECT end_day AS day, -1 AS delta FROM iv
+), daily AS (
+  SELECT day, CAST(sum(delta) AS BIGINT) AS delta FROM deltas GROUP BY day
+)
+SELECT strftime(day, '%Y-%m-%d') AS day, delta,
+       CAST(sum(delta) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+            AS BIGINT) AS open_items
+  FROM daily
+""",
+    doc="sweep-line interval concurrency: how many order lines are open "
+    "(between order placement and ship, endpoints normalized, end "
+    "exclusive) on each calendar day — the classic +1/-1 endpoint sweep. "
+    "Scale shape: the corpus-sized work is ONE equi-join (lineitem x "
+    "orders on the order key) and one groupBy over DAYS — a "
+    "values-bounded key (~2.4k distinct days regardless of SF), so the "
+    "running-sum window runs over the tiny daily table, never the fact "
+    "stream. The global-order cumsum is a deliberate single-partition "
+    "window over that bounded table (thousands of rows at any scale) — "
+    "the same two-level shape a 100 TB deployment uses: reduce to the "
+    "bounded axis first, sweep second.",
+)
+def q_backlog_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    iv = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        F.to_date(F.least("o_orderdate", "l_shipdate")).alias("start_day"),
+        F.date_add(
+            F.to_date(F.greatest("o_orderdate", "l_shipdate")), 1
+        ).alias("end_day"),
+    )
+    deltas = iv.select(
+        F.col("start_day").alias("day"), F.lit(1).alias("d")
+    ).unionAll(iv.select(F.col("end_day").alias("day"), F.lit(-1).alias("d")))
+    daily = deltas.groupBy("day").agg(F.sum("d").cast("bigint").alias("delta"))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return daily.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "delta",
+        F.sum("delta").over(w).cast("bigint").alias("open_items"),
+    )

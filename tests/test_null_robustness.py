@@ -51,6 +51,7 @@ DOC_QUERIES = [
     # curation wave (round 3)
     "q_text_normalize",
     "q_winnowing",
+    "q_speech_vad",
     # fifth/sixth-wave round-3 additions
     "q_oov_rate",
     "q_write_bins",
