@@ -133,9 +133,30 @@ SELECT doc_id, n_grams, n_windows,
     "substring-dedup exchange — the payload never leaves the scan.",
 )
 def q_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents", fan_out=True).select(
-        "doc_id", "text"
+    f = winnow_frame(
+        load_table(spark, sf_dir, "documents", fan_out=True).select(
+            "doc_id", "text"
+        )
     )
+    return f.select(
+        "doc_id",
+        "n_grams",
+        "n_windows",
+        F.size("fps").cast("bigint").alias("n_fps"),
+        F.when(F.col("n_windows") == 0, F.lit(None).cast("double"))
+        .otherwise(
+            F.round(F.size("fps").cast("double") / F.col("n_windows"), 6)
+        )
+        .alias("density"),
+        F.array_min("fps").alias("min_fp"),
+        F.array_max("fps").alias("max_fp"),
+    )
+
+
+def winnow_frame(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_grams, n_windows, fps array<bigint>): the winnowing
+    fingerprint set per doc — shared by the profile query and the pair
+    detector."""
     n = F.coalesce(F.length("text"), F.lit(0))
     g = docs.select(
         "doc_id",
@@ -158,7 +179,7 @@ def q_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.greatest(F.col("n_grams") - (WINNOW_W - 1), F.lit(1)),
         ).otherwise(0),
     )
-    f = w.withColumn(
+    return w.withColumn(
         "fps",
         F.when(
             F.col("n_windows") >= 1,
@@ -167,19 +188,118 @@ def q_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f"j -> array_min(slice(h, j, {WINNOW_W}))))"
             ),
         ).otherwise(F.expr("cast(array() as array<bigint>)")),
-    )
-    return f.select(
-        "doc_id",
-        "n_grams",
-        "n_windows",
-        F.size("fps").cast("bigint").alias("n_fps"),
-        F.when(F.col("n_windows") == 0, F.lit(None).cast("double"))
-        .otherwise(
-            F.round(F.size("fps").cast("double") / F.col("n_windows"), 6)
+    ).select("doc_id", "n_grams", "n_windows", "fps")
+
+
+# --------------------------------------------------------------------------
+# winnowing pair detection (the MOSS match stage)
+# --------------------------------------------------------------------------
+WINNOW_MAX_DF = 20  # fingerprints shared by more docs are boilerplate grams
+WINNOW_MIN_SHARED = 5  # pair reported at >= this many shared fingerprints
+
+# the fps CTE chain shared with q_winnowing's oracle
+_DD_WINNOW_FPS = f"""g AS (
+  SELECT doc_id,
+         CASE WHEN coalesce(length(text), 0) >= {WINNOW_K}
+              THEN coalesce(length(text), 0) - {WINNOW_K - 1} ELSE 0 END AS n_grams,
+         CASE WHEN coalesce(length(text), 0) >= {WINNOW_K} THEN
+           list_transform(generate_series(1, coalesce(length(text), 0) - {WINNOW_K - 1}),
+                          i -> {dd_stable_hash(f"substr(text, i, {WINNOW_K})")})
+         ELSE CAST([] AS BIGINT[]) END AS h
+    FROM documents
+), w AS (
+  SELECT doc_id, n_grams,
+         CASE WHEN n_grams >= 1 THEN greatest(n_grams - {WINNOW_W - 1}, 1)
+              ELSE 0 END AS n_windows, h
+    FROM g
+), f AS (
+  SELECT doc_id, n_grams, n_windows,
+         CASE WHEN n_windows >= 1 THEN
+           list_distinct(list_transform(generate_series(1, n_windows),
+                         j -> list_min(h[j:j+{WINNOW_W - 1}])))
+         ELSE CAST([] AS BIGINT[]) END AS fps
+    FROM w
+)"""
+
+
+@register(
+    "q_winnow_pairs",
+    oracle=f"""WITH {_DD_WINNOW_FPS},
+fp AS (
+  SELECT doc_id, unnest(fps) AS fp FROM f
+),
+keep AS (
+  SELECT fp FROM fp GROUP BY fp HAVING count(*) <= {WINNOW_MAX_DF}
+),
+sizes AS (
+  SELECT doc_id, len(fps) AS nf FROM f
+),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+    FROM fp a
+    JOIN keep k ON a.fp = k.fp
+    JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+   GROUP BY a.doc_id, b.doc_id
+  HAVING count(*) >= {WINNOW_MIN_SHARED}
+)
+SELECT doc_a, doc_b, CAST(n_shared AS BIGINT) AS n_shared,
+       round(CAST(n_shared AS DOUBLE) / least(sa.nf, sb.nf), 6) AS overlap
+  FROM pairs
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+""",
+    doc="winnowing pair detection (the MOSS match stage): docs sharing >= "
+    f"{WINNOW_MIN_SHARED} selected fingerprints, scored by shared/min — "
+    "substring-granular near-dup evidence that exact-hash and "
+    "shingle-set dedup both miss (a long copied PASSAGE inside an "
+    "otherwise-different doc). Fingerprints occurring in > "
+    f"{WINNOW_MAX_DF} docs are dropped as boilerplate grams BEFORE pair "
+    "generation — the df cap is what bounds the equi-join fan-out: "
+    "posting lists are <= MAX_DF long, so pair volume is "
+    "sum(df^2) <= MAX_DF * |postings|, linear in the corpus. One "
+    "fingerprint-keyed shuffle + one bounded pair aggregation; the text "
+    "itself never leaves the scan stage.",
+)
+def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    f = winnow_frame(
+        load_table(spark, sf_dir, "documents", fan_out=True).select(
+            "doc_id", "text"
         )
-        .alias("density"),
-        F.array_min("fps").alias("min_fp"),
-        F.array_max("fps").alias("max_fp"),
+    )
+    fp = f.select("doc_id", F.explode("fps").alias("fp"))
+    keep = fp.groupBy("fp").agg(F.count("*").alias("df")).where(
+        F.col("df") <= WINNOW_MAX_DF
+    )
+    sizes = f.select("doc_id", F.size("fps").alias("nf"))
+    a = fp.select(F.col("doc_id").alias("doc_a"), "fp")
+    b = fp.select(F.col("doc_id").alias("doc_b"), "fp")
+    pairs = (
+        a.join(keep.select("fp"), "fp")
+        .join(b, "fp")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_shared"))
+        .where(F.col("n_shared") >= WINNOW_MIN_SHARED)
+    )
+    return (
+        pairs.join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("nf").alias("na")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("nf").alias("nb")),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("n_shared").cast("bigint").alias("n_shared"),
+            F.round(
+                F.col("n_shared").cast("double")
+                / F.least("na", "nb"),
+                6,
+            ).alias("overlap"),
+        )
     )
 
 
@@ -458,4 +578,56 @@ def q_coreset_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return spark.createDataFrame(
         out_rows, "round int, vec_id bigint, radius_d2_micro bigint"
+    )
+
+
+# --------------------------------------------------------------------------
+# class-balance weights (inverse-frequency + effective-number)
+# --------------------------------------------------------------------------
+EFF_BETA = 0.99  # Cui et al. '19 effective-number re-weighting
+
+
+@register(
+    "q_class_weights",
+    oracle=f"""WITH per AS (
+  SELECT label, count(*) AS n FROM embeddings GROUP BY label
+),
+tot AS (
+  SELECT CAST(sum(n) AS BIGINT) AS total, count(*) AS n_labels FROM per
+)
+SELECT label, CAST(n AS BIGINT) AS n,
+       round(CAST(total AS DOUBLE) / (n_labels * n), 6) AS inv_weight,
+       round((1 - {EFF_BETA}) / (1 - power({EFF_BETA}, n)), 6) AS eff_weight
+  FROM per CROSS JOIN tot
+""",
+    doc="class-balance weights for training on a skewed label "
+    "distribution: inverse-frequency (N / (K * n_k)) and "
+    f"effective-number (Cui et al. '19, beta={EFF_BETA}: "
+    "(1-b)/(1-b^n)) per label — the loss re-weighting table a "
+    "classifier head trains with. One map-side-combined count on the "
+    "bounded label key, the totals a 1-row broadcast; all per-label "
+    "arithmetic is single deterministic IEEE ops on exact integer "
+    "counts, so engines agree bit-for-bit before rounding.",
+)
+def q_class_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    per = (
+        load_table(spark, sf_dir, "embeddings")
+        .groupBy("label")
+        .agg(F.count("*").alias("n"))
+    )
+    tot = per.agg(
+        F.sum("n").cast("bigint").alias("total"),
+        F.count("*").alias("n_labels"),
+    )
+    return per.crossJoin(F.broadcast(tot)).select(
+        "label",
+        F.col("n").cast("bigint").alias("n"),
+        F.round(
+            F.col("total").cast("double") / (F.col("n_labels") * F.col("n")),
+            6,
+        ).alias("inv_weight"),
+        F.round(
+            (1 - F.lit(EFF_BETA)) / (1 - F.pow(F.lit(EFF_BETA), F.col("n"))),
+            6,
+        ).alias("eff_weight"),
     )

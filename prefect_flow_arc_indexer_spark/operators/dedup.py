@@ -1238,3 +1238,153 @@ def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .limit(20)
     )
+
+
+# --------------------------------------------------------------------------
+# MinHash estimator-quality audit: signature estimate vs exact Jaccard
+# --------------------------------------------------------------------------
+def _register_minhash_estimate():
+    """Per LSH candidate pair: the SIGNATURE-level Jaccard estimate
+    (matching components / 16) against the exact shingle-set Jaccard —
+    the estimator-error audit that justifies trusting signatures at scale
+    (E[est] = J; at 16 perms, sd ~ sqrt(J(1-J)/16) ~ 0.12)."""
+    mins = ",".join(
+        f"min((h * {a} + {b}) % {HASH_PRIME}) AS m{i}"
+        for i, (a, b) in enumerate(MINHASH_COEFFS)
+    )
+    bands = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, {b} AS band_id, concat_ws('_', "
+        + ", ".join(f"m{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND))
+        + ") AS band_key FROM sig"
+        for b in range(N_BANDS)
+    )
+    matches = " + ".join(
+        f"CASE WHEN ga.m{i} = gb.m{i} THEN 1 ELSE 0 END"
+        for i in range(N_PERM)
+    )
+    oracle = f"""WITH {_dd_shingle_cte()},
+sig AS (
+  SELECT doc_id, {mins} FROM hashes GROUP BY doc_id
+),
+buckets AS (
+{bands}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM buckets a JOIN buckets b
+      ON a.band_id = b.band_id AND a.band_key = b.band_key
+     AND a.doc_id < b.doc_id
+),
+est AS (
+  SELECT c.doc_a, c.doc_b,
+         ({matches}) AS n_match
+    FROM cand c
+    JOIN sig ga ON ga.doc_id = c.doc_a
+    JOIN sig gb ON gb.doc_id = c.doc_b
+),
+sizes AS (
+  SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id
+),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS i
+    FROM cand c
+    JOIN shingles sa ON sa.doc_id = c.doc_a
+    JOIN shingles sb ON sb.doc_id = c.doc_b AND sb.s = sa.s
+   GROUP BY c.doc_a, c.doc_b
+)
+SELECT e.doc_a, e.doc_b,
+       round(CAST(e.n_match AS DOUBLE) / {N_PERM}, 6) AS est_jaccard,
+       round(CAST(coalesce(i.i, 0) AS DOUBLE)
+             / (za.n + zb.n - coalesce(i.i, 0)), 6) AS exact_jaccard,
+       round(abs(CAST(e.n_match AS DOUBLE) / {N_PERM}
+             - CAST(coalesce(i.i, 0) AS DOUBLE)
+               / (za.n + zb.n - coalesce(i.i, 0))), 6) AS abs_err
+  FROM est e
+  LEFT JOIN inter i ON i.doc_a = e.doc_a AND i.doc_b = e.doc_b
+  JOIN sizes za ON za.doc_id = e.doc_a
+  JOIN sizes zb ON zb.doc_id = e.doc_b
+"""
+
+    @register(
+        "q_minhash_estimate",
+        oracle=oracle,
+        doc="MinHash estimator-quality audit: per LSH candidate pair, the "
+        "signature-level Jaccard estimate (matching permutation "
+        "components / 16) beside the exact shingle-set Jaccard and the "
+        "absolute error — the measurement that justifies replacing "
+        "exact verification with signature screening at scale. The "
+        "estimate stage joins the TINY candidate set against the 16-int "
+        "signatures (no shingle re-scan); only the exact column touches "
+        "the shingle stream, restricted to candidates.",
+    )
+    def q_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+        docs = load_table(spark, sf_dir, "documents", fan_out=True)
+        sig = minhash_signature(docs)
+        cand = lsh_candidate_pairs(sig)
+        ga = sig.select(
+            F.col("doc_id").alias("doc_a"),
+            *[F.col(f"m{i}").alias(f"a{i}") for i in range(N_PERM)],
+        )
+        gb = sig.select(
+            F.col("doc_id").alias("doc_b"),
+            *[F.col(f"m{i}").alias(f"b{i}") for i in range(N_PERM)],
+        )
+        n_match = sum(
+            F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+            for i in range(N_PERM)
+        )
+        est = (
+            cand.join(ga, "doc_a")
+            .join(gb, "doc_b")
+            .select("doc_a", "doc_b", n_match.alias("n_match"))
+        )
+        sh = (
+            docs.select("doc_id", tokens(F.col("text")).alias("tok"))
+            .select(
+                "doc_id",
+                F.explode(word_ngrams(F.col("tok"), SHINGLE_N)).alias("s"),
+            )
+            .distinct()
+        )
+        sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+        sha = sh.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("sa"))
+        shb = sh.select(F.col("doc_id").alias("_db"), F.col("s").alias("sb"))
+        inter = (
+            cand.join(sha, "doc_a")
+            .join(
+                shb,
+                (F.col("doc_b") == F.col("_db"))
+                & (F.col("sb") == F.col("sa")),
+            )
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count("*").alias("i"))
+        )
+        ex = F.coalesce(F.col("i"), F.lit(0)).cast("double") / (
+            F.col("na") + F.col("nb") - F.coalesce(F.col("i"), F.lit(0))
+        )
+        est_j = F.col("n_match").cast("double") / N_PERM
+        return (
+            est.join(inter, ["doc_a", "doc_b"], "left")
+            .join(
+                sizes.select(
+                    F.col("doc_id").alias("doc_a"), F.col("n").alias("na")
+                ),
+                "doc_a",
+            )
+            .join(
+                sizes.select(
+                    F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")
+                ),
+                "doc_b",
+            )
+            .select(
+                "doc_a",
+                "doc_b",
+                F.round(est_j, 6).alias("est_jaccard"),
+                F.round(ex, 6).alias("exact_jaccard"),
+                F.round(F.abs(est_j - ex), 6).alias("abs_err"),
+            )
+        )
+
+
+_register_minhash_estimate()

@@ -293,3 +293,129 @@ def q_backlog_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         "delta",
         F.sum("delta").over(w).cast("bigint").alias("open_items"),
     )
+
+
+# --------------------------------------------------------------------------
+# autocorrelation of the daily revenue series (time-series health)
+# --------------------------------------------------------------------------
+ACF_LAGS = (1, 7, 30)
+
+
+@register(
+    "q_revenue_acf",
+    oracle=f"""WITH bounds AS (
+  SELECT CAST(min(o_orderdate) AS DATE) AS lo,
+         CAST(max(o_orderdate) AS DATE) AS hi
+    FROM orders
+),
+spine AS (
+  SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS day
+    FROM bounds
+),
+daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+    FROM orders GROUP BY 1
+),
+series AS (
+  SELECT row_number() OVER (ORDER BY s.day) AS t,
+         coalesce(d.cents, 0) AS y
+    FROM spine s LEFT JOIN daily d ON s.day = d.day
+),
+lagged AS (
+  SELECT lag AS lag_d, t, y,
+         lag(y, lag) OVER (PARTITION BY lag ORDER BY t) AS y_lag
+    FROM series CROSS JOIN (VALUES {", ".join(f"({L})" for L in ACF_LAGS)}) l(lag)
+),
+sums AS (
+  SELECT lag_d, count(*) AS n,
+         CAST(sum(y) AS BIGINT) AS sx, CAST(sum(y_lag) AS BIGINT) AS sy,
+         sum(CAST(y AS HUGEINT) * y) AS sxx,
+         sum(CAST(y_lag AS HUGEINT) * y_lag) AS syy,
+         sum(CAST(y AS HUGEINT) * y_lag) AS sxy
+    FROM lagged WHERE y_lag IS NOT NULL GROUP BY lag_d
+)
+SELECT lag_d AS lag, CAST(n AS BIGINT) AS n_pairs,
+       round((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / sqrt((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * (n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
+             6) AS acf
+  FROM sums
+""",
+    doc="autocorrelation of the zero-filled daily revenue series at lags "
+    f"{ACF_LAGS} (weekly/monthly seasonality detector for the corpus's "
+    "event-volume health). All moment sums are EXACT integer cents "
+    "(partial-agg-order-proof); the Pearson formula is applied once in "
+    "doubles, identically on both engines. Scale shape: the corpus "
+    "reduces to the values-bounded day axis in one groupBy; the lag "
+    "windows and moment sums run over that ~2.4k-row table (x3 lags), "
+    "driver-trivial at any SF. Second moments exceed int64, so they "
+    "accumulate in exact 128-bit integers (DECIMAL(38,0) / HUGEINT) — "
+    "headroom past sf10000.",
+)
+def q_revenue_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    bounds = orders.agg(
+        F.to_date(F.min("o_orderdate")).alias("lo"),
+        F.to_date(F.max("o_orderdate")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))).alias(
+            "day"
+        )
+    )
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    w_day = Window.orderBy("day")
+    series = (
+        spine.join(daily, "day", "left")
+        .select(
+            F.row_number().over(w_day).alias("t"),
+            F.coalesce("cents", F.lit(0)).alias("y"),
+        )
+    )
+    lags = spark.createDataFrame([(L,) for L in ACF_LAGS], "lag_d int")
+    # Spark's lag() needs a literal offset; on a DENSE integer spine the
+    # per-lag shift is the equi-join t_prev = t - lag_d (rows with
+    # t - lag_d < 1 drop out — exactly the oracle's y_lag IS NOT NULL)
+    prev = series.select(
+        F.col("t").alias("t_prev"), F.col("y").alias("y_lag")
+    )
+    lagged = (
+        series.crossJoin(F.broadcast(lags))
+        .withColumn("t_prev", F.col("t") - F.col("lag_d"))
+        .join(prev, "t_prev")
+    )
+    # second moments exceed int64 (daily cents squared): exact 128-bit on
+    # both engines — DECIMAL(38,0) sums here, HUGEINT in the oracle; the
+    # single decimal->double conversion rounds-to-nearest identically
+    yd = F.col("y").cast("decimal(19,0)")
+    yl = F.col("y_lag").cast("decimal(19,0)")
+    sums = (
+        lagged.groupBy("lag_d")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("y").cast("bigint").alias("sx"),
+            F.sum("y_lag").cast("bigint").alias("sy"),
+            F.sum(yd * yd).alias("sxx"),
+            F.sum(yl * yl).alias("syy"),
+            F.sum(yd * yl).alias("sxy"),
+        )
+    )
+    n = F.col("n")
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    return sums.select(
+        F.col("lag_d").alias("lag"),
+        n.cast("bigint").alias("n_pairs"),
+        F.round(
+            (n * d("sxy") - d("sx") * d("sy"))
+            / F.sqrt(
+                (n * d("sxx") - d("sx") * d("sx"))
+                * (n * d("syy") - d("sy") * d("sy"))
+            ),
+            6,
+        ).alias("acf"),
+    )

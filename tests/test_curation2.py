@@ -1,0 +1,108 @@
+"""Semantic tests for the second curation wave: winnowing pairs, the
+MinHash estimator audit, class weights, and revenue autocorrelation."""
+
+from __future__ import annotations
+
+import math
+
+from prefect_flow_arc_indexer_spark.plans import all_queries
+from tests.conftest import SF_DIR
+
+
+def _run(name, spark, sf=SF_DIR):
+    return all_queries()[name].builder(spark, sf)
+
+
+def test_winnow_pairs_thresholds_and_symmetry(spark):
+    from prefect_flow_arc_indexer_spark.operators.curation import (
+        WINNOW_MIN_SHARED,
+    )
+
+    rows = _run("q_winnow_pairs", spark).collect()
+    assert rows
+    seen = set()
+    for r in rows:
+        assert r["doc_a"] < r["doc_b"]
+        assert (r["doc_a"], r["doc_b"]) not in seen
+        seen.add((r["doc_a"], r["doc_b"]))
+        assert r["n_shared"] >= WINNOW_MIN_SHARED
+        assert 0.0 < r["overlap"] <= 1.0
+
+
+def test_minhash_estimate_error_statistics(spark):
+    """Estimates are k/16 grid values; the MEAN absolute error across
+    candidate pairs stays within ~3 sigma of the 16-perm binomial bound
+    (sd <= 0.125) — the property that justifies signature screening."""
+    rows = _run("q_minhash_estimate", spark).collect()
+    assert rows
+    for r in rows:
+        assert abs(r["est_jaccard"] * 16 - round(r["est_jaccard"] * 16)) < 1e-6
+        assert 0.0 <= r["exact_jaccard"] <= 1.0
+        assert abs(r["abs_err"] - abs(r["est_jaccard"] - r["exact_jaccard"])) < 2e-6
+    mean_err = sum(r["abs_err"] for r in rows) / len(rows)
+    assert mean_err < 3 * 0.125
+
+
+def test_class_weights_formulas(spark):
+    from prefect_flow_arc_indexer_spark.operators.curation import EFF_BETA
+
+    rows = _run("q_class_weights", spark).collect()
+    total = sum(r["n"] for r in rows)
+    k = len(rows)
+    assert total == 500
+    for r in rows:
+        assert abs(r["inv_weight"] - total / (k * r["n"])) < 5e-7
+        assert (
+            abs(r["eff_weight"] - (1 - EFF_BETA) / (1 - EFF_BETA ** r["n"]))
+            < 5e-7
+        )
+    # weighted sample count is balanced: sum n_k * inv_weight == N
+    assert abs(sum(r["n"] * r["inv_weight"] for r in rows) - total) < 1e-2
+
+
+def test_revenue_acf_bounds_and_python_replay(spark):
+    """|acf| <= 1 and the lag-1 value matches a pure-Python Pearson on the
+    reconstructed zero-filled daily series."""
+    from pyspark.sql import functions as F
+
+    from prefect_flow_arc_indexer_spark.sources.parquet import load_table
+
+    rows = {r["lag"]: r for r in _run("q_revenue_acf", spark).collect()}
+    assert set(rows) == {1, 7, 30}
+    for r in rows.values():
+        assert -1.0 <= r["acf"] <= 1.0
+
+    daily = {}
+    for rec in (
+        load_table(spark, SF_DIR, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias(
+                "cents"
+            )
+        )
+        .collect()
+    ):
+        daily[rec["day"]] = rec["cents"]
+    lo, hi = min(daily), max(daily)
+    series = []
+    d = lo
+    while d <= hi:
+        series.append(daily.get(d, 0))
+        d = d + __import__("datetime").timedelta(days=1)
+
+    def pearson(lag):
+        xs = series[lag:]
+        ys = series[:-lag]
+        n = len(xs)
+        sx, sy = sum(xs), sum(ys)
+        sxx = sum(x * x for x in xs)
+        syy = sum(y * y for y in ys)
+        sxy = sum(x * y for x, y in zip(xs, ys))
+        return (n * sxy - sx * sy) / math.sqrt(
+            (n * sxx - sx * sx) * (n * syy - sy * sy)
+        )
+
+    for lag in (1, 7, 30):
+        assert abs(rows[lag]["acf"] - pearson(lag)) < 1e-5
+        assert rows[lag]["n_pairs"] == len(series) - lag

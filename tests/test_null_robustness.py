@@ -51,7 +51,9 @@ DOC_QUERIES = [
     # curation wave (round 3)
     "q_text_normalize",
     "q_winnowing",
+    "q_winnow_pairs",
     "q_speech_vad",
+    "q_minhash_estimate",
     # fifth/sixth-wave round-3 additions
     "q_oov_rate",
     "q_write_bins",
