@@ -1112,3 +1112,128 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rank",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# NDCG@k of the prefix (Matryoshka) ranking — rank-weighted quality gate
+# --------------------------------------------------------------------------
+def _register_ndcg_eval():
+    """Recall@k (q_mrl_recall) treats every exact top-k neighbor equally;
+    NDCG@k grades the approximate RANKING: relevance of an approx hit is
+    (k - exact_rank + 1), discounted by 1/log2(pos+1) at its approx
+    position. This is the metric that catches an index which finds the
+    right neighbors in the wrong order. Every discount weight and the
+    ideal DCG are Python-float literals embedded identically in both
+    engines, each term is quantized to 1e-9 units BEFORE the sum (exact
+    bigint addition — partial-agg-order-proof), so engines agree
+    bit-for-bit."""
+    import math
+
+    from prefect_flow_arc_indexer_spark.plans.registry import _REGISTRY
+
+    weights = {p: 1.0 / math.log2(p + 1) for p in range(1, TOP_K + 1)}
+    idcg = sum((TOP_K - p + 1) * weights[p] for p in range(1, TOP_K + 1))
+
+    exact_sql = _REGISTRY["q_knn_cosine"].oracle
+    trunc = f"(e.embedding::DOUBLE[])[1:{MRL_DIMS}]"
+    trunc_q = f"(q.q_emb::DOUBLE[])[1:{MRL_DIMS}]"
+    w_case = " ".join(
+        f"WHEN a.rank = {p} THEN {weights[p]!r}" for p in weights
+    )
+    oracle = f"""WITH exact AS (SELECT * FROM ({exact_sql})),
+approx AS (
+  WITH q AS (
+    SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < {N_QUERIES}
+  ),
+  scored AS (
+    SELECT q.query_id, e.vec_id AS neighbor_id,
+           round({dd_cosine_similarity(trunc_q, trunc)}, 6) AS cos_sim
+      FROM q JOIN embeddings e ON e.vec_id <> q.query_id
+  ),
+  ranked AS (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+      FROM scored
+  )
+  SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= {TOP_K}
+),
+terms AS (
+  SELECT a.query_id,
+         CASE WHEN e.rank IS NOT NULL THEN 1 ELSE 0 END AS hit,
+         CAST(round(
+           (CASE WHEN e.rank IS NOT NULL THEN {TOP_K} - e.rank + 1 ELSE 0 END)
+           * (CASE {w_case} END) * 1000000000) AS BIGINT) AS term_u
+    FROM approx a
+    LEFT JOIN exact e
+      ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+)
+SELECT query_id,
+       CAST(sum(hit) AS BIGINT) AS n_overlap,
+       round(CAST(sum(term_u) AS DOUBLE) / 1000000000, 6) AS dcg,
+       round(CAST(sum(term_u) AS DOUBLE) / 1000000000 / {idcg!r}, 6) AS ndcg
+  FROM terms GROUP BY query_id
+"""
+
+    @register(
+        "q_ndcg_eval",
+        oracle=oracle,
+        doc="NDCG@k of the Matryoshka prefix ranking against the exact "
+        "cosine top-k: rank-weighted index quality (graded relevance = "
+        "inverted exact rank, log2 position discount) — the gate that "
+        "catches right-neighbors-wrong-order, which recall@k cannot. "
+        "Discount weights and IDCG are shared float literals; DCG terms "
+        "sum as exact 1e-9-unit integers, so aggregation order can't "
+        "drift. Same cost shape as the recall gates: broadcast query "
+        "set, one corpus scan per side, k*n_queries-row join.",
+    )
+    def q_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+        q, c = _queries_and_corpus(spark, sf_dir)
+        qt = q.select(
+            "query_id", F.slice("q_emb", 1, MRL_DIMS).alias("q_emb")
+        )
+        ct = c.select(
+            "neighbor_id",
+            F.slice("embedding", 1, MRL_DIMS).alias("embedding"),
+        )
+        scored = (
+            F.broadcast(qt)
+            .join(ct, F.col("neighbor_id") != F.col("query_id"))
+            .select(
+                "query_id",
+                "neighbor_id",
+                F.round(
+                    cosine_similarity(F.col("q_emb"), F.col("embedding")), 6
+                ).alias("cos_sim"),
+            )
+        )
+        approx = _topk(scored).select(
+            "query_id", "neighbor_id", F.col("rank").alias("rank_a")
+        )
+        exact = q_knn_cosine(spark, sf_dir).select(
+            F.col("query_id").alias("e_qid"),
+            F.col("neighbor_id").alias("e_nid"),
+            F.col("rank").alias("rank_e"),
+        )
+        weight = F.lit(None).cast("double")
+        for p, w in weights.items():
+            weight = F.when(F.col("rank_a") == p, F.lit(w)).otherwise(weight)
+        rel = F.when(
+            F.col("rank_e").isNotNull(), TOP_K - F.col("rank_e") + 1
+        ).otherwise(0)
+        term_u = F.round(rel * weight * 1_000_000_000).cast("bigint")
+        hit = F.when(F.col("rank_e").isNotNull(), 1).otherwise(0)
+        joined = approx.join(
+            F.broadcast(exact),
+            (F.col("query_id") == F.col("e_qid"))
+            & (F.col("neighbor_id") == F.col("e_nid")),
+            "left",
+        ).select("query_id", hit.alias("hit"), term_u.alias("term_u"))
+        dcg = F.sum("term_u").cast("double") / 1_000_000_000
+        return joined.groupBy("query_id").agg(
+            F.sum("hit").cast("bigint").alias("n_overlap"),
+            F.round(dcg, 6).alias("dcg"),
+            F.round(dcg / idcg, 6).alias("ndcg"),
+        )
+
+
+_register_ndcg_eval()

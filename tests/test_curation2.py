@@ -106,3 +106,19 @@ def test_revenue_acf_bounds_and_python_replay(spark):
     for lag in (1, 7, 30):
         assert abs(rows[lag]["acf"] - pearson(lag)) < 1e-5
         assert rows[lag]["n_pairs"] == len(series) - lag
+
+
+def test_ndcg_bounds_and_consistency_with_recall(spark):
+    """ndcg in [0,1]; a query with full overlap IN ORDER has ndcg 1;
+    n_overlap agrees with q_mrl_recall's n_hits (same approx/exact sets)."""
+    ndcg = {r["query_id"]: r for r in _run("q_ndcg_eval", spark).collect()}
+    recall = {r["query_id"]: r for r in _run("q_mrl_recall", spark).collect()}
+    assert set(ndcg) == set(recall)
+    for qid, r in ndcg.items():
+        assert 0.0 <= r["ndcg"] <= 1.0 + 1e-9
+        assert r["n_overlap"] == recall[qid]["n_hits"]
+        # dcg = ndcg * idcg with idcg = sum_p (k-p+1)/log2(p+1) ~ 10.272
+        idcg = sum((5 - p + 1) / math.log2(p + 1) for p in range(1, 6))
+        assert abs(r["dcg"] - r["ndcg"] * idcg) < 1e-4
+        if r["ndcg"] > 0.999999:
+            assert r["n_overlap"] == recall[qid]["k_exact"]
