@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from prefect_flow_arc_indexer_spark.functions.hashing import stable_hash
 from prefect_flow_arc_indexer_spark.plans.registry import register
 from prefect_flow_arc_indexer_spark.sources.parquet import load_table
 
@@ -296,3 +297,107 @@ def q_chat_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("transcript"),
     ).drop("session_seq")
+
+
+# --------------------------------------------------------------------------
+# event-time lateness census (the watermark-delay design audit)
+# --------------------------------------------------------------------------
+_LATE_BUCKETS_US = (
+    ("on-time", 0),
+    ("<1m", 60_000_000),
+    ("<10m", 600_000_000),
+    ("<1h", 3_600_000_000),
+)  # else '>=1h'
+
+
+@register(
+    "q_late_census",
+    oracle="""WITH arr AS (
+  SELECT user_id, ts,
+         CAST('0x' || substr(md5('arr:' || CAST(event_id AS VARCHAR)), 1, 7)
+              AS BIGINT) AS arr_h,
+         event_id
+    FROM events
+), lat AS (
+  SELECT user_id,
+         max(epoch_us(ts)) OVER (PARTITION BY user_id
+                                 ORDER BY arr_h, event_id
+                                 ROWS UNBOUNDED PRECEDING)
+           - epoch_us(ts) AS late_us
+    FROM arr
+), bucketed AS (
+  SELECT CASE WHEN late_us = 0 THEN 'on-time'
+              WHEN late_us < 60000000 THEN '<1m'
+              WHEN late_us < 600000000 THEN '<10m'
+              WHEN late_us < 3600000000 THEN '<1h'
+              ELSE '>=1h' END AS bucket,
+         late_us
+    FROM lat
+), counts AS (
+  SELECT bucket, count(*) AS n_events,
+         CAST(max(late_us) AS BIGINT) AS max_late_us
+    FROM bucketed GROUP BY bucket
+)
+SELECT bucket, n_events,
+       round(CAST(n_events AS DOUBLE)
+             / (SELECT sum(n_events) FROM counts), 6) AS share,
+       max_late_us
+  FROM counts
+""",
+    doc="event-time lateness census: how far behind its user's running "
+    "event-time high-water mark (over simulated ingest order — a salted "
+    "deterministic arrival permutation; production uses the real ingest "
+    "sequence) each event "
+    "arrives, bucketed on exact integer microseconds — the out-of-"
+    "orderness profile that DESIGNS the streaming layer's withWatermark "
+    "delay (pick the bucket that covers the tail you're willing to wait "
+    "for; the '>=1h' share is the fraction a 1h watermark would drop). "
+    "Scale shape: one user-keyed window (running max over ingest order), "
+    "then a 5-key bounded aggregation that map-side combines; nothing "
+    "wider than (user partition) ever shuffles.",
+)
+def q_late_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts"
+    )
+    # The demo corpus is perfectly event-time-sorted, so the REAL ingest
+    # order would make every event on-time; arrival is therefore simulated
+    # as a deterministic salted-hash permutation (worst case: arrival
+    # uncorrelated with event time). Production swaps arr_h for the actual
+    # ingest sequence column — the rest of the plan is unchanged.
+    arr_h = stable_hash(
+        F.concat(F.lit("arr:"), F.col("event_id").cast("string"))
+    )
+    ev = ev.withColumn("arr_h", arr_h)
+    tsu = F.unix_micros("ts")
+    w_u = (
+        Window.partitionBy("user_id")
+        .orderBy("arr_h", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    late = ev.select((F.max(tsu).over(w_u) - tsu).alias("late_us"))
+    bucket = F.when(F.col("late_us") == 0, "on-time")
+    prev = 0
+    for name, bound in _LATE_BUCKETS_US[1:]:
+        bucket = bucket.when(F.col("late_us") < bound, name)
+        prev = bound
+    bucket = bucket.otherwise(">=1h")
+    counts = (
+        late.select(bucket.alias("bucket"), "late_us")
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.max("late_us").cast("bigint").alias("max_late_us"),
+        )
+    )
+    total = counts.agg(F.sum("n_events").alias("total"))
+    return counts.crossJoin(F.broadcast(total)).select(
+        "bucket",
+        "n_events",
+        F.round(F.col("n_events").cast("double") / F.col("total"), 6).alias(
+            "share"
+        ),
+        "max_late_us",
+    )

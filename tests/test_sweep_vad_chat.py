@@ -59,3 +59,22 @@ def test_chat_assembly_budget_and_prefix(spark):
         assert r["n_kept"] <= CHAT_TOKEN_BUDGET
         if r["n_kept"] > 0:
             assert r["tokens_used"] >= r["n_kept"]
+
+
+def test_late_census_partition_and_bounds(spark):
+    from prefect_flow_arc_indexer_spark.sources.parquet import load_table
+
+    rows = _run("q_late_census", spark).collect()
+    total = load_table(spark, SF_DIR, "events").count()
+    assert sum(r["n_events"] for r in rows) == total
+    assert abs(sum(r["share"] for r in rows) - 1.0) < 1e-4
+    bounds = {"on-time": (0, 0), "<1m": (1, 60_000_000 - 1),
+              "<10m": (60_000_000, 600_000_000 - 1),
+              "<1h": (600_000_000, 3_600_000_000 - 1),
+              ">=1h": (3_600_000_000, None)}
+    assert set(r["bucket"] for r in rows) <= set(bounds)
+    for r in rows:
+        lo, hi = bounds[r["bucket"]]
+        assert r["max_late_us"] >= lo
+        if hi is not None:
+            assert r["max_late_us"] <= hi
