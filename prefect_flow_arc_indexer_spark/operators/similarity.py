@@ -1237,3 +1237,129 @@ SELECT query_id,
 
 
 _register_ndcg_eval()
+
+
+# --------------------------------------------------------------------------
+# margin-based bitext mining (Artetxe & Schwenk '19 / CCMatrix shape)
+# --------------------------------------------------------------------------
+MARGIN_K = 4  # neighborhood size for the margin denominator
+MARGIN_TOP = 20  # review-queue size
+
+
+def _register_bitext_margin():
+    """Cross-side translation-pair mining: label parity plays the two
+    languages; a pair's score is its cosine RELATIVE to both endpoints'
+    average k-NN cosine into the other side (the margin criterion that
+    suppresses hubness — raw cosine mines hub vectors, margin doesn't).
+    All means are exact integer sums of 1e-6-quantized cosines with ONE
+    double division at the end, so engines agree bit-for-bit."""
+    oracle = f"""WITH s0 AS (
+  SELECT vec_id AS id_a, embedding FROM embeddings WHERE label % 2 = 0
+), s1 AS (
+  SELECT vec_id AS id_b, embedding FROM embeddings WHERE label % 2 = 1
+),
+crossed AS (
+  SELECT a.id_a, b.id_b,
+         CAST(round({dd_cosine_similarity("a.embedding", "b.embedding")} * 1000000)
+              AS BIGINT) AS cos_u
+    FROM s0 a JOIN s1 b ON true
+),
+knn_a AS (
+  SELECT id_a, CAST(sum(cos_u) AS BIGINT) AS sum_a
+    FROM (SELECT id_a, cos_u,
+                 row_number() OVER (PARTITION BY id_a
+                                    ORDER BY cos_u DESC, id_b) AS rn
+            FROM crossed) t
+   WHERE rn <= {MARGIN_K} GROUP BY id_a
+),
+knn_b AS (
+  SELECT id_b, CAST(sum(cos_u) AS BIGINT) AS sum_b
+    FROM (SELECT id_b, cos_u,
+                 row_number() OVER (PARTITION BY id_b
+                                    ORDER BY cos_u DESC, id_a) AS rn
+            FROM crossed) t
+   WHERE rn <= {MARGIN_K} GROUP BY id_b
+)
+SELECT c.id_a, c.id_b,
+       round(CAST(c.cos_u AS DOUBLE) / 1000000, 6) AS cos_sim,
+       round(2.0 * {MARGIN_K} * c.cos_u / (ka.sum_a + kb.sum_b), 6) AS margin
+  FROM crossed c
+  JOIN knn_a ka ON ka.id_a = c.id_a
+  JOIN knn_b kb ON kb.id_b = c.id_b
+ ORDER BY margin DESC, c.id_a, c.id_b
+ LIMIT {MARGIN_TOP}
+"""
+
+    @register(
+        "q_bitext_margin",
+        oracle=oracle,
+        doc="margin-based bitext mining (Artetxe & Schwenk '19, the "
+        "CCMatrix criterion): cross-side candidate pairs scored by "
+        "cosine over the average of both endpoints' k-NN cosine into "
+        "the other side — the hubness-robust selection rule for mining "
+        "parallel training pairs; label parity plays the two languages. "
+        "Neighborhood means are exact integer sums of 1e-6-quantized "
+        "cosines (order-proof), one double division per pair, "
+        "deterministic top-20 review queue via TakeOrdered. At corpus "
+        "scale the crossed stage is the SAME plan the IVF/LSH variants "
+        "bucket — this registers the exact-scoring shape; the margin "
+        "algebra rides on whatever candidate generator feeds it.",
+    )
+    def q_bitext_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+        e = load_table(spark, sf_dir, "embeddings", fan_out=True).select(
+            "vec_id", "label", "embedding"
+        )
+        s0 = e.where(F.col("label") % 2 == 0).select(
+            F.col("vec_id").alias("id_a"), F.col("embedding").alias("va")
+        )
+        s1 = e.where(F.col("label") % 2 == 1).select(
+            F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb")
+        )
+        crossed = F.broadcast(s0).crossJoin(s1).select(
+            "id_a",
+            "id_b",
+            F.round(cosine_similarity(F.col("va"), F.col("vb")) * 1_000_000)
+            .cast("bigint")
+            .alias("cos_u"),
+        )
+        w_a = Window.partitionBy("id_a").orderBy(
+            F.col("cos_u").desc(), F.col("id_b")
+        )
+        w_b = Window.partitionBy("id_b").orderBy(
+            F.col("cos_u").desc(), F.col("id_a")
+        )
+        knn_a = (
+            crossed.withColumn("rn", F.row_number().over(w_a))
+            .where(F.col("rn") <= MARGIN_K)
+            .groupBy("id_a")
+            .agg(F.sum("cos_u").cast("bigint").alias("sum_a"))
+        )
+        knn_b = (
+            crossed.withColumn("rn", F.row_number().over(w_b))
+            .where(F.col("rn") <= MARGIN_K)
+            .groupBy("id_b")
+            .agg(F.sum("cos_u").cast("bigint").alias("sum_b"))
+        )
+        return (
+            crossed.join(F.broadcast(knn_a), "id_a")
+            .join(F.broadcast(knn_b), "id_b")
+            .select(
+                "id_a",
+                "id_b",
+                F.round(F.col("cos_u").cast("double") / 1_000_000, 6).alias(
+                    "cos_sim"
+                ),
+                F.round(
+                    2.0
+                    * MARGIN_K
+                    * F.col("cos_u")
+                    / (F.col("sum_a") + F.col("sum_b")),
+                    6,
+                ).alias("margin"),
+            )
+            .orderBy(F.col("margin").desc(), "id_a", "id_b")
+            .limit(MARGIN_TOP)
+        )
+
+
+_register_bitext_margin()

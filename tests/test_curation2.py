@@ -122,3 +122,48 @@ def test_ndcg_bounds_and_consistency_with_recall(spark):
         assert abs(r["dcg"] - r["ndcg"] * idcg) < 1e-4
         if r["ndcg"] > 0.999999:
             assert r["n_overlap"] == recall[qid]["k_exact"]
+
+
+def test_bitext_margin_cross_side_and_hubness_rule(spark):
+    """Pairs cross label parity; margin equals the documented formula
+    recomputed from the collected cross matrix (pure-Python replay on the
+    top pair)."""
+    from prefect_flow_arc_indexer_spark.operators.similarity import (
+        MARGIN_K,
+        MARGIN_TOP,
+    )
+    from prefect_flow_arc_indexer_spark.sources.parquet import load_table
+
+    rows = _run("q_bitext_margin", spark).collect()
+    assert len(rows) == MARGIN_TOP
+    margins = [r["margin"] for r in rows]
+    assert margins == sorted(margins, reverse=True)
+
+    emb = {
+        r["vec_id"]: (r["label"], [float(x) for x in r["embedding"]])
+        for r in load_table(spark, SF_DIR, "embeddings").collect()
+    }
+    for r in rows[:3]:
+        la, va = emb[r["id_a"]]
+        lb, vb = emb[r["id_b"]]
+        assert la % 2 == 0 and lb % 2 == 1
+
+        def cos_u(x, y):
+            d = sum(a * b for a, b in zip(x, y))
+            nx = sum(a * a for a in x) ** 0.5
+            ny = sum(b * b for b in y) ** 0.5
+            return round(d / (nx * ny) * 1_000_000)
+
+        side1 = [(i, v) for i, (l, v) in emb.items() if l % 2 == 1]
+        side0 = [(i, v) for i, (l, v) in emb.items() if l % 2 == 0]
+        top_a = sorted(
+            ((cos_u(va, v), -i) for i, v in side1), reverse=True
+        )[:MARGIN_K]
+        top_b = sorted(
+            ((cos_u(v, vb), -i) for i, v in side0), reverse=True
+        )[:MARGIN_K]
+        sum_a = sum(c for c, _ in top_a)
+        sum_b = sum(c for c, _ in top_b)
+        c_u = cos_u(va, vb)
+        expect = round(2.0 * MARGIN_K * c_u / (sum_a + sum_b), 6)
+        assert abs(r["margin"] - expect) < 2e-6
