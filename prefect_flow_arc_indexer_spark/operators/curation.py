@@ -679,3 +679,160 @@ def q_class_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("eff_weight"),
     )
+
+
+# --------------------------------------------------------------------------
+# reciprocal-rank-fusion quality ranking (multi-signal doc selection)
+# --------------------------------------------------------------------------
+RRF_C = 60  # the standard RRF damping constant
+RRF_TOP = 20
+RRF_PARTS = 8  # range partitions for each scale-honest global rank
+
+
+def _global_rank(df: DataFrame, signal: str) -> DataFrame:
+    """row_number() by (signal DESC, doc_id ASC) in the scale-honest
+    TWO-PASS form: repartitionByRange -> per-partition row_number ->
+    broadcast per-partition offsets (same pattern as q_shard_balance) —
+    never a single-task global window. Returns (doc_id, rnk)."""
+    from pyspark.sql import Window
+
+    parted = df.repartitionByRange(
+        RRF_PARTS, F.col(signal).desc(), F.col("doc_id").asc()
+    ).withColumn("pid", F.spark_partition_id())
+    local_w = Window.partitionBy("pid").orderBy(
+        F.col(signal).desc(), F.col("doc_id").asc()
+    )
+    local = parted.withColumn("lr", F.row_number().over(local_w))
+    off_w = Window.orderBy("pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = (
+        local.groupBy("pid")
+        .agg(F.count("*").alias("n"))
+        .withColumn("off", F.coalesce(F.sum("n").over(off_w), F.lit(0)))
+        .select("pid", "off")
+    )
+    return (
+        local.join(F.broadcast(offsets), "pid")
+        .select("doc_id", (F.col("lr") + F.col("off")).alias("rnk"))
+    )
+
+
+def _register_rank_fusion():
+    from prefect_flow_arc_indexer_spark.functions.textfns import (
+        dd_tokens,
+        tokens,
+    )
+
+    dd_tok = dd_tokens("text")
+    dd_sigs = f"""sig AS (
+  SELECT doc_id,
+         CAST(coalesce(len({dd_tok}), 0) AS BIGINT) AS s_tokens,
+         CAST(CASE WHEN coalesce(len({dd_tok}), 0) = 0 THEN 0
+              ELSE round(1000000.0 * len(list_distinct({dd_tok}))
+                         / len({dd_tok})) END AS BIGINT) AS s_distinct,
+         CAST(CASE WHEN coalesce(len({dd_tok}), 0) = 0 THEN 0
+              ELSE round(1000000.0 * list_aggregate(list_transform({dd_tok}, t -> length(t)), 'sum')
+                         / len({dd_tok})) END AS BIGINT) AS s_avglen
+    FROM documents
+)"""
+    rrf_term = f"CAST(round(1000000000.0 / ({RRF_C} + {{r}})) AS BIGINT)"
+    oracle = f"""WITH {dd_sigs},
+r1 AS (SELECT doc_id, row_number() OVER (ORDER BY s_tokens DESC, doc_id) AS rnk FROM sig),
+r2 AS (SELECT doc_id, row_number() OVER (ORDER BY s_distinct DESC, doc_id) AS rnk FROM sig),
+r3 AS (SELECT doc_id, row_number() OVER (ORDER BY s_avglen DESC, doc_id) AS rnk FROM sig)
+SELECT s.doc_id,
+       r1.rnk AS rank_tokens, r2.rnk AS rank_distinct, r3.rnk AS rank_avglen,
+       CAST({rrf_term.format(r="r1.rnk")} + {rrf_term.format(r="r2.rnk")}
+            + {rrf_term.format(r="r3.rnk")} AS BIGINT) AS rrf_nano
+  FROM sig s
+  JOIN r1 ON r1.doc_id = s.doc_id
+  JOIN r2 ON r2.doc_id = s.doc_id
+  JOIN r3 ON r3.doc_id = s.doc_id
+ ORDER BY rrf_nano DESC, s.doc_id
+ LIMIT {RRF_TOP}
+"""
+
+    @register(
+        "q_rank_fusion",
+        oracle=oracle,
+        doc="reciprocal-rank fusion over three independent row-local "
+        "quality signals (token count, distinct-token ratio, mean token "
+        "length): per signal a GLOBAL dense ranking in the scale-honest "
+        "two-pass form (repartitionByRange + local row_number + "
+        "broadcast offsets — no single-task window), fused as exact "
+        f"integer nano-unit 1/({RRF_C}+rank) terms (order-proof sums), "
+        "deterministic top-k via TakeOrdered. The rank-fusion shape "
+        "(RRF, Cormack'09) is how multi-signal doc selection avoids "
+        "hand-tuned score scales — each signal only contributes its "
+        "ORDER. Three range exchanges (one per signal) is the honest "
+        "cost of three exact global rankings.",
+    )
+    def q_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+        docs = load_table(spark, sf_dir, "documents", fan_out=True).select(
+            "doc_id", "text"
+        )
+        tok = tokens(F.col("text"))
+        n_tok = F.coalesce(F.size(tok), F.lit(0))
+        # size() is -1 for NULL arrays under legacy conf; coalesce+greatest
+        # keeps the signal at 0 for NULL/empty texts on both engines
+        n_tok = F.greatest(n_tok, F.lit(0))
+        sigs = docs.select(
+            "doc_id",
+            n_tok.cast("bigint").alias("s_tokens"),
+            F.when(n_tok == 0, F.lit(0))
+            .otherwise(
+                F.round(
+                    1_000_000.0
+                    * F.size(F.array_distinct(tok))
+                    / n_tok
+                )
+            )
+            .cast("bigint")
+            .alias("s_distinct"),
+            F.when(n_tok == 0, F.lit(0))
+            .otherwise(
+                F.round(
+                    1_000_000.0
+                    * F.aggregate(
+                        F.transform(tok, F.length),
+                        F.lit(0),
+                        lambda a, t: a + t,
+                    )
+                    / n_tok
+                )
+            )
+            .cast("bigint")
+            .alias("s_avglen"),
+        )
+        r1 = _global_rank(sigs.select("doc_id", "s_tokens"), "s_tokens")
+        r2 = _global_rank(sigs.select("doc_id", "s_distinct"), "s_distinct")
+        r3 = _global_rank(sigs.select("doc_id", "s_avglen"), "s_avglen")
+
+        def term(c):
+            return F.round(1_000_000_000.0 / (RRF_C + c)).cast("bigint")
+
+        return (
+            sigs.select("doc_id")
+            .join(r1.withColumnRenamed("rnk", "rank_tokens"), "doc_id")
+            .join(r2.withColumnRenamed("rnk", "rank_distinct"), "doc_id")
+            .join(r3.withColumnRenamed("rnk", "rank_avglen"), "doc_id")
+            .select(
+                "doc_id",
+                "rank_tokens",
+                "rank_distinct",
+                "rank_avglen",
+                (
+                    term(F.col("rank_tokens"))
+                    + term(F.col("rank_distinct"))
+                    + term(F.col("rank_avglen"))
+                )
+                .cast("bigint")
+                .alias("rrf_nano"),
+            )
+            .orderBy(F.col("rrf_nano").desc(), "doc_id")
+            .limit(RRF_TOP)
+        )
+
+
+_register_rank_fusion()

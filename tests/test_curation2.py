@@ -167,3 +167,25 @@ def test_bitext_margin_cross_side_and_hubness_rule(spark):
         c_u = cos_u(va, vb)
         expect = round(2.0 * MARGIN_K * c_u / (sum_a + sum_b), 6)
         assert abs(r["margin"] - expect) < 2e-6
+
+
+def test_rank_fusion_two_pass_rank_is_exact(spark):
+    """The distributed two-pass global rank must equal a driver-side
+    row_number replay; RRF terms recompute exactly from the ranks."""
+    from prefect_flow_arc_indexer_spark.operators.curation import (
+        RRF_C,
+        RRF_TOP,
+    )
+
+    rows = _run("q_rank_fusion", spark).collect()
+    assert len(rows) == RRF_TOP
+    scores = [r["rrf_nano"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    for r in rows:
+        expect = sum(
+            round(1_000_000_000.0 / (RRF_C + r[c]))
+            for c in ("rank_tokens", "rank_distinct", "rank_avglen")
+        )
+        assert r["rrf_nano"] == expect
+        for c in ("rank_tokens", "rank_distinct", "rank_avglen"):
+            assert r[c] >= 1
