@@ -343,3 +343,82 @@ def q_dataset_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("unchanged"))
         .alias("status"),
     )
+
+
+# --------------------------------------------------------------------------
+# incremental re-embedding plan (vector-index maintenance from the diff)
+# --------------------------------------------------------------------------
+def _register_reembed_plan():
+    """The diff's downstream consumer: join the snapshot verdicts against
+    the standing vector index (embeddings.vec_id plays the has-a-vector
+    check) and emit the maintenance work plan — only 'added'/'changed'
+    rows re-enter the expensive embedding stage, 'removed' rows become
+    vector deletes, and 'unchanged' rows without a vector surface as
+    backfill debt. This is incremental view maintenance for the ANN index."""
+    from prefect_flow_arc_indexer_spark.plans.registry import _REGISTRY
+
+    diff_sql = _REGISTRY["q_dataset_diff"].oracle
+    oracle = f"""WITH diff AS ({diff_sql}),
+joined AS (
+  SELECT d.status, CASE WHEN e.vec_id IS NOT NULL THEN 1 ELSE 0 END AS has_vec
+    FROM diff d LEFT JOIN embeddings e ON e.vec_id = d.doc_id
+),
+planned AS (
+  SELECT CASE WHEN status IN ('added', 'changed') THEN 'embed'
+              WHEN status = 'removed' AND has_vec = 1 THEN 'delete_vector'
+              WHEN status = 'unchanged' AND has_vec = 0 THEN 'backfill'
+              ELSE 'noop' END AS action,
+         has_vec
+    FROM joined
+)
+SELECT action, count(*) AS n_docs,
+       CAST(sum(has_vec) AS BIGINT) AS n_with_vector
+  FROM planned GROUP BY action
+"""
+
+    @register(
+        "q_reembed_plan",
+        oracle=oracle,
+        doc="incremental re-embedding plan: the dataset diff's verdicts "
+        "joined against the standing vector index -> per-action work "
+        "census (embed the added/changed, delete vectors of the removed, "
+        "surface unchanged-but-unembedded backfill debt). The join ships "
+        "ids only (the diff already reduced content to hashes); the "
+        "census is a 4-key bounded aggregate — at 100 TB the expensive "
+        "embedding stage runs over exactly the 'embed' slice, never the "
+        "corpus. This is incremental view maintenance for the ANN index, "
+        "composing q_dataset_diff the way q_incremental_rollup composes "
+        "the corpus rollup.",
+    )
+    def q_reembed_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+        diff = _REGISTRY["q_dataset_diff"].builder(spark, sf_dir)
+        vec = load_table(spark, sf_dir, "embeddings").select(
+            F.col("vec_id").alias("doc_id"), F.lit(1).alias("has_vec_flag")
+        )
+        joined = diff.join(vec, "doc_id", "left").select(
+            "status",
+            F.coalesce("has_vec_flag", F.lit(0)).alias("has_vec"),
+        )
+        action = (
+            F.when(F.col("status").isin("added", "changed"), "embed")
+            .when(
+                (F.col("status") == "removed") & (F.col("has_vec") == 1),
+                "delete_vector",
+            )
+            .when(
+                (F.col("status") == "unchanged") & (F.col("has_vec") == 0),
+                "backfill",
+            )
+            .otherwise("noop")
+        )
+        return (
+            joined.select(action.alias("action"), "has_vec")
+            .groupBy("action")
+            .agg(
+                F.count("*").alias("n_docs"),
+                F.sum("has_vec").cast("bigint").alias("n_with_vector"),
+            )
+        )
+
+
+_register_reembed_plan()

@@ -189,3 +189,23 @@ def test_rank_fusion_two_pass_rank_is_exact(spark):
         assert r["rrf_nano"] == expect
         for c in ("rank_tokens", "rank_distinct", "rank_avglen"):
             assert r[c] >= 1
+
+
+def test_reembed_plan_accounts_for_every_diff_row(spark):
+    """The plan partitions the diff exactly; 'embed' slice equals the
+    added+changed verdict count; deletes never exceed removed rows."""
+    plan = {r["action"]: r for r in _run("q_reembed_plan", spark).collect()}
+    diff = _run("q_dataset_diff", spark).groupBy("status").count().collect()
+    by_status = {r["status"]: r["count"] for r in diff}
+    assert sum(r["n_docs"] for r in plan.values()) == sum(by_status.values())
+    assert plan["embed"]["n_docs"] == by_status.get("added", 0) + by_status.get(
+        "changed", 0
+    )
+    if "delete_vector" in plan:
+        assert plan["delete_vector"]["n_docs"] <= by_status.get("removed", 0)
+        assert (
+            plan["delete_vector"]["n_with_vector"]
+            == plan["delete_vector"]["n_docs"]
+        )
+    if "backfill" in plan:
+        assert plan["backfill"]["n_with_vector"] == 0
