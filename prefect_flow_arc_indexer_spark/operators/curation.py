@@ -614,12 +614,15 @@ def q_coreset_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "x",
                 F.round(d2 * QUANT).cast("bigint").alias("d2u"),
             )
+            # one aggregation returns the argmax id, its radius AND its
+            # vector (max_by on the same unique ordering struct) — no
+            # second lookup job per round
             far = scored.agg(
                 F.expr("max_by(vec_id, struct(d2u, -vec_id))").alias("vid"),
                 F.max("d2u").alias("radius"),
+                F.expr("max_by(x, struct(d2u, -vec_id))").alias("vx"),
             ).first()
-            vec = e.where(F.col("vec_id") == far["vid"]).first()["x"]
-            selected.append((int(far["vid"]), list(vec)))
+            selected.append((int(far["vid"]), list(far["vx"])))
             out_rows.append((rnd, int(far["vid"]), int(far["radius"])))
     finally:
         e.unpersist()
