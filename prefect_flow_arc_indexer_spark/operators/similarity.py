@@ -1315,12 +1315,23 @@ SELECT c.id_a, c.id_b,
         s1 = e.where(F.col("label") % 2 == 1).select(
             F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb")
         )
-        crossed = F.broadcast(s0).crossJoin(s1).select(
-            "id_a",
-            "id_b",
-            F.round(cosine_similarity(F.col("va"), F.col("vb")) * 1_000_000)
-            .cast("bigint")
-            .alias("cos_u"),
+        # three consumers (pair scores + both k-NN sides) would re-run the
+        # 64-dim fold over the crossed matrix; the scored matrix is NARROW
+        # (two ids + one long), so materialize it once — same rationale as
+        # q_simhash_pairs' fingerprint checkpoint
+        crossed = (
+            F.broadcast(s0)
+            .crossJoin(s1)
+            .select(
+                "id_a",
+                "id_b",
+                F.round(
+                    cosine_similarity(F.col("va"), F.col("vb")) * 1_000_000
+                )
+                .cast("bigint")
+                .alias("cos_u"),
+            )
+            .localCheckpoint(eager=False)
         )
         w_a = Window.partitionBy("id_a").orderBy(
             F.col("cos_u").desc(), F.col("id_b")
