@@ -381,3 +381,151 @@ def q_watermark_compute(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(tomb).cast("bigint").alias("n_tombstones"),
         (F.sum(changed) == 0).alias("skip_batch"),
     )
+
+
+# --------------------------------------------------------------------------
+# the full incremental cycle, fused into one plan (E2 end-to-end)
+# --------------------------------------------------------------------------
+@register(
+    "q_sync_cycle",
+    oracle=f"""WITH keyed AS (
+  SELECT event_type AS idx, user_id AS key, ts, event_id,
+         (event_id % 13 = 0) AS is_deleted
+    FROM events
+),
+snap AS (
+  SELECT idx, key, is_deleted
+    FROM (SELECT *, row_number() OVER (PARTITION BY idx, key
+                                       ORDER BY ts DESC, event_id DESC) AS rn
+            FROM keyed WHERE ts < TIMESTAMP '{WATERMARK}') x
+   WHERE rn = 1
+),
+live_before AS (
+  SELECT idx, count(*) AS n FROM snap WHERE NOT is_deleted GROUP BY idx
+),
+batch AS (
+  SELECT idx, key, is_deleted
+    FROM (SELECT *, row_number() OVER (PARTITION BY idx, key
+                                       ORDER BY ts DESC, event_id DESC) AS rn
+            FROM keyed WHERE ts >= TIMESTAMP '{WATERMARK}') x
+   WHERE rn = 1
+),
+pending AS (
+  SELECT idx, count(*) AS n_pending,
+         CAST(sum(CASE WHEN is_deleted THEN 0 ELSE 1 END) AS BIGINT) AS n_upserts,
+         CAST(sum(CASE WHEN is_deleted THEN 1 ELSE 0 END) AS BIGINT) AS n_deletes
+    FROM batch GROUP BY idx
+),
+carried AS (
+  SELECT s.idx, count(*) AS n
+    FROM snap s ANTI JOIN batch b ON s.idx = b.idx AND s.key = b.key
+   WHERE NOT s.is_deleted GROUP BY s.idx
+),
+live_after AS (
+  SELECT b.idx,
+         coalesce(c.n, 0)
+           + sum(CASE WHEN b.is_deleted THEN 0 ELSE 1 END) AS n
+    FROM batch b LEFT JOIN carried c ON c.idx = b.idx
+   GROUP BY b.idx, c.n
+)
+SELECT p.idx AS index_name,
+       coalesce(lb.n, 0) AS live_before,
+       p.n_pending, p.n_upserts, p.n_deletes,
+       CAST(coalesce(la.n, 0) AS BIGINT) AS live_after,
+       (p.n_pending = 0) AS skip_batch
+  FROM pending p
+  LEFT JOIN live_before lb ON lb.idx = p.idx
+  LEFT JOIN live_after la ON la.idx = p.idx
+""",
+    doc="the reference's whole incremental cycle (E2: watermark predicate "
+    "-> last-writer-wins batch compaction -> tombstone delete / upsert "
+    "routing -> carry of untouched keys -> post-publish count "
+    "reconciliation, flows/main_flow.py:316-333,378-395,559-600,216-257) "
+    "fused into ONE plan keyed by (index, key): per index the live count "
+    "before, the pending/upsert/delete breakdown, the live count the "
+    "merged snapshot converges to, and the skip-empty-batch gate. Both "
+    "latest-per-key windows share the same (idx, key | ts, event_id) "
+    "sort shape, the carry is a key-partitioned anti join, and every "
+    "count combines map-side — the whole cycle costs two window "
+    "exchanges and one join, no driver loops.",
+)
+def q_sync_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    keyed = ev.select(
+        F.col("event_type").alias("idx"),
+        F.col("user_id").alias("key"),
+        "ts",
+        "event_id",
+        (F.col("event_id") % 13 == 0).alias("is_deleted"),
+    )
+    wm = F.lit(WATERMARK).cast("timestamp")
+    w = Window.partitionBy("idx", "key").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+
+    def latest(df: DataFrame) -> DataFrame:
+        return (
+            df.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .drop("rn")
+        )
+
+    snap = latest(keyed.where(F.col("ts") < wm)).select(
+        "idx", "key", "is_deleted"
+    )
+    batch = latest(keyed.where(F.col("ts") >= wm)).select(
+        "idx", "key", "is_deleted"
+    )
+    live_before = (
+        snap.where(~F.col("is_deleted"))
+        .groupBy("idx")
+        .agg(F.count("*").alias("live_before"))
+    )
+    pending = batch.groupBy("idx").agg(
+        F.count("*").alias("n_pending"),
+        F.sum(F.when(F.col("is_deleted"), 0).otherwise(1))
+        .cast("bigint")
+        .alias("n_upserts"),
+        F.sum(F.when(F.col("is_deleted"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_deletes"),
+    )
+    carried = (
+        snap.where(~F.col("is_deleted"))
+        .join(batch.select("idx", "key"), ["idx", "key"], "left_anti")
+        .groupBy("idx")
+        .agg(F.count("*").alias("n_carried"))
+    )
+    live_after = (
+        batch.groupBy("idx")
+        .agg(
+            F.sum(F.when(F.col("is_deleted"), 0).otherwise(1)).alias(
+                "n_applied"
+            )
+        )
+        .join(carried, "idx", "left")
+        .select(
+            "idx",
+            (
+                F.coalesce(F.col("n_carried"), F.lit(0))
+                + F.col("n_applied")
+            )
+            .cast("bigint")
+            .alias("live_after"),
+        )
+    )
+    return (
+        pending.join(live_before, "idx", "left")
+        .join(live_after, "idx", "left")
+        .select(
+            F.col("idx").alias("index_name"),
+            F.coalesce("live_before", F.lit(0)).alias("live_before"),
+            "n_pending",
+            "n_upserts",
+            "n_deletes",
+            F.coalesce("live_after", F.lit(0)).cast("bigint").alias(
+                "live_after"
+            ),
+            (F.col("n_pending") == 0).alias("skip_batch"),
+        )
+    )

@@ -94,3 +94,47 @@ def test_pushdown_reaches_scan(spark):
     )
     assert "PushedFilters: [" in plan
     assert "IsNotNull(event_type)" in plan or "In(event_type" in plan
+
+
+def test_sync_cycle_is_consistent_with_cdc_merge_semantics(spark):
+    """live_after must equal carried + applied recomputed independently,
+    and the pending split must sum: n_pending = n_upserts + n_deletes."""
+    from pyspark.sql import functions as F
+
+    from prefect_flow_arc_indexer_spark.operators.indexer import WATERMARK
+    from prefect_flow_arc_indexer_spark.plans import all_queries
+    from tests.conftest import SF_DIR
+
+    rows = {
+        r["index_name"]: r
+        for r in all_queries()["q_sync_cycle"].builder(spark, SF_DIR).collect()
+    }
+    assert rows
+    for r in rows.values():
+        assert r["n_pending"] == r["n_upserts"] + r["n_deletes"]
+        assert r["skip_batch"] == (r["n_pending"] == 0)
+        assert r["live_after"] >= 0
+
+    from prefect_flow_arc_indexer_spark.sources.parquet import load_table
+
+    ev = load_table(spark, SF_DIR, "events").select(
+        "event_type", "user_id", "ts", "event_id"
+    ).collect()
+    latest_before, latest_after = {}, {}
+    for e in ev:
+        k = (e["event_type"], e["user_id"])
+        stamp = (e["ts"], e["event_id"])
+        tgt = latest_before if str(e["ts"]) < WATERMARK else latest_after
+        if k not in tgt or stamp > tgt[k][0]:
+            tgt[k] = (stamp, e["event_id"] % 13 == 0)
+    for idx in rows:
+        live = {
+            k for k, (_, dead) in latest_before.items()
+            if k[0] == idx and not dead
+        }
+        batch = {k: dead for k, (_, dead) in latest_after.items() if k[0] == idx}
+        after = {k for k in live if k not in batch} | {
+            k for k, dead in batch.items() if not dead
+        }
+        assert rows[idx]["live_before"] == len(live)
+        assert rows[idx]["live_after"] == len(after)
