@@ -27,7 +27,7 @@ from __future__ import annotations
 
 from functools import reduce
 
-from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
 
 from prefect_flow_arc_indexer_spark.functions.hashing import (
     HASH_PRIME,
@@ -1388,3 +1388,139 @@ SELECT e.doc_a, e.doc_b,
 
 
 _register_minhash_estimate()
+
+
+# --------------------------------------------------------------------------
+# the production dedup cascade, fused (normalize -> exact -> near-dup CC)
+# --------------------------------------------------------------------------
+def _register_dedup_cascade():
+    """The staged cascade every production corpus runs: cheap exact dedup
+    on the NORMALIZED content hash first (kills formatting-noise dups at
+    scan cost), then the expensive MinHash+LSH+connected-components pass
+    over only the exact survivors. Emits the per-stage survivor census —
+    the funnel numbers a dedup report publishes."""
+    from prefect_flow_arc_indexer_spark.operators.curation import _NORM_RE
+
+    norm = f"trim(regexp_replace(lower(text), '{_NORM_RE}', ' ', 'g'))"
+    mins = ",".join(
+        f"min((h * {a} + {b}) % {HASH_PRIME}) AS m{i}"
+        for i, (a, b) in enumerate(MINHASH_COEFFS)
+    )
+    bands = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, {b} AS band_id, concat_ws('_', "
+        + ", ".join(f"m{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND))
+        + ") AS band_key FROM sig"
+        for b in range(N_BANDS)
+    )
+    oracle = f"""WITH RECURSIVE base AS (
+  SELECT doc_id, text, min(doc_id) OVER (PARTITION BY md5({norm})) AS keeper
+    FROM documents WHERE text IS NOT NULL
+),
+exact_kept AS (
+  SELECT doc_id, text FROM base WHERE doc_id = keeper
+),
+toks AS (
+  SELECT doc_id, {dd_tokens("text")} AS tok FROM exact_kept
+),
+shingles AS (
+  SELECT DISTINCT doc_id, unnest({dd_word_ngrams("tok", SHINGLE_N)}) AS s FROM toks
+),
+hashes AS (
+  SELECT doc_id, {dd_stable_hash("s")} AS h FROM shingles
+),
+sig AS (
+  SELECT doc_id, {mins} FROM hashes GROUP BY doc_id
+),
+buckets AS (
+{bands}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM buckets a JOIN buckets b
+      ON a.band_id = b.band_id AND a.band_key = b.band_key
+     AND a.doc_id < b.doc_id
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM cand
+  UNION ALL
+  SELECT doc_b, doc_a FROM cand
+),
+reach(id, comp) AS (
+  SELECT doc_id, doc_id FROM exact_kept
+  UNION
+  SELECT e.dst AS id, r.comp FROM reach r JOIN edges e ON e.src = r.id
+),
+comps AS (
+  SELECT id AS doc_id, min(comp) AS component_id FROM reach GROUP BY id
+)
+SELECT * FROM (
+  SELECT 'corpus' AS stage, 0 AS ord,
+         (SELECT count(*) FROM base) AS n_docs
+  UNION ALL
+  SELECT 'exact_kept', 1, (SELECT count(*) FROM exact_kept)
+  UNION ALL
+  SELECT 'near_kept', 2,
+         (SELECT count(*) FROM comps WHERE doc_id = component_id)
+) t
+"""
+
+    @register(
+        "q_dedup_cascade",
+        oracle=oracle,
+        doc="the production dedup cascade fused into one plan: normalized "
+        "content-hash exact dedup (window-min keeper on the md5 of the "
+        "q_text_normalize canonical form — scan-cost, kills formatting "
+        "dups), then MinHash+LSH+connected-components near-dedup over "
+        "ONLY the exact survivors. Emits the stage funnel (corpus -> "
+        "exact survivors -> near-dup cluster keepers). The staging order "
+        "is the 100 TB cost argument: the expensive shingle/signature "
+        "pass runs on the exact-deduped corpus, so formatting-noise "
+        "duplicates never reach the LSH exchange.",
+    )
+    def q_dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from prefect_flow_arc_indexer_spark.operators.curation import (
+            _NORM_RE as norm_re,
+        )
+
+        docs = load_table(spark, sf_dir, "documents", fan_out=True).where(
+            F.col("text").isNotNull()
+        )
+        norm_c = F.trim(
+            F.regexp_replace(F.lower(F.col("text")), norm_re, " ")
+        )
+        w_hash = Window.partitionBy(F.md5(norm_c))
+        base = docs.select(
+            "doc_id",
+            "text",
+            F.min("doc_id").over(w_hash).alias("keeper"),
+        )
+        exact_kept = base.where(F.col("doc_id") == F.col("keeper")).select(
+            "doc_id", "text"
+        )
+        edges = lsh_candidate_pairs(minhash_signature(exact_kept)).select(
+            F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+        )
+        comp = connected_components(edges).withColumnRenamed("id", "doc_id")
+        near_kept = (
+            exact_kept.select("doc_id")
+            .join(comp, "doc_id", "left")
+            .where(
+                F.coalesce("comp", "doc_id") == F.col("doc_id")
+            )
+        )
+
+        def census(df: DataFrame, stage: str, ord_: int) -> DataFrame:
+            return df.agg(
+                F.lit(stage).alias("stage"),
+                F.lit(ord_).alias("ord"),
+                F.count("*").alias("n_docs"),
+            )
+
+        return (
+            census(base, "corpus", 0)
+            .unionByName(census(exact_kept, "exact_kept", 1))
+            .unionByName(census(near_kept, "near_kept", 2))
+        )
+
+
+_register_dedup_cascade()

@@ -209,3 +209,30 @@ def test_reembed_plan_accounts_for_every_diff_row(spark):
         )
     if "backfill" in plan:
         assert plan["backfill"]["n_with_vector"] == 0
+
+
+def test_dedup_cascade_funnel_monotone_and_stagewise_consistent(spark):
+    """corpus >= exact_kept >= near_kept; exact stage agrees with a
+    pure-Python normalize+hash replay."""
+    import hashlib
+    import re
+
+    from prefect_flow_arc_indexer_spark.sources.parquet import load_table
+
+    rows = {r["stage"]: r["n_docs"] for r in _run("q_dedup_cascade", spark).collect()}
+    assert set(rows) == {"corpus", "exact_kept", "near_kept"}
+    assert rows["corpus"] >= rows["exact_kept"] >= rows["near_kept"] > 0
+
+    texts = [
+        r["text"]
+        for r in load_table(spark, SF_DIR, "documents").collect()
+        if r["text"] is not None
+    ]
+    norms = {
+        hashlib.md5(
+            re.sub("[^a-z0-9]+", " ", t.lower()).strip().encode()
+        ).hexdigest()
+        for t in texts
+    }
+    assert rows["corpus"] == len(texts)
+    assert rows["exact_kept"] == len(norms)
