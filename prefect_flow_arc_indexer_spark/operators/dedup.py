@@ -1524,3 +1524,105 @@ SELECT * FROM (
 
 
 _register_dedup_cascade()
+
+
+# --------------------------------------------------------------------------
+# LSH banding-scheme sweep (the S-curve tuning table)
+# --------------------------------------------------------------------------
+BAND_SCHEMES = ((2, 8), (4, 4), (8, 2))  # (bands, rows) over the 16 perms
+
+
+def _register_band_sweep():
+    """Index tuning: the same 16-perm signature banded three ways. The
+    (b, r) choice sets the S-curve threshold ~(1/b)^(1/r) — more bands =
+    lower threshold = more candidates; this sweep measures the actual
+    candidate volume per scheme so the threshold choice is data-driven,
+    not folklore. One signature computation feeds all three bandings."""
+    mins = ",".join(
+        f"min((h * {a} + {b}) % {HASH_PRIME}) AS m{i}"
+        for i, (a, b) in enumerate(MINHASH_COEFFS)
+    )
+    pieces = []
+    for b, r in BAND_SCHEMES:
+        bands = "\n  UNION ALL\n".join(
+            f"  SELECT doc_id, {bi} AS band_id, concat_ws('_', "
+            + ", ".join(f"m{bi * r + ri}" for ri in range(r))
+            + ") AS band_key FROM sig"
+            for bi in range(b)
+        )
+        thr = round((1.0 / b) ** (1.0 / r), 6)
+        pieces.append(
+            f"""SELECT '{b}x{r}' AS scheme, {b} AS n_bands, {r} AS rows_per_band,
+       {thr!r} AS threshold,
+       (SELECT count(*) FROM (
+          SELECT DISTINCT a.doc_id AS da, c.doc_id AS db
+            FROM (\n{bands}\n) a
+            JOIN (\n{bands}\n) c
+              ON a.band_id = c.band_id AND a.band_key = c.band_key
+             AND a.doc_id < c.doc_id)) AS n_candidates"""
+        )
+    oracle = f"""WITH {_dd_shingle_cte()},
+sig AS (
+  SELECT doc_id, {mins} FROM hashes GROUP BY doc_id
+)
+{chr(10).join(f'{p}{chr(10)}UNION ALL' for p in pieces[:-1])}
+{pieces[-1]}
+"""
+
+    @register(
+        "q_band_sweep",
+        oracle=oracle,
+        doc="LSH banding-scheme sweep: the SAME 16-permutation MinHash "
+        "signature banded as 2x8 / 4x4 / 8x2, each scheme's S-curve "
+        "threshold (1/b)^(1/r) beside its MEASURED candidate-pair "
+        "volume — the data-driven tuning table behind choosing the "
+        "near-dup operating point. The signature is computed once "
+        "(narrow 17-column frame, checkpointed) and each banding is an "
+        "explode + bucket self-join over it; at 100 TB this is how you "
+        "price a threshold change BEFORE re-running the full pipeline.",
+    )
+    def q_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+        docs = load_table(spark, sf_dir, "documents", fan_out=True)
+        sig = minhash_signature(docs).localCheckpoint(eager=False)
+        out = None
+        for b, r in BAND_SCHEMES:
+            band_structs = [
+                F.struct(
+                    F.lit(bi).alias("band_id"),
+                    F.concat_ws(
+                        "_", *[F.col(f"m{bi * r + ri}") for ri in range(r)]
+                    ).alias("band_key"),
+                )
+                for bi in range(b)
+            ]
+            buckets = sig.select(
+                "doc_id", F.explode(F.array(*band_structs)).alias("bk")
+            ).select("doc_id", "bk.band_id", "bk.band_key")
+            grouped = (
+                buckets.groupBy("band_id", "band_key")
+                .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+                .where(F.size("ids") > 1)
+            )
+            pair_expr = F.expr(
+                "flatten(transform(ids, (x, i) -> "
+                "transform(slice(ids, i + 2, size(ids) - i - 1), "
+                "y -> struct(x AS da, y AS db))))"
+            )
+            n_cand = (
+                grouped.select(F.explode(pair_expr).alias("p"))
+                .select("p.da", "p.db")
+                .distinct()
+                .agg(F.count("*").alias("n_candidates"))
+            )
+            row = n_cand.select(
+                F.lit(f"{b}x{r}").alias("scheme"),
+                F.lit(b).alias("n_bands"),
+                F.lit(r).alias("rows_per_band"),
+                F.lit(round((1.0 / b) ** (1.0 / r), 6)).alias("threshold"),
+                "n_candidates",
+            )
+            out = row if out is None else out.unionByName(row)
+        return out
+
+
+_register_band_sweep()

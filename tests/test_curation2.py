@@ -236,3 +236,17 @@ def test_dedup_cascade_funnel_monotone_and_stagewise_consistent(spark):
     }
     assert rows["corpus"] == len(texts)
     assert rows["exact_kept"] == len(norms)
+
+
+def test_band_sweep_monotone_in_bands(spark):
+    """More bands -> lower threshold -> candidate volume can only grow
+    (every 4x4 candidate is also an 8x2 candidate is NOT generally true,
+    but the 4x4 candidates of THIS signature are a superset of 2x8's:
+    agreeing on an 8-perm band implies agreeing on both its 4-perm
+    halves). Checks that containment direction plus threshold ordering."""
+    rows = {r["scheme"]: r for r in _run("q_band_sweep", spark).collect()}
+    assert set(rows) == {"2x8", "4x4", "8x2"}
+    assert rows["2x8"]["threshold"] > rows["4x4"]["threshold"] > rows["8x2"]["threshold"]
+    # band refinement: 2x8 agreement implies 4x4 agreement implies 8x2
+    assert rows["2x8"]["n_candidates"] <= rows["4x4"]["n_candidates"]
+    assert rows["4x4"]["n_candidates"] <= rows["8x2"]["n_candidates"]
