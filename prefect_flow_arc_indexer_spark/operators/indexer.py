@@ -443,11 +443,13 @@ SELECT p.idx AS index_name,
     "reconciliation, flows/main_flow.py:316-333,378-395,559-600,216-257) "
     "fused into ONE plan keyed by (index, key): per index the live count "
     "before, the pending/upsert/delete breakdown, the live count the "
-    "merged snapshot converges to, and the skip-empty-batch gate. Both "
-    "latest-per-key windows share the same (idx, key | ts, event_id) "
-    "sort shape, the carry is a key-partitioned anti join, and every "
-    "count combines map-side — the whole cycle costs two window "
-    "exchanges and one join, no driver loops.",
+    "merged snapshot converges to, and the skip-empty-batch gate. Each "
+    "compaction window runs exactly ONCE over its slice (the compacted "
+    "narrow frames are materialized for their multiple censuses), the "
+    "carry census shares one left join with the live_before count, and "
+    "live_after is derived arithmetic (carried + upserts) — the whole "
+    "cycle costs two corpus compactions and one key join, no driver "
+    "loops.",
 )
 def q_sync_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
@@ -470,16 +472,20 @@ def q_sync_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
             .drop("rn")
         )
 
-    snap = latest(keyed.where(F.col("ts") < wm)).select(
-        "idx", "key", "is_deleted"
+    # Each compaction runs ONCE: the compacted frames are narrow
+    # (idx, key, is_deleted) and are materialized so their multiple
+    # censuses don't re-run the window over the corpus (without this,
+    # Spark's plan paid FIVE corpus compactions — live_before, carried,
+    # pending, applied, and the anti-join build each re-derived one).
+    snap = (
+        latest(keyed.where(F.col("ts") < wm))
+        .select("idx", "key", "is_deleted")
+        .localCheckpoint(eager=False)
     )
-    batch = latest(keyed.where(F.col("ts") >= wm)).select(
-        "idx", "key", "is_deleted"
-    )
-    live_before = (
-        snap.where(~F.col("is_deleted"))
-        .groupBy("idx")
-        .agg(F.count("*").alias("live_before"))
+    batch = (
+        latest(keyed.where(F.col("ts") >= wm))
+        .select("idx", "key", "is_deleted")
+        .localCheckpoint(eager=False)
     )
     pending = batch.groupBy("idx").agg(
         F.count("*").alias("n_pending"),
@@ -490,42 +496,29 @@ def q_sync_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_deletes"),
     )
-    carried = (
-        snap.where(~F.col("is_deleted"))
-        .join(batch.select("idx", "key"), ["idx", "key"], "left_anti")
-        .groupBy("idx")
-        .agg(F.count("*").alias("n_carried"))
+    # live_before and the carry census from ONE pass over the live
+    # snapshot: a left join flags keys touched by the batch, then a single
+    # aggregation counts both (carried = untouched; live_after reuses
+    # n_upserts rather than re-counting the batch)
+    flagged = snap.where(~F.col("is_deleted")).join(
+        batch.select("idx", "key", F.lit(1).alias("in_batch")),
+        ["idx", "key"],
+        "left",
     )
-    live_after = (
-        batch.groupBy("idx")
-        .agg(
-            F.sum(F.when(F.col("is_deleted"), 0).otherwise(1)).alias(
-                "n_applied"
-            )
-        )
-        .join(carried, "idx", "left")
-        .select(
-            "idx",
-            (
-                F.coalesce(F.col("n_carried"), F.lit(0))
-                + F.col("n_applied")
-            )
-            .cast("bigint")
-            .alias("live_after"),
-        )
+    before_carried = flagged.groupBy("idx").agg(
+        F.count("*").alias("live_before"),
+        F.sum(F.when(F.col("in_batch").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_carried"),
     )
-    return (
-        pending.join(live_before, "idx", "left")
-        .join(live_after, "idx", "left")
-        .select(
-            F.col("idx").alias("index_name"),
-            F.coalesce("live_before", F.lit(0)).alias("live_before"),
-            "n_pending",
-            "n_upserts",
-            "n_deletes",
-            F.coalesce("live_after", F.lit(0)).cast("bigint").alias(
-                "live_after"
-            ),
-            (F.col("n_pending") == 0).alias("skip_batch"),
-        )
+    return pending.join(before_carried, "idx", "left").select(
+        F.col("idx").alias("index_name"),
+        F.coalesce("live_before", F.lit(0)).alias("live_before"),
+        "n_pending",
+        "n_upserts",
+        "n_deletes",
+        (F.coalesce("n_carried", F.lit(0)) + F.col("n_upserts"))
+        .cast("bigint")
+        .alias("live_after"),
+        (F.col("n_pending") == 0).alias("skip_batch"),
     )

