@@ -839,3 +839,97 @@ SELECT s.doc_id,
 
 
 _register_rank_fusion()
+
+
+# --------------------------------------------------------------------------
+# Spearman rank correlation between quality signals
+# --------------------------------------------------------------------------
+def _register_spearman():
+    from prefect_flow_arc_indexer_spark.functions.textfns import (
+        dd_tokens,
+        tokens,
+    )
+
+    dd_tok = dd_tokens("text")
+    oracle = f"""WITH sig AS (
+  SELECT doc_id,
+         CAST(coalesce(len({dd_tok}), 0) AS BIGINT) AS s_tokens,
+         CAST(CASE WHEN coalesce(len({dd_tok}), 0) = 0 THEN 0
+              ELSE round(1000000.0 * list_aggregate(list_transform({dd_tok}, t -> length(t)), 'sum')
+                         / len({dd_tok})) END AS BIGINT) AS s_avglen
+    FROM documents
+),
+ranked AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY s_tokens DESC, doc_id) AS ra,
+         row_number() OVER (ORDER BY s_avglen DESC, doc_id) AS rb
+    FROM sig
+),
+sums AS (
+  SELECT count(*) AS n,
+         CAST(sum((ra - rb) * (ra - rb)) AS BIGINT) AS sum_d2
+    FROM ranked
+)
+SELECT CAST(n AS BIGINT) AS n, sum_d2,
+       round(1.0 - 6.0 * sum_d2 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) * n - 1)), 6) AS rho
+  FROM sums
+"""
+
+    @register(
+        "q_spearman",
+        oracle=oracle,
+        doc="Spearman rank correlation between two quality signals (token "
+        "count vs mean token length): are the signals redundant or "
+        "complementary before fusing them? Ranks are unique row_numbers "
+        "(doc_id tie-break — the convention both engines pin), computed "
+        "in the scale-honest two-pass form; sum of squared rank "
+        "differences is exact bigint, rho is ONE double evaluation of "
+        "1 - 6*sum_d2/(n(n^2-1)). Two range exchanges + a 1-row "
+        "reduction — rank statistics without a single-task sort.",
+    )
+    def q_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+        docs = load_table(spark, sf_dir, "documents", fan_out=True).select(
+            "doc_id", "text"
+        )
+        tok = tokens(F.col("text"))
+        n_tok = F.greatest(F.coalesce(F.size(tok), F.lit(0)), F.lit(0))
+        sigs = docs.select(
+            "doc_id",
+            n_tok.cast("bigint").alias("s_tokens"),
+            F.when(n_tok == 0, F.lit(0))
+            .otherwise(
+                F.round(
+                    1_000_000.0
+                    * F.aggregate(
+                        F.transform(tok, F.length),
+                        F.lit(0),
+                        lambda a, t: a + t,
+                    )
+                    / n_tok
+                )
+            )
+            .cast("bigint")
+            .alias("s_avglen"),
+        )
+        ra = _global_rank(sigs.select("doc_id", "s_tokens"), "s_tokens")
+        rb = _global_rank(sigs.select("doc_id", "s_avglen"), "s_avglen")
+        joined = ra.withColumnRenamed("rnk", "ra").join(
+            rb.withColumnRenamed("rnk", "rb"), "doc_id"
+        )
+        d2 = (F.col("ra") - F.col("rb")) * (F.col("ra") - F.col("rb"))
+        sums = joined.agg(
+            F.count("*").alias("n"),
+            F.sum(d2).cast("bigint").alias("sum_d2"),
+        )
+        n_d = F.col("n").cast("double")
+        return sums.select(
+            F.col("n").cast("bigint").alias("n"),
+            "sum_d2",
+            F.round(
+                1.0 - 6.0 * F.col("sum_d2") / (n_d * (n_d * F.col("n") - 1)),
+                6,
+            ).alias("rho"),
+        )
+
+
+_register_spearman()

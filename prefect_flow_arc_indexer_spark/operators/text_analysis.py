@@ -749,3 +749,48 @@ def q_doc_langmix(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("total_hits") > 0) & (frac < LANGMIX_DOMINANT_MIN)
         ).alias("is_mixed"),
     )
+
+
+# --------------------------------------------------------------------------
+# active-learning acquisition: most-uncertain docs under the classifier
+# --------------------------------------------------------------------------
+UNCERTAIN_TOP = 20
+
+
+def _register_uncertainty_sample():
+    """Uncertainty sampling (the classic active-learning acquisition
+    rule): the docs whose classifier logit sits closest to the decision
+    boundary are the ones whose labels most improve the model — exactly
+    the batch a labeling loop should buy next. |z| is EXACT integer
+    centi-micro units, so the selection order is deterministic."""
+    from prefect_flow_arc_indexer_spark.plans.registry import _REGISTRY
+
+    logi_sql = _REGISTRY["q_quality_logistic"].oracle
+    oracle = f"""WITH scored AS ({logi_sql})
+SELECT doc_id, z_centi_micro, p_quality
+  FROM scored
+ ORDER BY abs(z_centi_micro), doc_id
+ LIMIT {UNCERTAIN_TOP}
+"""
+
+    @register(
+        "q_uncertainty_sample",
+        oracle=oracle,
+        doc="active-learning acquisition (uncertainty sampling): the "
+        f"{UNCERTAIN_TOP} docs with the smallest |logit| under the "
+        "in-plan logistic quality classifier — the batch to label next. "
+        "Rides the classifier's scan-cost scoring unchanged; selection "
+        "is a TakeOrdered on the exact integer |z| with doc_id "
+        "tie-break, so no global sort materializes and both engines "
+        "pick identical rows.",
+    )
+    def q_uncertainty_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+        scored = _REGISTRY["q_quality_logistic"].builder(spark, sf_dir)
+        return (
+            scored.select("doc_id", "z_centi_micro", "p_quality")
+            .orderBy(F.abs(F.col("z_centi_micro")), F.col("doc_id"))
+            .limit(UNCERTAIN_TOP)
+        )
+
+
+_register_uncertainty_sample()

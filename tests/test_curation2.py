@@ -250,3 +250,55 @@ def test_band_sweep_monotone_in_bands(spark):
     # band refinement: 2x8 agreement implies 4x4 agreement implies 8x2
     assert rows["2x8"]["n_candidates"] <= rows["4x4"]["n_candidates"]
     assert rows["4x4"]["n_candidates"] <= rows["8x2"]["n_candidates"]
+
+
+def test_spearman_python_replay(spark):
+    """rho recomputed from a pure-Python ranking of the same signals."""
+    from prefect_flow_arc_indexer_spark.sources.parquet import load_table
+
+    row = _run("q_spearman", spark).collect()[0]
+    docs = load_table(spark, SF_DIR, "documents").select(
+        "doc_id", "text"
+    ).collect()
+    sigs = []
+    for r in docs:
+        toks = [t for t in (r["text"] or "").lower().split() if t]
+        n = len(toks)
+        avg = round(1_000_000.0 * sum(len(t) for t in toks) / n) if n else 0
+        sigs.append((r["doc_id"], n, avg))
+    ra = {
+        d: i + 1
+        for i, (d, *_ ) in enumerate(
+            sorted(sigs, key=lambda s: (-s[1], s[0]))
+        )
+    }
+    rb = {
+        d: i + 1
+        for i, (d, *_ ) in enumerate(
+            sorted(sigs, key=lambda s: (-s[2], s[0]))
+        )
+    }
+    n = len(sigs)
+    sum_d2 = sum((ra[d] - rb[d]) ** 2 for d, *_ in sigs)
+    assert row["n"] == n and row["sum_d2"] == sum_d2
+    assert abs(row["rho"] - (1 - 6 * sum_d2 / (n * (n * n - 1)))) < 5e-7
+
+
+def test_uncertainty_sample_is_boundary_closest(spark):
+    """Selected docs have the globally smallest |z|; p_quality near 0.5."""
+    from prefect_flow_arc_indexer_spark.operators.text_analysis import (
+        UNCERTAIN_TOP,
+    )
+
+    sel = _run("q_uncertainty_sample", spark).collect()
+    assert len(sel) == UNCERTAIN_TOP
+    all_z = sorted(
+        abs(r["z_centi_micro"])
+        for r in _run("q_quality_logistic", spark).collect()
+    )
+    worst_sel = max(abs(r["z_centi_micro"]) for r in sel)
+    assert worst_sel <= all_z[UNCERTAIN_TOP - 1] or worst_sel == all_z[
+        UNCERTAIN_TOP - 1
+    ]
+    for r in sel:
+        assert 0.0 <= r["p_quality"] <= 1.0
