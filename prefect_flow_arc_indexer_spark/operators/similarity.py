@@ -1374,3 +1374,74 @@ SELECT c.id_a, c.id_b,
 
 
 _register_bitext_margin()
+
+
+# --------------------------------------------------------------------------
+# nearest-centroid confusion matrix (in-plan classifier evaluation)
+# --------------------------------------------------------------------------
+@register(
+    "q_confusion_matrix",
+    oracle=f"""WITH comp AS (
+  SELECT label, i,
+         sum(CAST(round((embedding::DOUBLE[])[i] * {QUANT}) AS BIGINT)) AS s,
+         count(*) AS n
+    FROM embeddings CROSS JOIN range(1, {EMB_DIM + 1}) t(i)
+   GROUP BY label, i
+),
+cent AS (
+  SELECT label, list(CAST(s AS DOUBLE) / n ORDER BY i) AS centroid
+    FROM comp GROUP BY label
+),
+assign AS (
+  SELECT e.vec_id, e.label AS actual, c.label AS cell,
+         round({dd_cosine_similarity("e.embedding", "c.centroid")}, 6) AS cos_c
+    FROM embeddings e CROSS JOIN cent c
+),
+pred AS (
+  SELECT vec_id, actual, cell AS predicted FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY cos_c DESC, cell ASC) AS rn
+      FROM assign) WHERE rn = 1
+),
+conf AS (
+  SELECT actual, predicted, count(*) AS n FROM pred GROUP BY actual, predicted
+),
+tot AS (SELECT actual, sum(n) AS t FROM conf GROUP BY actual)
+SELECT c.actual, c.predicted, CAST(c.n AS BIGINT) AS n,
+       round(CAST(c.n AS DOUBLE) / t.t, 6) AS recall_share,
+       (c.actual = c.predicted) AS is_correct
+  FROM conf c JOIN tot t ON t.actual = c.actual
+""",
+    doc="in-plan classifier evaluation: confusion matrix of the "
+    "nearest-centroid classifier (the IVF cell assignment read as a "
+    "prediction) against the true labels — per (actual, predicted) "
+    "count, per-class recall share, diagonal flag. The centroids are "
+    "the engine-stable quantized means, assignment is the broadcast "
+    "shuffle-free fold the IVF index already pays, and the matrix "
+    "itself is a |labels|^2-bounded aggregate — model evaluation at "
+    "scan cost, the way an embedding-quality gate runs inside a 100 TB "
+    "pipeline rather than exporting vectors to a notebook.",
+)
+def q_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings", fan_out=True).select(
+        "vec_id", "label", "embedding"
+    )
+    pred = ivf_assign(e, ivf_centroids(e)).select(
+        "vec_id", F.col("cell").alias("predicted")
+    )
+    conf = (
+        e.select("vec_id", F.col("label").alias("actual"))
+        .join(pred, "vec_id")
+        .groupBy("actual", "predicted")
+        .agg(F.count("*").alias("n"))
+    )
+    tot = conf.groupBy("actual").agg(F.sum("n").alias("t"))
+    return conf.join(F.broadcast(tot), "actual").select(
+        "actual",
+        "predicted",
+        F.col("n").cast("bigint").alias("n"),
+        F.round(F.col("n").cast("double") / F.col("t"), 6).alias(
+            "recall_share"
+        ),
+        (F.col("actual") == F.col("predicted")).alias("is_correct"),
+    )

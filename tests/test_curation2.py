@@ -302,3 +302,18 @@ def test_uncertainty_sample_is_boundary_closest(spark):
     ]
     for r in sel:
         assert 0.0 <= r["p_quality"] <= 1.0
+
+
+def test_confusion_matrix_partition_and_diagonal(spark):
+    """Counts partition the corpus; recall shares sum to 1 per class;
+    predicted classes come from the label alphabet."""
+    rows = _run("q_confusion_matrix", spark).collect()
+    assert sum(r["n"] for r in rows) == 500
+    actuals = {r["actual"] for r in rows}
+    by_actual = {}
+    for r in rows:
+        by_actual.setdefault(r["actual"], []).append(r)
+        assert r["is_correct"] == (r["actual"] == r["predicted"])
+        assert r["predicted"] in actuals
+    for group in by_actual.values():
+        assert abs(sum(g["recall_share"] for g in group) - 1.0) < 1e-4
