@@ -379,10 +379,8 @@ def q_late_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     late = ev.select((F.max(tsu).over(w_u) - tsu).alias("late_us"))
     bucket = F.when(F.col("late_us") == 0, "on-time")
-    prev = 0
     for name, bound in _LATE_BUCKETS_US[1:]:
         bucket = bucket.when(F.col("late_us") < bound, name)
-        prev = bound
     bucket = bucket.otherwise(">=1h")
     counts = (
         late.select(bucket.alias("bucket"), "late_us")
