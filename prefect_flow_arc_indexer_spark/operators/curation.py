@@ -933,3 +933,100 @@ SELECT CAST(n AS BIGINT) AS n, sum_d2,
 
 
 _register_spearman()
+
+
+# --------------------------------------------------------------------------
+# hashing-trick document vectors (fasttext-style bag-of-words, in-plan)
+# --------------------------------------------------------------------------
+HE_DIM = 64  # hashed embedding width
+_HE_SALT = "he:"
+_HE_SIGN_SALT = "hs:"
+
+
+def _register_hash_embed():
+    from prefect_flow_arc_indexer_spark.functions.textfns import (
+        dd_tokens,
+        tokens,
+    )
+
+    dd_tok = dd_tokens("text")
+    dim = dd_stable_hash(f"'{_HE_SALT}' || t") + f" % {HE_DIM}"
+    sign = (
+        "CASE WHEN "
+        + dd_stable_hash(f"'{_HE_SIGN_SALT}' || t")
+        + " % 2 = 0 THEN 1 ELSE -1 END"
+    )
+    oracle = f"""WITH toks AS (
+  SELECT doc_id, unnest(coalesce({dd_tok}, [])) AS t FROM documents
+),
+comps AS (
+  SELECT doc_id, {dim} AS dim, CAST(sum({sign}) AS BIGINT) AS v
+    FROM toks GROUP BY doc_id, {dim}
+)
+SELECT d.doc_id,
+       CAST(coalesce(count(c.dim) FILTER (WHERE c.v <> 0), 0) AS BIGINT) AS nnz,
+       CAST(coalesce(sum(abs(c.v)), 0) AS BIGINT) AS l1_norm,
+       CAST(coalesce(sum(c.v * (c.dim + 1)), 0) AS BIGINT) AS checksum
+  FROM documents d LEFT JOIN comps c ON c.doc_id = d.doc_id
+ GROUP BY d.doc_id
+"""
+
+    @register(
+        "q_hash_embed",
+        oracle=oracle,
+        doc=f"hashing-trick document vectors built IN-PLAN (fasttext-style "
+        f"signed feature hashing into {HE_DIM} dims, Weinberger'09): each "
+        "token adds +/-1 to its hashed dimension — a model-free text "
+        "embedding whose construction is exact integer arithmetic, so "
+        "the per-doc profile (nnz, l1 norm, position-weighted checksum) "
+        "is bit-stable across engines and partitionings. Scale shape: "
+        "token explode -> one (doc, dim) map-side-combined aggregation "
+        "-> per-doc rollup; the vector itself never materializes as a "
+        "row-level array wider than its non-zero components.",
+    )
+    def q_hash_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+        docs = load_table(spark, sf_dir, "documents", fan_out=True).select(
+            "doc_id", "text"
+        )
+        tok = F.coalesce(
+            tokens(F.col("text")), F.array().cast("array<string>")
+        )
+        toks = docs.select("doc_id", F.explode(tok).alias("t"))
+        dim_c = (
+            stable_hash(F.concat(F.lit(_HE_SALT), F.col("t"))) % HE_DIM
+        )
+        sign_c = F.when(
+            stable_hash(F.concat(F.lit(_HE_SIGN_SALT), F.col("t"))) % 2 == 0,
+            1,
+        ).otherwise(-1)
+        comps = (
+            toks.select("doc_id", dim_c.alias("dim"), sign_c.alias("s"))
+            .groupBy("doc_id", "dim")
+            .agg(F.sum("s").cast("bigint").alias("v"))
+        )
+        per_doc = comps.groupBy("doc_id").agg(
+            F.sum(F.when(F.col("v") != 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("nnz"),
+            F.sum(F.abs("v")).cast("bigint").alias("l1_norm"),
+            F.sum(F.col("v") * (F.col("dim") + 1))
+            .cast("bigint")
+            .alias("checksum"),
+        )
+        return (
+            docs.select("doc_id")
+            .join(per_doc, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.coalesce("nnz", F.lit(0)).cast("bigint").alias("nnz"),
+                F.coalesce("l1_norm", F.lit(0))
+                .cast("bigint")
+                .alias("l1_norm"),
+                F.coalesce("checksum", F.lit(0))
+                .cast("bigint")
+                .alias("checksum"),
+            )
+        )
+
+
+_register_hash_embed()

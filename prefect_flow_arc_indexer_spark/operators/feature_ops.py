@@ -533,3 +533,86 @@ def q_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.countDistinct("cross_key") > 1).alias("has_collision"),
         F.min("cross_key").alias("example_cross"),
     )
+
+
+# --------------------------------------------------------------------------
+# point-in-time-correct training-set construction (leakage-free labels)
+# --------------------------------------------------------------------------
+PIT_CUTOFF = "2024-04-01 00:00:00"
+PIT_HORIZON_DAYS = 30
+
+
+@register(
+    "q_pit_labels",
+    oracle=f"""WITH feats AS (
+  SELECT user_id,
+         count(*) AS n_events_before,
+         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_purchases_before,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+           AS value_cents_before,
+         max(epoch_us(ts)) AS last_seen_us
+    FROM events WHERE ts < TIMESTAMP '{PIT_CUTOFF}'
+   GROUP BY user_id
+),
+labels AS (
+  SELECT DISTINCT user_id, true AS converted
+    FROM events
+   WHERE event_type = 'purchase'
+     AND ts >= TIMESTAMP '{PIT_CUTOFF}'
+     AND ts < TIMESTAMP '{PIT_CUTOFF}' + INTERVAL {PIT_HORIZON_DAYS} DAY
+)
+SELECT f.user_id, f.n_events_before, f.n_purchases_before,
+       f.value_cents_before, f.last_seen_us,
+       coalesce(l.converted, false) AS label
+  FROM feats f LEFT JOIN labels l ON l.user_id = f.user_id
+""",
+    doc="point-in-time-correct training-set construction: features are "
+    f"aggregated STRICTLY before the cutoff ({PIT_CUTOFF}), the label "
+    f"(purchase within the next {PIT_HORIZON_DAYS} days) strictly after — "
+    "the temporal-leakage discipline every supervised pipeline over event "
+    "data needs (a feature computed past the cutoff would leak the "
+    "label). Users first seen after the cutoff are excluded by "
+    "construction (no features exist for them at decision time). One "
+    "scan with the cutoff predicates pushed to parquet, two "
+    "map-side-combined aggregations on user_id, one ids-only left join; "
+    "value sums in exact integer cents.",
+)
+def q_pit_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    cutoff = F.lit(PIT_CUTOFF).cast("timestamp")
+    horizon = F.lit(PIT_CUTOFF).cast("timestamp") + F.expr(
+        f"INTERVAL {PIT_HORIZON_DAYS} DAY"
+    )
+    feats = (
+        ev.where(F.col("ts") < cutoff)
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events_before"),
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_purchases_before"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("value_cents_before"),
+            F.max(F.unix_micros("ts")).alias("last_seen_us"),
+        )
+    )
+    labels = (
+        ev.where(
+            (F.col("event_type") == "purchase")
+            & (F.col("ts") >= cutoff)
+            & (F.col("ts") < horizon)
+        )
+        .select("user_id")
+        .distinct()
+        .withColumn("converted", F.lit(True))
+    )
+    return feats.join(labels, "user_id", "left").select(
+        "user_id",
+        "n_events_before",
+        "n_purchases_before",
+        "value_cents_before",
+        "last_seen_us",
+        F.coalesce("converted", F.lit(False)).alias("label"),
+    )

