@@ -82,3 +82,28 @@ def test_partitioned_roundtrip_exact(spark, tmp_path):
     assert signature(got.columns, [tuple(r) for r in got.collect()]) == signature(
         ev.columns, [tuple(r) for r in ev.collect()]
     )
+
+
+def test_dynamic_partition_pruning_via_dim_filter(spark, tmp_path):
+    """Runtime (dynamic) partition pruning: joining the date-partitioned
+    fact against a FILTERED dimension must inject a dynamicpruning
+    subquery into the fact scan's partition filters — at 100 TB this is
+    the difference between scanning 3 partitions and scanning all of
+    them when the pruning predicate only exists on the dim side."""
+    path = str(tmp_path / "events_dpp")
+    ev = _events(spark)
+    pp.write_partitioned(ev, path)
+    fact = spark.read.parquet(path)
+
+    dates = sorted(
+        r["event_date"]
+        for r in ev.select("event_date").distinct().collect()
+    )[:3]
+    dim = spark.createDataFrame(
+        [(d, "picked") for d in dates], "event_date date, tag string"
+    )
+    joined = fact.join(dim, "event_date").where(F.col("tag") == "picked")
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
+    want = ev.where(F.col("event_date").isin(dates)).count()
+    assert joined.count() == want
