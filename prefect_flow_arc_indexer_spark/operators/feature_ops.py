@@ -616,3 +616,79 @@ def q_pit_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
         "last_seen_us",
         F.coalesce("converted", F.lit(False)).alias("label"),
     )
+
+
+# --------------------------------------------------------------------------
+# leave-one-out target encoding (leakage-aware categorical feature)
+# --------------------------------------------------------------------------
+TE_SMOOTH_M = 10  # pseudo-count weight of the global prior
+
+
+@register(
+    "q_target_encoding",
+    oracle=f"""WITH cents AS (
+  SELECT c_custkey, c_nationkey,
+         CAST(round(c_acctbal * 100) AS BIGINT) AS bal_u
+    FROM customer
+),
+grp AS (
+  SELECT c_nationkey,
+         CAST(sum(bal_u) AS BIGINT) AS s_g,
+         count(*) AS n_g
+    FROM cents GROUP BY c_nationkey
+),
+gtot AS (
+  SELECT CAST(sum(bal_u) AS BIGINT) AS s_t, count(*) AS n_t FROM cents
+)
+SELECT c.c_custkey, c.c_nationkey,
+       round(
+         (CAST(g.s_g - c.bal_u AS DOUBLE)
+          + {TE_SMOOTH_M} * (CAST(gl.s_t AS DOUBLE) / gl.n_t))
+         / (g.n_g - 1 + {TE_SMOOTH_M}) / 100.0, 6) AS nation_enc
+  FROM cents c
+  JOIN grp g ON g.c_nationkey = c.c_nationkey
+  CROSS JOIN gtot gl
+""",
+    doc="leave-one-out target encoding of a categorical feature (nation -> "
+    "account balance): each row's encoding excludes ITS OWN target value "
+    "(the leakage guard that separates target encoding from a train-time "
+    "oracle) and shrinks toward the global mean with a pseudo-count of "
+    f"{TE_SMOOTH_M} (Micci-Barreca '01). Group sums are exact integer "
+    "cents, so the per-row arithmetic is (bigint - bigint + m*mu) over "
+    "one deterministic float chain — engines agree bit-for-bit. Scale "
+    "shape: one map-side-combined group agg (bounded by the category "
+    "cardinality), a broadcast join back, a 1-row global prior — "
+    "encoding cost is scan cost.",
+)
+def q_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        F.round(F.col("c_acctbal") * 100).cast("bigint").alias("bal_u"),
+    )
+    grp = cust.groupBy("c_nationkey").agg(
+        F.sum("bal_u").cast("bigint").alias("s_g"),
+        F.count("*").alias("n_g"),
+    )
+    glob = cust.agg(
+        F.sum("bal_u").cast("bigint").alias("s_t"),
+        F.count("*").alias("n_t"),
+    )
+    mu = F.col("s_t").cast("double") / F.col("n_t")
+    return (
+        cust.join(F.broadcast(grp), "c_nationkey")
+        .crossJoin(F.broadcast(glob))
+        .select(
+            "c_custkey",
+            "c_nationkey",
+            F.round(
+                (
+                    (F.col("s_g") - F.col("bal_u")).cast("double")
+                    + TE_SMOOTH_M * mu
+                )
+                / (F.col("n_g") - 1 + TE_SMOOTH_M)
+                / 100.0,
+                6,
+            ).alias("nation_enc"),
+        )
+    )

@@ -389,3 +389,30 @@ def test_pit_labels_no_leakage(spark):
     for uid, fs in first_seen.items():
         if fs < cutoff:
             assert uid in rows
+
+
+def test_target_encoding_loo_replay(spark):
+    """Encoding replayed in pure Python: excludes own value, shrinks to
+    the global mean; a category of one collapses to (m*mu)/m = mu."""
+    from prefect_flow_arc_indexer_spark.operators.feature_ops import (
+        TE_SMOOTH_M,
+    )
+    from prefect_flow_arc_indexer_spark.sources.parquet import load_table
+
+    cust = load_table(spark, SF_DIR, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    ).collect()
+    bal = {r["c_custkey"]: round(r["c_acctbal"] * 100) for r in cust}
+    by_nat = {}
+    for r in cust:
+        by_nat.setdefault(r["c_nationkey"], []).append(bal[r["c_custkey"]])
+    s_t = sum(bal.values())
+    mu = s_t / len(bal)
+    rows = _run("q_target_encoding", spark).collect()
+    assert len(rows) == len(cust)
+    for r in rows[:100]:
+        vals = by_nat[r["c_nationkey"]]
+        expect = (
+            (sum(vals) - bal[r["c_custkey"]]) + TE_SMOOTH_M * mu
+        ) / (len(vals) - 1 + TE_SMOOTH_M) / 100.0
+        assert abs(r["nation_enc"] - expect) < 5e-6
