@@ -1626,3 +1626,160 @@ sig AS (
 
 
 _register_band_sweep()
+
+
+# --------------------------------------------------------------------------
+# learned-dedup training table: features + label per candidate pair
+# --------------------------------------------------------------------------
+def _register_pair_features():
+    """Training-set construction for a LEARNED dedup verifier: per LSH
+    candidate pair, cheap row-local features (token-length ratio, same
+    source, same lang) beside the exact-Jaccard label — the table a
+    learned blocker/verifier trains on so the expensive exact stage can
+    eventually be replaced by a model score."""
+    mins = ",".join(
+        f"min((h * {a} + {b}) % {HASH_PRIME}) AS m{i}"
+        for i, (a, b) in enumerate(MINHASH_COEFFS)
+    )
+    bands = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, {b} AS band_id, concat_ws('_', "
+        + ", ".join(f"m{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND))
+        + ") AS band_key FROM sig"
+        for b in range(N_BANDS)
+    )
+    oracle = f"""WITH {_dd_shingle_cte()},
+sig AS (
+  SELECT doc_id, {mins} FROM hashes GROUP BY doc_id
+),
+buckets AS (
+{bands}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM buckets a JOIN buckets b
+      ON a.band_id = b.band_id AND a.band_key = b.band_key
+     AND a.doc_id < b.doc_id
+),
+meta AS (
+  SELECT doc_id, source, lang,
+         coalesce(len({dd_tokens("text")}), 0) AS n_tok
+    FROM documents
+),
+sizes AS (
+  SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id
+),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS i
+    FROM cand c
+    JOIN shingles sa ON sa.doc_id = c.doc_a
+    JOIN shingles sb ON sb.doc_id = c.doc_b AND sb.s = sa.s
+   GROUP BY c.doc_a, c.doc_b
+)
+SELECT c.doc_a, c.doc_b,
+       CAST(round(1000000.0 * least(ma.n_tok, mb.n_tok)
+                  / greatest(greatest(ma.n_tok, mb.n_tok), 1)) AS BIGINT)
+         AS len_ratio_u,
+       (ma.source = mb.source) AS same_source,
+       (ma.lang = mb.lang) AS same_lang,
+       round(CAST(coalesce(i.i, 0) AS DOUBLE)
+             / (za.n + zb.n - coalesce(i.i, 0)), 6) AS jaccard,
+       (round(CAST(coalesce(i.i, 0) AS DOUBLE)
+              / (za.n + zb.n - coalesce(i.i, 0)), 6)
+        >= {MINHASH_VERIFY_THRESHOLD}) AS label
+  FROM cand c
+  JOIN meta ma ON ma.doc_id = c.doc_a
+  JOIN meta mb ON mb.doc_id = c.doc_b
+  JOIN sizes za ON za.doc_id = c.doc_a
+  JOIN sizes zb ON zb.doc_id = c.doc_b
+  LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+"""
+
+    @register(
+        "q_pair_features",
+        oracle=oracle,
+        doc="learned-dedup training table: per LSH candidate pair, cheap "
+        "row-local features (micro-unit token-length ratio, same-source "
+        "and same-lang flags) beside the exact-Jaccard label at the "
+        "production threshold — the supervision a learned verifier "
+        "trains on to replace the exact stage with a model score. "
+        "Features join ids-only against per-doc metadata; only the "
+        "label column touches the shingle stream, restricted to the "
+        "candidate set (same cost envelope as the verify pipeline it "
+        "would eventually retire).",
+    )
+    def q_pair_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+        docs = load_table(spark, sf_dir, "documents", fan_out=True)
+        cand = lsh_candidate_pairs(minhash_signature(docs))
+        meta = docs.select(
+            "doc_id",
+            "source",
+            "lang",
+            F.coalesce(F.size(tokens(F.col("text"))), F.lit(0)).alias(
+                "n_tok"
+            ),
+        )
+        sh = (
+            docs.select("doc_id", tokens(F.col("text")).alias("tok"))
+            .select(
+                "doc_id",
+                F.explode(word_ngrams(F.col("tok"), SHINGLE_N)).alias("s"),
+            )
+            .distinct()
+        )
+        sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+        sha = sh.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("sa"))
+        shb = sh.select(F.col("doc_id").alias("_db"), F.col("s").alias("sb"))
+        inter = (
+            cand.join(sha, "doc_a")
+            .join(
+                shb,
+                (F.col("doc_b") == F.col("_db"))
+                & (F.col("sb") == F.col("sa")),
+            )
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count("*").alias("i"))
+        )
+        ma = meta.select(
+            F.col("doc_id").alias("doc_a"),
+            F.col("source").alias("src_a"),
+            F.col("lang").alias("lang_a"),
+            F.col("n_tok").alias("tok_a"),
+        )
+        mb = meta.select(
+            F.col("doc_id").alias("doc_b"),
+            F.col("source").alias("src_b"),
+            F.col("lang").alias("lang_b"),
+            F.col("n_tok").alias("tok_b"),
+        )
+        za = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+        zb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+        jac = F.round(
+            F.coalesce(F.col("i"), F.lit(0)).cast("double")
+            / (F.col("na") + F.col("nb") - F.coalesce(F.col("i"), F.lit(0))),
+            6,
+        )
+        return (
+            cand.join(ma, "doc_a")
+            .join(mb, "doc_b")
+            .join(za, "doc_a")
+            .join(zb, "doc_b")
+            .join(inter, ["doc_a", "doc_b"], "left")
+            .select(
+                "doc_a",
+                "doc_b",
+                F.round(
+                    1_000_000.0
+                    * F.least("tok_a", "tok_b")
+                    / F.greatest(F.greatest("tok_a", "tok_b"), F.lit(1))
+                )
+                .cast("bigint")
+                .alias("len_ratio_u"),
+                (F.col("src_a") == F.col("src_b")).alias("same_source"),
+                (F.col("lang_a") == F.col("lang_b")).alias("same_lang"),
+                jac.alias("jaccard"),
+                (jac >= MINHASH_VERIFY_THRESHOLD).alias("label"),
+            )
+        )
+
+
+_register_pair_features()

@@ -416,3 +416,22 @@ def test_target_encoding_loo_replay(spark):
             (sum(vals) - bal[r["c_custkey"]]) + TE_SMOOTH_M * mu
         ) / (len(vals) - 1 + TE_SMOOTH_M) / 100.0
         assert abs(r["nation_enc"] - expect) < 5e-6
+
+
+def test_pair_features_label_consistency(spark):
+    """Labels agree with q_minhash_verified's surviving pair set; features
+    bounded; candidate grain matches q_dedup_minhash."""
+    rows = _run("q_pair_features", spark).collect()
+    cand = {
+        (r["doc_a"], r["doc_b"])
+        for r in _run("q_dedup_minhash", spark).collect()
+    }
+    verified = {
+        (r["doc_a"], r["doc_b"])
+        for r in _run("q_minhash_verified", spark).collect()
+    }
+    assert {(r["doc_a"], r["doc_b"]) for r in rows} == cand
+    for r in rows:
+        assert 0 <= r["len_ratio_u"] <= 1_000_000
+        assert 0.0 <= r["jaccard"] <= 1.0
+        assert r["label"] == ((r["doc_a"], r["doc_b"]) in verified)
