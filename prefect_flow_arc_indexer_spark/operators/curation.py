@@ -1030,3 +1030,78 @@ SELECT d.doc_id,
 
 
 _register_hash_embed()
+
+
+# --------------------------------------------------------------------------
+# embedding-dimension health: per-dim variance / dead-dimension audit
+# --------------------------------------------------------------------------
+DEAD_VAR = 1e-4  # a dimension varying less than this is dead weight
+
+
+def _register_dim_variance():
+    oracle = f"""WITH comp AS (
+  SELECT i - 1 AS dim,
+         count(*) AS n,
+         CAST(sum(CAST(round((embedding::DOUBLE[])[i] * 1000000) AS BIGINT))
+              AS BIGINT) AS sx,
+         CAST(sum(CAST(round((embedding::DOUBLE[])[i] * 1000000) AS BIGINT)
+                  * CAST(round((embedding::DOUBLE[])[i] * 1000000) AS BIGINT))
+              AS BIGINT) AS sxx
+    FROM embeddings CROSS JOIN range(1, 65) t(i)
+   GROUP BY i
+)
+SELECT dim,
+       round(CAST(sx AS DOUBLE) / n / 1000000, 6) AS mean_v,
+       round(CAST(sxx AS DOUBLE) / n / 1000000000000
+             - (CAST(sx AS DOUBLE) / n / 1000000)
+               * (CAST(sx AS DOUBLE) / n / 1000000), 6) AS var_v,
+       (round(CAST(sxx AS DOUBLE) / n / 1000000000000
+              - (CAST(sx AS DOUBLE) / n / 1000000)
+                * (CAST(sx AS DOUBLE) / n / 1000000), 6) < {DEAD_VAR!r})
+         AS is_dead
+  FROM comp
+"""
+
+    @register(
+        "q_dim_variance",
+        oracle=oracle,
+        doc="embedding-dimension health audit: per-dimension mean and "
+        "variance from EXACT integer micro-unit sums (first and second "
+        "moments are bigint-additive, so partial-agg order can't drift), "
+        f"dimensions with variance < {DEAD_VAR} flagged dead — the "
+        "pre-index check that catches collapsed/dead dimensions before "
+        "they waste index width (and the empirical basis for the "
+        "Matryoshka prefix choice). One posexplode + a 64-key "
+        "map-side-combined aggregation; output is dimension-bounded.",
+    )
+    def q_dim_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+        e = load_table(spark, sf_dir, "embeddings", fan_out=True)
+        u = F.round(F.col("x") * 1_000_000).cast("bigint")
+        comp = (
+            e.select(
+                F.posexplode(
+                    F.col("embedding").cast("array<double>")
+                ).alias("pos", "x")
+            )
+            .select(F.col("pos").alias("dim"), u.alias("u"))
+            .groupBy("dim")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum("u").cast("bigint").alias("sx"),
+                F.sum(F.col("u") * F.col("u")).cast("bigint").alias("sxx"),
+            )
+        )
+        mean_d = F.col("sx").cast("double") / F.col("n") / 1_000_000
+        var_d = (
+            F.col("sxx").cast("double") / F.col("n") / 1_000_000_000_000
+            - mean_d * mean_d
+        )
+        return comp.select(
+            "dim",
+            F.round(mean_d, 6).alias("mean_v"),
+            F.round(var_d, 6).alias("var_v"),
+            (F.round(var_d, 6) < DEAD_VAR).alias("is_dead"),
+        )
+
+
+_register_dim_variance()

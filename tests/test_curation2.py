@@ -435,3 +435,25 @@ def test_pair_features_label_consistency(spark):
         assert 0 <= r["len_ratio_u"] <= 1_000_000
         assert 0.0 <= r["jaccard"] <= 1.0
         assert r["label"] == ((r["doc_a"], r["doc_b"]) in verified)
+
+
+def test_dim_variance_python_replay(spark):
+    """Per-dim mean/variance recomputed from the quantized vectors."""
+    from prefect_flow_arc_indexer_spark.operators.curation import DEAD_VAR
+    from prefect_flow_arc_indexer_spark.sources.parquet import load_table
+
+    vecs = [
+        [round(float(x) * 1_000_000) for x in r["embedding"]]
+        for r in load_table(spark, SF_DIR, "embeddings").collect()
+    ]
+    rows = {r["dim"]: r for r in _run("q_dim_variance", spark).collect()}
+    assert set(rows) == set(range(64))
+    n = len(vecs)
+    for dim in (0, 7, 31, 63):
+        us = [v[dim] for v in vecs]
+        mean = sum(us) / n / 1_000_000
+        var = sum(u * u for u in us) / n / 1e12 - mean * mean
+        r = rows[dim]
+        assert abs(r["mean_v"] - mean) < 5e-6
+        assert abs(r["var_v"] - var) < 5e-6
+        assert r["is_dead"] == (round(var, 6) < DEAD_VAR)
