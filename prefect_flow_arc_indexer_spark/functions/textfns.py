@@ -24,6 +24,11 @@ STOPWORDS: dict[str, tuple[str, ...]] = {
 }
 
 
+# canonical-normalization regex shared by curation + the dedup cascade
+# (lives here so importing it carries no registration side effects)
+NORM_RE = "[^a-z0-9]+"
+
+
 def tokens(col: Column | str) -> Column:
     """Whitespace word tokens (lowercased, empties dropped)."""
     c = F.col(col) if isinstance(col, str) else col

@@ -50,7 +50,9 @@ from prefect_flow_arc_indexer_spark.sources.parquet import load_table
 # --------------------------------------------------------------------------
 # one regex pass: any run of non-[a-z0-9] becomes a single space (applied on
 # the casefolded text), then trim. Identical RE2/Java semantics.
-_NORM_RE = "[^a-z0-9]+"
+from prefect_flow_arc_indexer_spark.functions.textfns import (  # noqa: E402
+    NORM_RE as _NORM_RE,
+)
 
 
 @register(
@@ -1105,3 +1107,144 @@ SELECT dim,
 
 
 _register_dim_variance()
+
+
+# --------------------------------------------------------------------------
+# k-fold cross-validation assignment + fold-balance audit
+# --------------------------------------------------------------------------
+KFOLDS = 5
+_KF_SALT = "fold:"
+
+
+def _register_kfold():
+    from prefect_flow_arc_indexer_spark.functions.textfns import (
+        dd_tokens,
+        tokens,
+    )
+
+    fold = dd_stable_hash(f"'{_KF_SALT}' || CAST(doc_id AS VARCHAR)") + (
+        f" % {KFOLDS}"
+    )
+    dd_tok = dd_tokens("text")
+    oracle = f"""WITH assigned AS (
+  SELECT {fold} AS fold,
+         coalesce(len({dd_tok}), 0) AS n_tok
+    FROM documents
+)
+SELECT fold,
+       count(*) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS total_tokens
+  FROM assigned GROUP BY fold
+"""
+
+    @register(
+        "q_kfold",
+        oracle=oracle,
+        doc=f"{KFOLDS}-fold cross-validation assignment by salted "
+        "engine-stable hash of the doc id (reproducible on any cluster "
+        "shape — the property CV needs so a re-run never moves a doc "
+        "across folds), summarized as the per-fold doc and token census "
+        "(the balance audit). The fold decision is a zero-shuffle "
+        "scan-side projection; only the 5-row summary aggregates. "
+        "Complements q_train_split (fixed 80/10/10) with the rotating-"
+        "holdout surface.",
+    )
+    def q_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "text"
+        )
+        fold_c = (
+            stable_hash(
+                F.concat(F.lit(_KF_SALT), F.col("doc_id").cast("string"))
+            )
+            % KFOLDS
+        )
+        n_tok = F.greatest(
+            F.coalesce(F.size(tokens(F.col("text"))), F.lit(0)), F.lit(0)
+        )
+        return (
+            docs.select(fold_c.alias("fold"), n_tok.alias("n_tok"))
+            .groupBy("fold")
+            .agg(
+                F.count("*").alias("n_docs"),
+                F.sum("n_tok").cast("bigint").alias("total_tokens"),
+            )
+        )
+
+
+_register_kfold()
+
+
+# --------------------------------------------------------------------------
+# duplication vs quality: the governance cross-tab
+# --------------------------------------------------------------------------
+def _register_dup_quality():
+    """Does duplicated content fail quality at a different rate? Join the
+    dedup-cluster size (q_dedup_components) against the Gopher verdict
+    (q_gopher_rules) and cross-tab keep rate by duplication bucket — the
+    governance readout that decides whether dedup and quality filtering
+    are redundant or complementary gates on THIS corpus."""
+    # import the providers FIRST so their registrations exist even when
+    # this module is imported directly (e.g. a test importing a constant)
+    # before the registry's ordered load runs; neither module imports
+    # curation, so there is no cycle
+    import prefect_flow_arc_indexer_spark.operators.corpus_quality  # noqa: F401
+    import prefect_flow_arc_indexer_spark.operators.dedup  # noqa: F401
+    from prefect_flow_arc_indexer_spark.plans.registry import _REGISTRY
+
+    comp_sql = _REGISTRY["q_dedup_components"].oracle
+    gopher_sql = _REGISTRY["q_gopher_rules"].oracle
+    oracle = f"""WITH comp AS ({comp_sql}),
+gopher AS ({gopher_sql}),
+joined AS (
+  SELECT CASE WHEN c.component_size = 1 THEN 'unique'
+              WHEN c.component_size <= 4 THEN 'small_cluster'
+              ELSE 'large_cluster' END AS dup_bucket,
+         CASE WHEN g.keep THEN 1 ELSE 0 END AS kept
+    FROM comp c JOIN gopher g ON g.doc_id = c.doc_id
+)
+SELECT dup_bucket,
+       count(*) AS n_docs,
+       CAST(sum(kept) AS BIGINT) AS n_kept,
+       round(CAST(sum(kept) AS DOUBLE) / count(*), 6) AS keep_rate
+  FROM joined GROUP BY dup_bucket
+"""
+
+    @register(
+        "q_dup_quality",
+        oracle=oracle,
+        doc="duplication x quality cross-tab: dedup-cluster size buckets "
+        "(unique / 2-4 / 5+) against the Gopher keep verdict — per "
+        "bucket the doc count and keep rate. The governance readout "
+        "that tells you whether near-dup content is ALSO low-quality "
+        "(gates redundant) or orthogonal (both needed). Composes two "
+        "oracle-gated operators with an ids-only join; the cross-tab is "
+        "3 rows.",
+    )
+    def q_dup_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+        comp = _REGISTRY["q_dedup_components"].builder(spark, sf_dir).select(
+            "doc_id", "component_size"
+        )
+        gopher = _REGISTRY["q_gopher_rules"].builder(spark, sf_dir).select(
+            "doc_id", "keep"
+        )
+        bucket = (
+            F.when(F.col("component_size") == 1, "unique")
+            .when(F.col("component_size") <= 4, "small_cluster")
+            .otherwise("large_cluster")
+        )
+        return (
+            comp.join(gopher, "doc_id")
+            .select(bucket.alias("dup_bucket"), F.col("keep").cast("int").alias("kept"))
+            .groupBy("dup_bucket")
+            .agg(
+                F.count("*").alias("n_docs"),
+                F.sum("kept").cast("bigint").alias("n_kept"),
+                F.round(
+                    F.sum("kept").cast("double") / F.count("*"), 6
+                ).alias("keep_rate"),
+            )
+        )
+
+
+_register_dup_quality()

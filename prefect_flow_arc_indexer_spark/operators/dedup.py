@@ -1399,7 +1399,7 @@ def _register_dedup_cascade():
     scan cost), then the expensive MinHash+LSH+connected-components pass
     over only the exact survivors. Emits the per-stage survivor census —
     the funnel numbers a dedup report publishes."""
-    from prefect_flow_arc_indexer_spark.operators.curation import _NORM_RE
+    from prefect_flow_arc_indexer_spark.functions.textfns import NORM_RE as _NORM_RE
 
     norm = f"trim(regexp_replace(lower(text), '{_NORM_RE}', ' ', 'g'))"
     mins = ",".join(
@@ -1478,8 +1478,8 @@ SELECT * FROM (
         "duplicates never reach the LSH exchange.",
     )
     def q_dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
-        from prefect_flow_arc_indexer_spark.operators.curation import (
-            _NORM_RE as norm_re,
+        from prefect_flow_arc_indexer_spark.functions.textfns import (
+            NORM_RE as norm_re,
         )
 
         docs = load_table(spark, sf_dir, "documents", fan_out=True).where(

@@ -457,3 +457,27 @@ def test_dim_variance_python_replay(spark):
         assert abs(r["mean_v"] - mean) < 5e-6
         assert abs(r["var_v"] - var) < 5e-6
         assert r["is_dead"] == (round(var, 6) < DEAD_VAR)
+
+
+def test_kfold_partition_and_determinism(spark):
+    from prefect_flow_arc_indexer_spark.operators.curation import KFOLDS
+
+    a = sorted(
+        (r["fold"], r["n_docs"], r["total_tokens"])
+        for r in _run("q_kfold", spark).collect()
+    )
+    b = sorted(
+        (r["fold"], r["n_docs"], r["total_tokens"])
+        for r in _run("q_kfold", spark).collect()
+    )
+    assert a == b  # reproducible assignment
+    assert len(a) <= KFOLDS
+    assert sum(n for _, n, _ in a) == 500
+
+
+def test_dup_quality_crosstab_accounts_for_corpus(spark):
+    rows = _run("q_dup_quality", spark).collect()
+    assert sum(r["n_docs"] for r in rows) == 500
+    for r in rows:
+        assert 0 <= r["n_kept"] <= r["n_docs"]
+        assert abs(r["keep_rate"] - r["n_kept"] / r["n_docs"]) < 5e-7
