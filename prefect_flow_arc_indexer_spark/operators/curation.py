@@ -1248,3 +1248,80 @@ SELECT dup_bucket,
 
 
 _register_dup_quality()
+
+
+# --------------------------------------------------------------------------
+# Gini concentration of corpus contribution
+# --------------------------------------------------------------------------
+def _register_gini():
+    from prefect_flow_arc_indexer_spark.functions.textfns import (
+        dd_tokens,
+        tokens,
+    )
+
+    dd_tok = dd_tokens("text")
+    oracle = f"""WITH sig AS (
+  SELECT doc_id, CAST(coalesce(len({dd_tok}), 0) AS BIGINT) AS n_tok
+    FROM documents
+),
+ranked AS (
+  SELECT n_tok, row_number() OVER (ORDER BY n_tok ASC, doc_id ASC) AS i
+    FROM sig
+),
+sums AS (
+  SELECT count(*) AS n,
+         CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+         CAST(sum(i * n_tok) AS BIGINT) AS s1
+    FROM ranked
+)
+SELECT CAST(n AS BIGINT) AS n, total_tokens,
+       round(2.0 * s1 / (CAST(n AS DOUBLE) * total_tokens)
+             - (n + 1.0) / n, 6) AS gini
+  FROM sums
+"""
+
+    @register(
+        "q_gini",
+        oracle=oracle,
+        doc="Gini coefficient of per-doc token contribution: the one-number "
+        "concentration readout (0 = every doc contributes equally, ->1 = "
+        "a few docs dominate the token budget) a corpus governance report "
+        "publishes next to the dataset card. The sorted-rank formulation "
+        "G = 2*sum(i*x_i)/(n*sum x) - (n+1)/n uses the scale-honest "
+        "two-pass global rank (ascending), exact bigint moment sums, and "
+        "ONE double evaluation — no single-task sort, "
+        "aggregation-order-proof.",
+    )
+    def q_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+        docs = load_table(spark, sf_dir, "documents", fan_out=True).select(
+            "doc_id", "text"
+        )
+        n_tok = F.greatest(
+            F.coalesce(F.size(tokens(F.col("text"))), F.lit(0)), F.lit(0)
+        ).cast("bigint")
+        sig = docs.select("doc_id", n_tok.alias("n_tok"))
+        # ascending rank via the shared two-pass helper: rank desc on the
+        # NEGATED signal == rank asc on the signal, with the same doc_id
+        # tie-break direction as the oracle's (n_tok ASC, doc_id ASC)
+        neg = sig.select("doc_id", (-F.col("n_tok")).alias("neg_tok"), "n_tok")
+        ranked = _global_rank(
+            neg.select("doc_id", "neg_tok"), "neg_tok"
+        ).join(sig, "doc_id")
+        sums = ranked.agg(
+            F.count("*").alias("n"),
+            F.sum("n_tok").cast("bigint").alias("total_tokens"),
+            F.sum(F.col("rnk") * F.col("n_tok")).cast("bigint").alias("s1"),
+        )
+        n_d = F.col("n").cast("double")
+        return sums.select(
+            F.col("n").cast("bigint").alias("n"),
+            "total_tokens",
+            F.round(
+                2.0 * F.col("s1") / (n_d * F.col("total_tokens"))
+                - (F.col("n") + 1.0) / F.col("n"),
+                6,
+            ).alias("gini"),
+        )
+
+
+_register_gini()

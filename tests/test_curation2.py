@@ -481,3 +481,19 @@ def test_dup_quality_crosstab_accounts_for_corpus(spark):
     for r in rows:
         assert 0 <= r["n_kept"] <= r["n_docs"]
         assert abs(r["keep_rate"] - r["n_kept"] / r["n_docs"]) < 5e-7
+
+
+def test_gini_python_replay(spark):
+    from prefect_flow_arc_indexer_spark.sources.parquet import load_table
+
+    row = _run("q_gini", spark).collect()[0]
+    xs = sorted(
+        len([t for t in (r["text"] or "").lower().split() if t])
+        for r in load_table(spark, SF_DIR, "documents").collect()
+    )
+    n = len(xs)
+    s1 = sum((i + 1) * x for i, x in enumerate(xs))
+    expect = 2.0 * s1 / (n * sum(xs)) - (n + 1.0) / n
+    assert row["n"] == n and row["total_tokens"] == sum(xs)
+    assert abs(row["gini"] - expect) < 5e-6
+    assert 0.0 <= row["gini"] < 1.0
