@@ -23,7 +23,8 @@ Semantics mapped from the reference:
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+import time
+from dataclasses import dataclass, field, replace
 
 from pyspark.sql import DataFrame, functions as F
 
@@ -128,6 +129,48 @@ def write_deletes(
             post(url, b"".join(buf), timeout_s)
 
     df.select(F.col(id_col)).foreachPartition(_partition)
+
+
+def shrink_chunk(entries: int) -> int:
+    """T6: the reference's backpressure step-down (flows/main_flow.py:
+    443-451): -50 while >50, then -10 while >10, then -1, floor 1."""
+    if entries > 50:
+        return entries - 50
+    if entries > 10:
+        return entries - 10
+    if entries > 1:
+        return entries - 1
+    return 1
+
+
+def write_adaptive(
+    df: DataFrame,
+    cfg: EsSinkConfig,
+    index: str,
+    write=write_upserts,
+    backoff_s: float = 120.0,
+    sleep=time.sleep,
+) -> EsSinkConfig:
+    """T6 adaptive bulk sizing (reference ``flows/main_flow.py:439-451``):
+    retry a failed bulk write with a smaller ``es.batch.size.entries`` —
+    sleep, shrink per :func:`shrink_chunk`, re-attempt. The write is
+    idempotent by id (upsert/delete), so a replay after a partial batch is
+    safe — the same guarantee the reference leans on when it rewinds its
+    server-side cursor to the last committed batch. Gives up only once a
+    1-entry batch fails. Returns the config that succeeded, so a caller
+    streaming many batches keeps the adapted size (as the reference does)."""
+    current = cfg
+    while True:
+        try:
+            write(df, current, index)
+            return current
+        except Exception:
+            if current.batch_entries <= 1:
+                raise
+            sleep(backoff_s)
+            current = replace(
+                current, batch_entries=shrink_chunk(current.batch_entries)
+            )
 
 
 def apply_actions_batch(

@@ -7,9 +7,24 @@
 - :func:`incremental_sync` (E2): per index, count changed rows since the
   inclusive watermark (skip-if-zero, T4), then merge upserts and tombstone
   deletes into the live generation (T3) and advance the watermark (T1).
+  When the sink's stored ``schema_name`` diverges from the source's current
+  value, the index is force-rebuilt instead of merged (T7, reference
+  ``flows/main_flow.py:62-86,674-693``).
 - both accept ``or_ids`` (E3): a caller-pinned, lowercased index subset that
   bypasses enumeration and orphan cleanup (reference flows/main_flow.py:
   633-640,652).
+
+Resilience / scheduling semantics carried over from the reference:
+
+- X4 flow-level retries (reference ``flows/main_flow.py:722-723``: 5 retries
+  x 500 s on the stream task): both drivers accept ``(retries,
+  retry_delay_s)``; a failed index rolls back its half-written generation,
+  sleeps, and retries — only after exhaustion does the run abort.
+- X3 concurrency classes (reference ``flows/main_flow.py:685-687,721``): the
+  two largest indexes carry the ``pg-indexer-large`` tag; :func:`full_sync`
+  maps the tag onto ``spark.scheduler.pool`` via a task-local property so a
+  fair-scheduler config can cap / isolate the heavyweight jobs exactly as
+  the reference's Prefect concurrency limit does.
 
 Spark notes: the per-index loop is *driver-side control flow* (as in the
 reference, where Prefect owns it); the data plane per index is one
@@ -21,6 +36,7 @@ same logic is a Delta/Iceberg MERGE or the ES connector's upsert mode.
 
 from __future__ import annotations
 
+import time
 from dataclasses import dataclass, field
 from datetime import datetime
 
@@ -31,6 +47,16 @@ from prefect_flow_arc_indexer_spark.pipeline.sinks import (
     generation_timestamp,
 )
 from prefect_flow_arc_indexer_spark.streaming.watermark import WatermarkStore
+
+# Reference concurrency tags (flows/main_flow.py:685-687,721); the top-2
+# largest indexes run under the -large class (same rule as q_topk_tail).
+POOL_DEFAULT = "pg-indexer"
+POOL_LARGE = "pg-indexer-large"
+N_LARGE = 2
+
+# Reference JSONB probe path (flows/main_flow.py:69:
+# ``document->'schema_maintainer'->>'schema_name'``).
+SCHEMA_PATH = "$.schema_maintainer.schema_name"
 
 
 @dataclass
@@ -43,6 +69,9 @@ class SyncReport:
     reconcile_ok: dict[str, bool] = field(default_factory=dict)
     rolled_back: list[str] = field(default_factory=list)
     dropped_orphans: list[str] = field(default_factory=list)
+    rebuilt: list[str] = field(default_factory=list)  # T7 forced rebuilds
+    retried: dict[str, int] = field(default_factory=dict)  # X4 retries used
+    pools: dict[str, str] = field(default_factory=dict)  # X3 pool per index
 
 
 def _enumerate_indexes(docs: DataFrame) -> list[str]:
@@ -69,12 +98,52 @@ def _order_by_size(docs: DataFrame, indexes: list[str]) -> list[str]:
     return [r["index"] for r in rows]
 
 
+def _run_with_retries(
+    index: str,
+    attempt,
+    rollback,
+    report: SyncReport,
+    retries: int,
+    retry_delay_s: float,
+    sleep,
+) -> None:
+    """X4: run ``attempt()`` up to ``1 + retries`` times; every failure
+    rolls back via ``rollback()`` (X5) so a retry starts from a clean sink;
+    the last failure re-raises after a final rollback."""
+    for n in range(retries + 1):
+        try:
+            attempt()
+            if n:
+                report.retried[index] = n
+            return
+        except Exception:
+            rollback()
+            if n == retries:
+                report.rolled_back.append(index)
+                raise
+            sleep(retry_delay_s)
+
+
+def _probe_schema_name(frame: DataFrame, path: str):
+    """T7 probe: the ``schema_name`` of one (deterministically-arbitrary:
+    min-id) document — the reference grabs an arbitrary doc from each side
+    (flows/main_flow.py:37-59) and compares the JSONB path value."""
+    row = frame.agg(
+        F.min_by(F.get_json_object(F.col("document"), path), F.col("id"))
+        .alias("schema_name")
+    ).first()
+    return row["schema_name"] if row else None
+
+
 def full_sync(
     spark: SparkSession,
     docs: DataFrame,
     sink: VersionedSink,
     or_ids: list[str] | None = None,
     now: datetime | None = None,
+    retries: int = 0,
+    retry_delay_s: float = 0.0,
+    sleep=time.sleep,
 ) -> SyncReport:
     """E1: full rebuild with write-audit-publish per index."""
     report = SyncReport()
@@ -87,26 +156,41 @@ def full_sync(
     if not indexes:
         return report
     report.indexes = _order_by_size(docs, indexes)
+    # X3: _order_by_size is ascending, so the top-N_LARGE are the tail
+    large = set(report.indexes[-N_LARGE:])
     ts = generation_timestamp(now)
+    sc = spark.sparkContext
 
-    for index in report.indexes:
-        live = docs.where(
-            (F.col("index") == index) & ~F.col("is_deleted")
-        ).select("id", "document")
-        gen = sink.generation_name(index, ts)
-        try:
-            sink.write_generation(live, index, ts)
-            # X7: count reconciliation before the swap commits the alias
-            expected = live.count()
-            actual = spark.read.parquet(sink.generation_path(gen)).count()
-            report.reconcile_ok[index] = expected == actual
-            sink.publish(index, gen)
-            report.written[index] = actual
-        except Exception:
-            # X5: roll back the half-written generation, keep the old alias
-            sink.drop_generation(gen)
-            report.rolled_back.append(index)
-            raise
+    try:
+        for index in report.indexes:
+            pool = POOL_LARGE if index in large else POOL_DEFAULT
+            report.pools[index] = pool
+            sc.setLocalProperty("spark.scheduler.pool", pool)
+            live = docs.where(
+                (F.col("index") == index) & ~F.col("is_deleted")
+            ).select("id", "document")
+            gen = sink.generation_name(index, ts)
+
+            def attempt(index=index, live=live, gen=gen):
+                sink.write_generation(live, index, ts)
+                # X7: count reconciliation before the swap commits the alias
+                expected = live.count()
+                actual = spark.read.parquet(sink.generation_path(gen)).count()
+                report.reconcile_ok[index] = expected == actual
+                sink.publish(index, gen)
+                report.written[index] = actual
+
+            _run_with_retries(
+                index,
+                attempt,
+                lambda gen=gen: sink.drop_generation(gen),
+                report,
+                retries,
+                retry_delay_s,
+                sleep,
+            )
+    finally:
+        sc.setLocalProperty("spark.scheduler.pool", None)
     return report
 
 
@@ -118,8 +202,13 @@ def incremental_sync(
     pipeline_name: str = "default",
     or_ids: list[str] | None = None,
     now: datetime | None = None,
+    schema_path: str = SCHEMA_PATH,
+    retries: int = 0,
+    retry_delay_s: float = 0.0,
+    sleep=time.sleep,
 ) -> SyncReport:
-    """E2: CDC merge since the inclusive watermark, tombstones propagated."""
+    """E2: CDC merge since the inclusive watermark, tombstones propagated;
+    schema drift forces a full per-index rebuild (T7)."""
     report = SyncReport()
     wm = watermarks.get(pipeline_name)
     if wm is None:
@@ -133,6 +222,7 @@ def incremental_sync(
     report.indexes = indexes
 
     changed = docs.where(F.col("updated_at") >= F.lit(wm))  # T2: inclusive
+    ts = generation_timestamp(run_started)
     for index in indexes:
         batch = changed.where(F.col("index") == index)
         # T4/A4: skip-if-zero gate before any write work
@@ -140,24 +230,61 @@ def incremental_sync(
         if n == 0:
             report.skipped.append(index)
             continue
-        if not sink.alias_exists(index):
-            # T7-adjacent: index missing downstream -> full rebuild path
-            live = docs.where(
-                (F.col("index") == index) & ~F.col("is_deleted")
-            ).select("id", "document")
-            gen = sink.write_generation(live, index, generation_timestamp(run_started))
-            sink.publish(index, gen)
+        live = docs.where(
+            (F.col("index") == index) & ~F.col("is_deleted")
+        ).select("id", "document")
+
+        rebuild = not sink.alias_exists(index)
+        old = None
+        if not rebuild:
+            old = sink.read_alias(spark, index)
+            # T7: schema_name drift in the sink forces a full rebuild
+            # (reference flows/main_flow.py:62-86,674-693) — compare one
+            # arbitrary doc's JSONB path value on each side.
+            sink_name = _probe_schema_name(old, schema_path)
+            src_name = _probe_schema_name(live, schema_path)
+            if sink_name != src_name:
+                rebuild = True
+                report.rebuilt.append(index)
+
+        if rebuild:
+            gen = sink.generation_name(index, ts)
+
+            def attempt(index=index, live=live, gen=gen):
+                sink.write_generation(live, index, ts)
+                sink.publish(index, gen)
+
+            _run_with_retries(
+                index,
+                attempt,
+                lambda gen=gen: sink.drop_generation(gen),
+                report,
+                retries,
+                retry_delay_s,
+                sleep,
+            )
             report.written[index] = n
             continue
-        old = sink.read_alias(spark, index)
+
         upserts = batch.where(~F.col("is_deleted")).select("id", "document")
         touched_ids = batch.select("id")
         # idempotent by id: delete-then-insert covers upsert AND tombstone
         merged = old.join(touched_ids, "id", "left_anti").unionByName(upserts)
-        gen = sink.write_generation(
-            merged, index, generation_timestamp(run_started)
+        gen = sink.generation_name(index, ts)
+
+        def attempt(index=index, merged=merged, gen=gen):
+            sink.write_generation(merged, index, ts)
+            sink.publish(index, gen)
+
+        _run_with_retries(
+            index,
+            attempt,
+            lambda gen=gen: sink.drop_generation(gen),
+            report,
+            retries,
+            retry_delay_s,
+            sleep,
         )
-        sink.publish(index, gen)
         report.written[index] = n
 
     # T1: the *run start* becomes the next watermark (rows updated while the

@@ -266,6 +266,193 @@ def test_es_sink_rest_delete_bulk_bodies(spark, tmp_path):
     assert max(len(p["body"].strip().split("\n")) for p in posts) <= 2
 
 
+def test_schema_drift_forces_full_rebuild(spark, sink, tmp_path):
+    """T7 (reference flows/main_flow.py:62-86,674-693): when the sink's
+    stored schema_maintainer.schema_name diverges from the source's current
+    value, the incremental path must fully rebuild that index — not merge —
+    and flip the alias to the new generation."""
+    wm = WatermarkStore(str(tmp_path / "wm.json"))
+    v1 = [
+        ("alpha", "1", '{"schema_maintainer": {"schema_name": "Org A"}, "v": 1}',
+         False, "2024-01-01 00:00:00"),
+        ("alpha", "2", '{"schema_maintainer": {"schema_name": "Org A"}, "v": 2}',
+         False, "2024-01-02 00:00:00"),
+        ("alpha", "9", '{"schema_maintainer": {"schema_name": "Org A"}}',
+         False, "2024-01-02 00:00:00"),
+    ]
+    full_sync(spark, _docs(spark, v1), sink, now=datetime(2024, 2, 1))
+    wm.set("default", datetime(2024, 1, 10))
+    # the org renamed: every doc now carries the new schema_name, but only
+    # doc 2 is past the watermark — a plain merge would leave 1 and 9 stale
+    v2 = [
+        ("alpha", "1", '{"schema_maintainer": {"schema_name": "Org B"}, "v": 1}',
+         False, "2024-01-01 00:00:00"),
+        ("alpha", "2", '{"schema_maintainer": {"schema_name": "Org B"}, "v": 22}',
+         False, "2024-01-15 00:00:00"),
+        ("alpha", "9", '{"schema_maintainer": {"schema_name": "Org B"}}',
+         False, "2024-01-02 00:00:00"),
+    ]
+    report = incremental_sync(
+        spark, _docs(spark, v2), sink, wm, now=datetime(2024, 2, 2)
+    )
+    assert report.rebuilt == ["alpha"]
+    state = {r.id: r.document for r in sink.read_alias(spark, "alpha").collect()}
+    assert len(state) == 3
+    assert all('"Org B"' in doc for doc in state.values())  # no stale docs
+    # alias points at the rebuilt generation, old generation dropped
+    assert sink.read_manifest()["alpha"] == "alpha_2024-02-02t00.00.00"
+
+
+def test_schema_stable_keeps_merge_path(spark, sink, tmp_path):
+    """T7 negative: same schema_name on both sides -> normal CDC merge."""
+    wm = WatermarkStore(str(tmp_path / "wm.json"))
+    rows = [
+        ("alpha", "1", '{"schema_maintainer": {"schema_name": "Org A"}, "v": 1}',
+         False, "2024-01-01 00:00:00"),
+        ("alpha", "2", '{"schema_maintainer": {"schema_name": "Org A"}, "v": 2}',
+         False, "2024-01-15 00:00:00"),
+    ]
+    full_sync(spark, _docs(spark, rows), sink, now=datetime(2024, 2, 1))
+    wm.set("default", datetime(2024, 1, 10))
+    report = incremental_sync(
+        spark, _docs(spark, rows), sink, wm, now=datetime(2024, 2, 2)
+    )
+    assert report.rebuilt == []
+    assert report.written == {"alpha": 1}
+
+
+def test_flow_level_retries_then_success(spark, sink, monkeypatch):
+    """X4 (reference flows/main_flow.py:722-723): a transient sink failure
+    retries after the delay instead of aborting the run; the failed
+    attempt's generation is rolled back before the retry."""
+    calls = {"n": 0}
+    slept = []
+    original = VersionedSink.publish
+
+    def flaky_publish(self, alias, generation, drop_old=True):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("transient sink failure")
+        return original(self, alias, generation, drop_old)
+
+    monkeypatch.setattr(VersionedSink, "publish", flaky_publish)
+    report = full_sync(
+        spark,
+        _docs(spark, BASE_ROWS),
+        sink,
+        now=datetime(2024, 2, 1),
+        retries=2,
+        retry_delay_s=500.0,
+        sleep=slept.append,
+    )
+    monkeypatch.setattr(VersionedSink, "publish", original)
+    assert slept == [500.0]
+    assert report.retried == {"beta": 1}  # beta (smallest) hit the failure
+    assert report.rolled_back == []
+    assert sink.alias_exists("beta") and sink.alias_exists("alpha")
+
+
+def test_flow_level_retries_exhaust_and_rollback(spark, sink, monkeypatch):
+    """X4 + X5: after exhausting retries the run aborts, the half-written
+    generation is gone, and the index is recorded as rolled back."""
+    def always_fail(self, alias, generation, drop_old=True):
+        raise RuntimeError("persistent sink failure")
+
+    monkeypatch.setattr(VersionedSink, "publish", always_fail)
+    slept = []
+    with pytest.raises(RuntimeError, match="persistent"):
+        full_sync(
+            spark,
+            _docs(spark, BASE_ROWS),
+            sink,
+            now=datetime(2024, 2, 1),
+            retries=2,
+            retry_delay_s=1.0,
+            sleep=slept.append,
+        )
+    assert slept == [1.0, 1.0]  # 1 initial + 2 retries -> 2 sleeps
+    assert sink.list_generations() == []  # every attempt rolled back
+
+
+def test_scheduler_pool_tags_top2_large(spark, sink, monkeypatch):
+    """X3 (reference flows/main_flow.py:685-687,721): the two largest
+    indexes run under the pg-indexer-large scheduler pool; the local
+    property is live while their jobs execute and cleared afterwards."""
+    rows = BASE_ROWS + [
+        ("gamma", "20", '{"v": 20}', False, "2024-01-01 00:00:00"),
+        ("gamma", "21", '{"v": 21}', False, "2024-01-01 00:00:00"),
+        ("gamma", "22", '{"v": 22}', False, "2024-01-01 00:00:00"),
+    ]
+    seen_pools = {}
+    original = VersionedSink.write_generation
+
+    def spying_write(self, df, alias, timestamp):
+        seen_pools[alias] = df.sparkSession.sparkContext.getLocalProperty(
+            "spark.scheduler.pool"
+        )
+        return original(self, df, alias, timestamp)
+
+    monkeypatch.setattr(VersionedSink, "write_generation", spying_write)
+    report = full_sync(spark, _docs(spark, rows), sink, now=datetime(2024, 2, 1))
+    # sizes: beta=1 < alpha=2 < gamma=3 -> alpha+gamma are the top 2
+    assert report.pools == {
+        "beta": "pg-indexer",
+        "alpha": "pg-indexer-large",
+        "gamma": "pg-indexer-large",
+    }
+    assert seen_pools == report.pools  # property was live during each write
+    assert (
+        spark.sparkContext.getLocalProperty("spark.scheduler.pool") is None
+    )
+
+
+def test_adaptive_bulk_shrink_steps_down(spark):
+    """T6 (reference flows/main_flow.py:439-451): on bulk failure the chunk
+    size steps down 500 -> 450 -> ... (-50 while >50, -10 while >10, -1)
+    with a sleep between attempts, and the adapted config is returned."""
+    from prefect_flow_arc_indexer_spark.pipeline.es_sink import (
+        EsSinkConfig,
+        shrink_chunk,
+        write_adaptive,
+    )
+
+    # the exact reference step schedule
+    sizes = [500]
+    while sizes[-1] > 1:
+        sizes.append(shrink_chunk(sizes[-1]))
+    assert sizes[:3] == [500, 450, 400]
+    assert sizes[-6:] == [50, 40, 30, 20, 10, 9] or 1 in sizes
+    assert sizes[-1] == 1 and all(a > b for a, b in zip(sizes, sizes[1:]))
+
+    df = spark.createDataFrame([("1",)], "_id string")
+    attempts, slept = [], []
+
+    def flaky_write(frame, cfg, index):
+        attempts.append(cfg.batch_entries)
+        if cfg.batch_entries > 400:  # ES times out on big bulks
+            raise TimeoutError("bulk timeout")
+
+    cfg = EsSinkConfig(nodes="es:9200", id_column="_id")
+    adapted = write_adaptive(
+        df, cfg, "idx", write=flaky_write, backoff_s=120.0, sleep=slept.append
+    )
+    assert attempts == [500, 450, 400]
+    assert slept == [120.0, 120.0]
+    assert adapted.batch_entries == 400  # caller keeps the adapted size
+
+    def always_fail(frame, cfg, index):
+        raise TimeoutError("down hard")
+
+    with pytest.raises(TimeoutError):
+        write_adaptive(
+            df,
+            EsSinkConfig(nodes="es:9200", batch_entries=2),
+            "idx",
+            write=always_fail,
+            sleep=slept.append,
+        )
+
+
 def test_read_files_formats_agree(spark, tmp_path):
     """The same table staged as parquet/json/csv reads back identically
     through the unified reader (explicit schema, FAILFAST)."""
