@@ -359,7 +359,8 @@ def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_preference_pairs",
     oracle="""WITH p AS (
-  SELECT user_id, event_id, value FROM events WHERE event_type = 'purchase'
+  SELECT user_id, event_id, value FROM events
+   WHERE event_type = 'purchase' AND value IS NOT NULL
 ), c AS (
   SELECT user_id, event_id AS chosen_event, value AS chosen_value
     FROM p
@@ -389,9 +390,12 @@ SELECT c.user_id, chosen_event,
     "partials at the scan.",
 )
 def q_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # value IS NOT NULL keeps the struct-ordered max_by/min_by aligned with
+    # the oracle's nulls-last ranking if the corpus ever carries NULL values
+    # (Spark sorts NULL smallest inside a struct; DuckDB ranks it last)
     p = (
         load_table(spark, sf_dir, "events")
-        .where(F.col("event_type") == "purchase")
+        .where((F.col("event_type") == "purchase") & F.col("value").isNotNull())
         .select("user_id", "event_id", "value")
     )
     agg = p.groupBy("user_id").agg(

@@ -383,7 +383,6 @@ def test_pit_labels_no_leakage(spark):
         assert (
             r["last_seen_us"]
             < int(cutoff.replace(tzinfo=None).timestamp() * 1_000_000) + 1
-            or True
         )
         assert r["label"] == (uid in purch_in_window)
     for uid, fs in first_seen.items():

@@ -187,7 +187,8 @@ def test_sync_cycle_compacts_each_slice_once(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("WindowGroupLimit") <= 4  # partial+final per slice
     assert plan.count("Scan parquet") + plan.count("FileScan parquet") <= 2
-    assert plan.count("Checkpoint") >= 0  # checkpointed RDD scans replace re-derivation
+    # checkpointed RDD scans replace re-derivation of the compacted slices
+    assert plan.count("ExistingRDD") >= 1
 
 
 def test_dedup_cascade_near_stage_sees_only_exact_survivors(spark):
