@@ -827,14 +827,19 @@ def q_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # semantic dedup (SemDeDup-style: cluster-bounded cosine pairs)
 # --------------------------------------------------------------------------
-SEM_ANCHORS = 8  # vec_id < 8 play the (deterministic) coarse centroids
+SEM_MIN_ANCHORS = 8  # floor on the anchor count for tiny corpora
 SEM_THRESHOLD = 0.3  # same scale as dedup.COSINE_DUP_THRESHOLD
 
 
 @register(
     "q_semdedup",
-    oracle=f"""WITH anch AS (
-  SELECT vec_id AS cell, embedding FROM embeddings WHERE vec_id < {SEM_ANCHORS}
+    oracle=f"""WITH nk AS (
+  SELECT GREATEST({SEM_MIN_ANCHORS},
+                  CAST(ceil(sqrt(count(*))) AS BIGINT)) AS k
+    FROM embeddings
+),
+anch AS (
+  SELECT vec_id AS cell, embedding FROM embeddings, nk WHERE vec_id < nk.k
 ),
 assigned AS (
   SELECT vec_id, embedding, cell AS cluster FROM (
@@ -857,20 +862,28 @@ SELECT s.vec_id, CAST(s.cluster AS INTEGER) AS cluster, d.dup_of,
   FROM assigned s LEFT JOIN dups d ON d.vec_id = s.vec_id
 """,
     doc="semantic dedup, SemDeDup shape (Abbas et al. 2023): coarse-cluster "
-    f"the corpus (nearest of {SEM_ANCHORS} fixed anchor embeddings — the "
-    "deterministic stand-in for k-means centroids), then drop any vector "
-    f"whose cosine to a SMALLER-id cluster-mate reaches {SEM_THRESHOLD}. "
-    "The pairwise stage is cluster-bounded: assignment is a shuffle-free "
-    "broadcast projection, and the only corpus shuffle keys on cluster id, "
-    "so pair volume is sum(|cluster|^2) instead of |corpus|^2 — the "
-    "difference between feasible and not at 100 TB. Survivors keep the "
-    "min-id canonical representative, mirroring exact-dedup's rule.",
+    "the corpus (nearest of k = max(8, ceil(sqrt(n))) anchor embeddings — "
+    "the deterministic stand-in for k-means centroids, anchor count GROWING "
+    "with the corpus), then drop any vector whose cosine to a SMALLER-id "
+    f"cluster-mate reaches {SEM_THRESHOLD}. The pairwise stage is "
+    "cluster-bounded: assignment is a shuffle-free broadcast projection "
+    "(sqrt(n) anchors x 64 dims stays a few MB even at 10^9 vectors), and "
+    "the only corpus shuffle keys on cluster id, so expected pair volume "
+    "is sum(|cluster|^2) ~ n^2/k = n^1.5 instead of n^2/8 — and the SAME "
+    "rule with k set from a target cluster size C (k = n/C) bounds it at "
+    "n*C = O(n); k is one scalar, nothing else changes. Survivors keep "
+    "the min-id canonical representative, mirroring exact-dedup's rule.",
 )
 def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
     e = load_table(spark, sf_dir, "embeddings", fan_out=True).select(
         "vec_id", "embedding"
     )
-    anchors = e.where(F.col("vec_id") < SEM_ANCHORS).agg(
+    # one scalar driver agg, same rule as the oracle's nk CTE
+    n = e.count()
+    k = max(SEM_MIN_ANCHORS, math.ceil(math.sqrt(n))) if n else SEM_MIN_ANCHORS
+    anchors = e.where(F.col("vec_id") < k).agg(
         F.sort_array(
             F.collect_list(
                 F.struct(
@@ -1252,17 +1265,27 @@ def _register_bitext_margin():
     average k-NN cosine into the other side (the margin criterion that
     suppresses hubness — raw cosine mines hub vectors, margin doesn't).
     All means are exact integer sums of 1e-6-quantized cosines with ONE
-    double division at the end, so engines agree bit-for-bit."""
-    oracle = f"""WITH s0 AS (
-  SELECT vec_id AS id_a, embedding FROM embeddings WHERE label % 2 = 0
+    double division at the end, so engines agree bit-for-bit.
+
+    Candidate generation is the LSH bucket equi-join (the same
+    hyperplane-sign buckets q_knn_lsh uses), NOT a cross join: both engines
+    score exactly the pairs that share a bucket, so the oracle mirrors the
+    candidate rule and agreement is by construction, not by recall luck.
+    This is the CCMatrix production shape — FAISS candidates feed the
+    margin criterion; the margin algebra itself is generator-agnostic."""
+    oracle = f"""WITH e AS (
+  SELECT vec_id, label, embedding, {_dd_bucket("embedding")} AS bucket
+    FROM embeddings
+), s0 AS (
+  SELECT vec_id AS id_a, embedding, bucket FROM e WHERE label % 2 = 0
 ), s1 AS (
-  SELECT vec_id AS id_b, embedding FROM embeddings WHERE label % 2 = 1
+  SELECT vec_id AS id_b, embedding, bucket FROM e WHERE label % 2 = 1
 ),
 crossed AS (
   SELECT a.id_a, b.id_b,
          CAST(round({dd_cosine_similarity("a.embedding", "b.embedding")} * 1000000)
               AS BIGINT) AS cos_u
-    FROM s0 a JOIN s1 b ON true
+    FROM s0 a JOIN s1 b ON b.bucket = a.bucket
 ),
 knn_a AS (
   SELECT id_a, CAST(sum(cos_u) AS BIGINT) AS sum_a
@@ -1300,28 +1323,35 @@ SELECT c.id_a, c.id_b,
         "parallel training pairs; label parity plays the two languages. "
         "Neighborhood means are exact integer sums of 1e-6-quantized "
         "cosines (order-proof), one double division per pair, "
-        "deterministic top-20 review queue via TakeOrdered. At corpus "
-        "scale the crossed stage is the SAME plan the IVF/LSH variants "
-        "bucket — this registers the exact-scoring shape; the margin "
-        "algebra rides on whatever candidate generator feeds it.",
+        "deterministic top-20 review queue via TakeOrdered. Candidates "
+        "come from the LSH bucket equi-join (hash join on bucket id — "
+        "the oracle applies the identical rule), so the plan contains NO "
+        "cross join and neither language side is ever broadcast or "
+        "collected; pair volume is sum over buckets of |A_b|x|B_b| "
+        "instead of |A|x|B| — at 100 TB the bucket count scales with the "
+        "corpus (more sign bits) to hold per-bucket volume constant.",
     )
     def q_bitext_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
         e = load_table(spark, sf_dir, "embeddings", fan_out=True).select(
-            "vec_id", "label", "embedding"
+            "vec_id", "label", "embedding",
+            _bucket_expr("embedding").alias("bucket"),
         )
         s0 = e.where(F.col("label") % 2 == 0).select(
-            F.col("vec_id").alias("id_a"), F.col("embedding").alias("va")
+            F.col("vec_id").alias("id_a"),
+            F.col("embedding").alias("va"),
+            "bucket",
         )
         s1 = e.where(F.col("label") % 2 == 1).select(
-            F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb")
+            F.col("vec_id").alias("id_b"),
+            F.col("embedding").alias("vb"),
+            F.col("bucket").alias("bucket_b"),
         )
         # three consumers (pair scores + both k-NN sides) would re-run the
-        # 64-dim fold over the crossed matrix; the scored matrix is NARROW
+        # 64-dim fold over the candidate matrix; the scored matrix is NARROW
         # (two ids + one long), so materialize it once — same rationale as
         # q_simhash_pairs' fingerprint checkpoint
         crossed = (
-            F.broadcast(s0)
-            .crossJoin(s1)
+            s0.join(s1, F.col("bucket_b") == F.col("bucket"))
             .select(
                 "id_a",
                 "id_b",
@@ -1351,9 +1381,11 @@ SELECT c.id_a, c.id_b,
             .groupBy("id_b")
             .agg(F.sum("cos_u").cast("bigint").alias("sum_b"))
         )
+        # knn_a/knn_b have one row per endpoint (|side| rows) — NOT
+        # broadcastable at corpus scale; plain equi-joins let AQE pick
         return (
-            crossed.join(F.broadcast(knn_a), "id_a")
-            .join(F.broadcast(knn_b), "id_b")
+            crossed.join(knn_a, "id_a")
+            .join(knn_b, "id_b")
             .select(
                 "id_a",
                 "id_b",

@@ -116,8 +116,10 @@ def test_pca_power_invariants(spark):
 def test_semdedup_invariants(spark):
     """Every dropped vector names a smaller-id cluster-mate above the
     threshold; anchors assign to themselves; survivors + drops partition."""
+    import math
+
     from prefect_flow_arc_indexer_spark.operators.similarity import (
-        SEM_ANCHORS,
+        SEM_MIN_ANCHORS,
         SEM_THRESHOLD,
     )
     from prefect_flow_arc_indexer_spark.functions.vectors import (
@@ -130,8 +132,11 @@ def test_semdedup_invariants(spark):
     n = load_table(spark, SF_DIR, "embeddings").count()
     assert len(rows) == n
     by_id = {r["vec_id"]: r for r in rows}
-    # anchors are their own nearest centroid and always kept
-    for a in range(SEM_ANCHORS):
+    # anchors are their own nearest centroid and always kept; the anchor
+    # count grows with the corpus (k = max(8, ceil(sqrt(n))))
+    k = max(SEM_MIN_ANCHORS, math.ceil(math.sqrt(n)))
+    assert len({r["cluster"] for r in rows}) <= k
+    for a in range(k):
         assert by_id[a]["cluster"] == a
         assert by_id[a]["is_kept"]
     dropped = [r for r in rows if not r["is_kept"]]
