@@ -101,6 +101,17 @@ def main() -> None:
     for _, rq in queries:
         rq.builder(spark, sf_dir).write.format("noop").mode("overwrite").save()
 
+    def _drain():
+        """Let the ContextCleaner release the warm pass's leftovers
+        (localCheckpoint blocks, shuffle files) OUTSIDE the timed windows:
+        cleanup triggers on driver GC, and with 231 queries x multiple
+        passes in one JVM the accumulated blocks otherwise surface as GC
+        pauses inside unrelated small queries' timings."""
+        spark.sparkContext._jvm.System.gc()
+        time.sleep(0.5)
+
+    _drain()
+
     # Timed passes, report the per-query MINIMUM: single-run timings on
     # this shared VM show multi-second jitter (GC pauses, shuffle-file
     # cleanup landing in an unrelated query's window) that is not a property
@@ -121,6 +132,7 @@ def main() -> None:
 
     for name, rq in queries:
         _timed(name, rq)
+    _drain()
     headline_set = set(_HEADLINE)
     for name, rq in queries:
         if name in headline_set:

@@ -14,9 +14,12 @@ Five families, each scale-minded:
   skew-join handles moderate cases and the shingle filter drops empty docs.
 - **SimHash**: 28-bit fingerprint via per-bit majority vote, computed in a
   single aggregation (28 conditional sums) — one shuffle, no explode.
-- **n-gram Jaccard**: exact Jaccard over 3-gram shingle sets for *blocked*
-  pairs (same source, nearby ids) via a shingle equi-join — intersection
-  counts flow through one shuffle on the shingle hash.
+- **n-gram Jaccard**: exact Jaccard over 3-gram shingle sets for
+  *content-blocked* pairs — the block key is each doc's minimum shingle
+  hash (1-permutation MinHash; share probability = Jaccard), so candidate
+  volume is bounded by block sizes, never id adjacency; the containment
+  variant blocks on the asymmetric anchor-gram rule (either doc's min
+  shingle occurring anywhere in the other) for perfect subset-dup recall.
 - **embedding cosine near-dup**: same-label blocking join + JVM-side cosine.
 
 All hashes go through ``functions.hashing.stable_hash`` (md5-derived) so the
@@ -55,7 +58,6 @@ ROWS_PER_BAND = N_PERM // N_BANDS
 SHINGLE_N = 3
 SIMHASH_BITS = 28
 COSINE_DUP_THRESHOLD = 0.3  # same-label random pairs top out ~0.47
-JACCARD_BLOCK_ID_DIST = 20
 
 
 # --------------------------------------------------------------------------
@@ -286,38 +288,10 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # n-gram Jaccard
 # --------------------------------------------------------------------------
-@register(
-    "q_ngram_jaccard",
-    oracle=f"""WITH {_dd_shingle_cte()},
-sizes AS (
-  SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id
-),
-meta AS (
-  SELECT doc_id, source FROM documents
-),
-inter AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
-    FROM shingles a
-    JOIN shingles b ON a.s = b.s AND a.doc_id < b.doc_id
-    JOIN meta ma ON ma.doc_id = a.doc_id
-    JOIN meta mb ON mb.doc_id = b.doc_id
-   WHERE ma.source = mb.source
-     AND b.doc_id - a.doc_id <= {JACCARD_BLOCK_ID_DIST}
-   GROUP BY a.doc_id, b.doc_id
-)
-SELECT doc_a, doc_b,
-       round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS jaccard
-  FROM inter
-  JOIN sizes sa ON sa.doc_id = doc_a
-  JOIN sizes sb ON sb.doc_id = doc_b
-""",
-    doc="n-gram Jaccard: exact 3-gram-shingle Jaccard for blocked pairs "
-    "(same source, id distance <= 20) via shingle equi-join; pairs with "
-    "zero overlap are omitted by construction",
-)
-def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents", fan_out=True)
-    sh = (
+def _hashed_shingles(docs: DataFrame) -> DataFrame:
+    """(doc_id, source, s, h): distinct shingles with their stable hash —
+    the shared input of the content-blocked pair family below."""
+    return (
         docs.select("doc_id", "source", tokens(F.col("text")).alias("tok"))
         .select(
             "doc_id",
@@ -325,25 +299,87 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.explode(word_ngrams(F.col("tok"), SHINGLE_N)).alias("s"),
         )
         .distinct()
+        .withColumn("h", stable_hash(F.col("s")))
     )
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a, b = sh.alias("a"), sh.alias("b")
-    inter = (
-        a.join(
-            b,
-            (F.col("a.s") == F.col("b.s"))
-            & (F.col("a.doc_id") < F.col("b.doc_id"))
-            & (F.col("a.source") == F.col("b.source"))
-            & (
-                F.col("b.doc_id") - F.col("a.doc_id")
-                <= JACCARD_BLOCK_ID_DIST
-            ),
+
+
+def _pair_intersections(cand: DataFrame, sh: DataFrame) -> DataFrame:
+    """(doc_a, doc_b, i): exact shingle-intersection size for each candidate
+    pair — two hash joins (doc_a, then doc_b+shingle), one count agg."""
+    sa = sh.select(F.col("doc_id").alias("doc_a"), "s")
+    sb = sh.select(F.col("doc_id").alias("doc_b_r"), F.col("s").alias("s_b"))
+    return (
+        cand.join(sa, "doc_a")
+        .join(
+            sb,
+            (F.col("doc_b") == F.col("doc_b_r"))
+            & (F.col("s") == F.col("s_b")),
         )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
+        .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("i"))
     )
+
+
+_DD_MINSH_CTE = """minsh AS (
+  SELECT doc_id, min(h) AS mh FROM hashes GROUP BY doc_id
+),
+meta AS (
+  SELECT doc_id, source FROM documents
+),
+sizes AS (
+  SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id
+)"""
+
+
+@register(
+    "q_ngram_jaccard",
+    oracle=f"""WITH {_dd_shingle_cte()},
+{_DD_MINSH_CTE},
+cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM minsh a
+    JOIN minsh b ON b.mh = a.mh AND b.doc_id > a.doc_id
+    JOIN meta ma ON ma.doc_id = a.doc_id
+    JOIN meta mb ON mb.doc_id = b.doc_id
+   WHERE ma.source = mb.source
+),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS i
+    FROM cand c
+    JOIN shingles a ON a.doc_id = c.doc_a
+    JOIN shingles b ON b.doc_id = c.doc_b AND b.s = a.s
+   GROUP BY c.doc_a, c.doc_b
+)
+SELECT doc_a, doc_b,
+       round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS jaccard
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+""",
+    doc="n-gram Jaccard: exact 3-gram-shingle Jaccard for content-blocked "
+    "pairs — the blocking key is each doc's MINIMUM shingle hash "
+    "(1-permutation MinHash: two docs share the block with probability "
+    "equal to their Jaccard, so high-J pairs are found and the key never "
+    "depends on id adjacency). Candidate generation is a hash self-join "
+    "on (min-hash, source); the exact intersection then flows through "
+    "two equi-joins and one count agg — no pair survives without shared "
+    "content, and block sizes (not corpus size) bound the pair volume.",
+)
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    sh = _hashed_shingles(docs)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    minsh = sh.groupBy("doc_id", "source").agg(F.min("h").alias("mh"))
+    a, b = minsh.alias("a"), minsh.alias("b")
+    cand = a.join(
+        b,
+        (F.col("b.mh") == F.col("a.mh"))
+        & (F.col("b.doc_id") > F.col("a.doc_id"))
+        & (F.col("b.source") == F.col("a.source")),
+    ).select(
+        F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+    )
+    inter = _pair_intersections(cand, sh)
     return (
         inter.join(sizes.withColumnRenamed("doc_id", "doc_a").alias("sa"), "doc_a")
         .join(
@@ -1111,21 +1147,22 @@ CONTAIN_MIN = 0.8  # max-side containment that flags a subset duplicate
 @register(
     "q_containment",
     oracle=f"""WITH {_dd_shingle_cte()},
-sizes AS (
-  SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id
-),
-meta AS (
-  SELECT doc_id, source FROM documents
+{_DD_MINSH_CTE},
+cand AS (
+  SELECT DISTINCT least(m.doc_id, o.doc_id) AS doc_a,
+                  greatest(m.doc_id, o.doc_id) AS doc_b
+    FROM minsh m
+    JOIN hashes o ON o.h = m.mh AND o.doc_id <> m.doc_id
+    JOIN meta ma ON ma.doc_id = m.doc_id
+    JOIN meta mb ON mb.doc_id = o.doc_id
+   WHERE ma.source = mb.source
 ),
 inter AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
-    FROM shingles a
-    JOIN shingles b ON a.s = b.s AND a.doc_id < b.doc_id
-    JOIN meta ma ON ma.doc_id = a.doc_id
-    JOIN meta mb ON mb.doc_id = b.doc_id
-   WHERE ma.source = mb.source
-     AND b.doc_id - a.doc_id <= {JACCARD_BLOCK_ID_DIST}
-   GROUP BY a.doc_id, b.doc_id
+  SELECT c.doc_a, c.doc_b, count(*) AS i
+    FROM cand c
+    JOIN shingles a ON a.doc_id = c.doc_a
+    JOIN shingles b ON b.doc_id = c.doc_b AND b.s = a.s
+   GROUP BY c.doc_a, c.doc_b
 ),
 scored AS (
   SELECT doc_a, doc_b, CAST(i AS BIGINT) AS i,
@@ -1147,9 +1184,13 @@ SELECT *,
     "i / min(|A|,|B|) flags a small doc embedded in a bigger one (quotes, "
     "boilerplate inclusion, excerpt pages) that symmetric Jaccard scores "
     "low and MinHash-LSH therefore misses — the standard companion "
-    "measure in web-dedup stacks. Same blocked shingle equi-join shape "
-    "(and cost) as q_ngram_jaccard: pair volume is bounded by the "
-    "blocking key, the shingle join is a hash join, and the verdict "
+    "measure in web-dedup stacks. Blocking is the ANCHOR-GRAM rule: a "
+    "pair is a candidate when either doc's minimum shingle hash appears "
+    "anywhere in the other doc's shingle set — a true subset A within B "
+    "always has A's min shingle in B, so recall for genuine subset dups "
+    "is 1.0 by construction (min-hash EQUALITY, the symmetric Jaccard "
+    "block, would miss them: B's min usually lies outside A). Candidate "
+    "generation is the hash equi-join minsh.mh = hashes.h; the verdict "
     "columns are row-local arithmetic on the pair aggregates. Output is "
     "the deterministic top-20 review queue by containment (TakeOrdered, "
     "no materialized global sort) with the subset-dup flag at "
@@ -1157,32 +1198,28 @@ SELECT *,
 )
 def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents", fan_out=True)
-    sh = (
-        docs.select("doc_id", "source", tokens(F.col("text")).alias("tok"))
+    sh = _hashed_shingles(docs)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    minsh = sh.groupBy("doc_id", "source").agg(F.min("h").alias("mh"))
+    # anchor-gram blocking: m's min shingle occurs anywhere in o
+    other = sh.select(
+        F.col("doc_id").alias("o_id"), F.col("source").alias("o_src"), "h"
+    )
+    cand = (
+        minsh.join(
+            other,
+            (F.col("h") == F.col("mh"))
+            & (F.col("o_id") != F.col("doc_id"))
+            & (F.col("o_src") == F.col("source")),
+        )
         .select(
-            "doc_id",
-            "source",
-            F.explode(word_ngrams(F.col("tok"), SHINGLE_N)).alias("s"),
+            F.least("doc_id", "o_id").alias("doc_a"),
+            F.greatest("doc_id", "o_id").alias("doc_b"),
         )
         .distinct()
     )
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a, b = sh.alias("a"), sh.alias("b")
-    inter = (
-        a.join(
-            b,
-            (F.col("a.s") == F.col("b.s"))
-            & (F.col("a.doc_id") < F.col("b.doc_id"))
-            & (F.col("a.source") == F.col("b.source"))
-            & (
-                F.col("b.doc_id") - F.col("a.doc_id")
-                <= JACCARD_BLOCK_ID_DIST
-            ),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .agg(F.count("*").cast("bigint").alias("i"))
+    inter = _pair_intersections(cand, sh).withColumn(
+        "i", F.col("i").cast("bigint")
     )
     scored = (
         inter.join(

@@ -125,10 +125,12 @@ def test_ndcg_bounds_and_consistency_with_recall(spark):
 
 
 def test_bitext_margin_cross_side_and_hubness_rule(spark):
-    """Pairs cross label parity; margin equals the documented formula
-    recomputed from the collected cross matrix (pure-Python replay on the
-    top pair)."""
+    """Pairs cross label parity AND share an LSH bucket (the round-4
+    candidate rule); margin equals the documented formula recomputed from
+    the bucket-restricted candidate set (pure-Python replay on the top
+    pairs)."""
     from prefect_flow_arc_indexer_spark.operators.similarity import (
+        LSH_DIMS,
         MARGIN_K,
         MARGIN_TOP,
     )
@@ -143,10 +145,14 @@ def test_bitext_margin_cross_side_and_hubness_rule(spark):
         r["vec_id"]: (r["label"], [float(x) for x in r["embedding"]])
         for r in load_table(spark, SF_DIR, "embeddings").collect()
     }
+    def bucket(v):
+        return sum(1 << i for i, d in enumerate(LSH_DIMS) if v[d] >= 0)
+
     for r in rows[:3]:
         la, va = emb[r["id_a"]]
         lb, vb = emb[r["id_b"]]
         assert la % 2 == 0 and lb % 2 == 1
+        assert bucket(va) == bucket(vb)  # candidates share an LSH bucket
 
         def cos_u(x, y):
             d = sum(a * b for a, b in zip(x, y))
@@ -154,8 +160,17 @@ def test_bitext_margin_cross_side_and_hubness_rule(spark):
             ny = sum(b * b for b in y) ** 0.5
             return round(d / (nx * ny) * 1_000_000)
 
-        side1 = [(i, v) for i, (l, v) in emb.items() if l % 2 == 1]
-        side0 = [(i, v) for i, (l, v) in emb.items() if l % 2 == 0]
+        # k-NN sums run over the bucket-restricted candidate pairs only
+        side1 = [
+            (i, v)
+            for i, (l, v) in emb.items()
+            if l % 2 == 1 and bucket(v) == bucket(va)
+        ]
+        side0 = [
+            (i, v)
+            for i, (l, v) in emb.items()
+            if l % 2 == 0 and bucket(v) == bucket(vb)
+        ]
         top_a = sorted(
             ((cos_u(va, v), -i) for i, v in side1), reverse=True
         )[:MARGIN_K]

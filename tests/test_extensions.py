@@ -207,11 +207,23 @@ def test_lsh_topk_is_subset_of_bucket(spark):
 
 
 def test_jaccard_bounds_and_blocking(spark):
+    """Content blocking: every emitted pair shares its min-shingle-hash
+    block (1-perm MinHash), is ordered, and carries a valid Jaccard."""
+    from prefect_flow_arc_indexer_spark.sources.parquet import load_table
+
     rows = all_queries()["q_ngram_jaccard"].builder(spark, SF_DIR).collect()
+    assert rows, "min-hash blocking should surface at least one pair"
     assert all(0.0 < r.jaccard <= 1.0 for r in rows)
-    assert all(
-        0 < r.doc_b - r.doc_a <= dedup.JACCARD_BLOCK_ID_DIST for r in rows
-    )
+    assert all(r.doc_a < r.doc_b for r in rows)
+    docs = load_table(spark, SF_DIR, "documents")
+    minsh = {
+        r["doc_id"]: r["mh"]
+        for r in dedup._hashed_shingles(docs)
+        .groupBy("doc_id")
+        .agg(F.min("h").alias("mh"))
+        .collect()
+    }
+    assert all(minsh[r.doc_a] == minsh[r.doc_b] for r in rows)
 
 
 def test_lang_id_prediction_space(spark):

@@ -409,3 +409,35 @@ def test_maxsim_dominates_self_and_bounds(spark):
         )
         total += best
     assert probe["maxsim"] == round(total, 6)
+
+
+def test_bitext_margin_plan_has_no_cross_join(spark):
+    """Round-4 scale gate: candidate generation is the LSH bucket equi-join,
+    so the physical plan must contain NO cartesian product and NO
+    broadcast-nested-loop join (neither language side may broadcast whole),
+    and the k-NN sum joins must not carry broadcast hints either."""
+    df = all_queries()["q_bitext_margin"].builder(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("CartesianProduct") == 0
+    assert plan.count("BroadcastNestedLoopJoin") == 0
+
+
+def test_semdedup_anchor_count_scales_with_corpus(spark):
+    """Round-4 scale gate: the anchor count follows max(8, ceil(sqrt(n))),
+    so the sf0.001 corpus (500 vectors) must produce more than the old
+    fixed 8 clusters, and the only cross joins left are the one-row
+    broadcast of the collapsed anchor array."""
+    import math
+
+    from prefect_flow_arc_indexer_spark.sources.parquet import load_table
+
+    n = load_table(spark, SF_DIR, "embeddings").count()
+    k = max(8, math.ceil(math.sqrt(n)))
+    assert k > 8
+    out = _run("q_semdedup", spark).collect()
+    clusters = {r["cluster"] for r in out}
+    assert len(clusters) > 8  # anchors actually in play
+    assert max(clusters) < k
+    df = all_queries()["q_semdedup"].builder(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("CartesianProduct") == 0
