@@ -251,7 +251,7 @@ AB_CONV_VALUE = 150  # 'big purchase' conversion threshold (~45% of users)
               THEN 'A' ELSE 'B' END AS grp,
          max(CASE WHEN event_type = 'purchase' AND value > 150
                   THEN 1 ELSE 0 END) AS conv
-    FROM events GROUP BY user_id
+    FROM events WHERE user_id IS NOT NULL GROUP BY user_id
 ),
 g AS (
   SELECT grp, CAST(count(*) AS BIGINT) AS n,
@@ -283,7 +283,9 @@ SELECT na, ca, nb, cb,
 def q_abtest_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     from prefect_flow_arc_indexer_spark.functions.hashing import stable_hash
 
-    ev = load_table(spark, sf_dir, "events")
+    # a NULL user_id is unassignable — not part of the experiment (and the
+    # engines disagree on which arm a NULL hash falls into)
+    ev = load_table(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
     bucket = (
         stable_hash(F.concat(F.lit(AB_SALT), F.col("user_id").cast("string")))
         % 100
@@ -409,7 +411,7 @@ SRM_EXPECTED_TREAT = 0.5  # designed treatment share
   SELECT DISTINCT user_id,
          (CAST('0x' || substr(md5('{AB_SALT}' || CAST(user_id AS VARCHAR)), 1, 7)
                AS BIGINT) % 100) < 50 AS is_treatment
-    FROM events
+    FROM events WHERE user_id IS NOT NULL
 ),
 counts AS (
   SELECT CAST(sum(CASE WHEN is_treatment THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
@@ -440,7 +442,11 @@ SELECT n_t, n_c, n_t + n_c AS n_total,
 def q_ab_srm(spark: SparkSession, sf_dir: str) -> DataFrame:
     from prefect_flow_arc_indexer_spark.functions.hashing import stable_hash
 
-    ev = load_table(spark, sf_dir, "events", fan_out=True)
+    # NULL user_id: unassignable — Spark's NULL-skipping sums would drop it
+    # from both arms while the oracle's CASE..ELSE counts it as control
+    ev = load_table(spark, sf_dir, "events", fan_out=True).where(
+        F.col("user_id").isNotNull()
+    )
     arms = ev.select(
         "user_id",
         (

@@ -49,8 +49,15 @@ def frame_signature(cols: list[str], rows: list[tuple]) -> tuple[int, list[str],
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = sys.argv[1:]
+    json_path = None
+    for a in list(args):
+        if a.startswith("--json="):
+            json_path = a.split("=", 1)[1]
+            args.remove(a)
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
+    results: dict[str, dict] = {}
 
     spark = get_spark("selfcheck")
     con = duckdb.connect()
@@ -71,10 +78,15 @@ def main() -> int:
             ssig = frame_signature(scols, srows)
         except Exception as e:
             print(f"FAIL  {name}: spark error: {e}")
+            results[name] = {"mode": "oracle" if rq.oracle else "rows-only",
+                             "pass": False, "err": f"spark: {e}"[:300]}
             failures += 1
             continue
         if rq.oracle is None:
             print(f"ok    {name}: rows-only ({ssig[0]} rows, {time.time()-t0:.1f}s)")
+            results[name] = {"mode": "rows-only", "pass": True,
+                             "spark_rows": ssig[0],
+                             "secs": round(time.time() - t0, 1)}
             continue
         try:
             res = con.execute(rq.oracle)
@@ -83,8 +95,20 @@ def main() -> int:
             dsig = frame_signature(dcols, drows)
         except Exception as e:
             print(f"FAIL  {name}: duckdb error: {e}")
+            results[name] = {"mode": "oracle", "pass": False,
+                             "err": f"duckdb: {e}"[:300]}
             failures += 1
             continue
+        results[name] = {
+            "mode": "oracle",
+            "pass": ssig == dsig,
+            "rows_match": ssig[0] == dsig[0],
+            "schema_match": ssig[1] == dsig[1],
+            "hash_match": ssig[2] == dsig[2],
+            "spark_rows": ssig[0],
+            "oracle_rows": dsig[0],
+            "secs": round(time.time() - t0, 1),
+        }
         if ssig == dsig:
             print(f"ok    {name}: {ssig[0]} rows match ({time.time()-t0:.1f}s)")
         else:
@@ -96,6 +120,17 @@ def main() -> int:
                 print(f"      spark sample: {srows[:3]}")
                 print(f"      duck  sample: {drows[:3]}")
     spark.stop()
+    if json_path:
+        import json as _json
+
+        summary = {
+            "sf_dir": sf_dir,
+            "n_queries": len(results),
+            "n_pass": sum(1 for r in results.values() if r["pass"]),
+            "n_fail": failures,
+            "queries": results,
+        }
+        Path(json_path).write_text(_json.dumps(summary, indent=1, sort_keys=True))
     print("FAILURES:", failures)
     return 1 if failures else 0
 
