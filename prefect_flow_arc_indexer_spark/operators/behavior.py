@@ -144,3 +144,89 @@ def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("week_offset"),
     ).agg(F.count("*").alias("n_active_users"))
+
+
+# --------------------------------------------------------------------------
+# last-touch attribution: purchase revenue credited to the preceding touch
+# --------------------------------------------------------------------------
+ATTR_WINDOW_US = 7 * 24 * 3600 * 1_000_000  # 7-day lookback
+ATTR_TOUCHES = ("click", "view")
+
+
+@register(
+    "q_attribution",
+    oracle=f"""WITH ordered AS (
+  SELECT user_id, event_id, event_type, value, epoch_us(ts) AS tsu,
+         last_value(CASE WHEN event_type IN ('click', 'view')
+                         THEN event_type END IGNORE NULLS)
+           OVER w AS touch_type,
+         last_value(CASE WHEN event_type IN ('click', 'view')
+                         THEN epoch_us(ts) END IGNORE NULLS)
+           OVER w AS touch_tsu
+    FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+),
+attributed AS (
+  SELECT CASE WHEN touch_type IS NOT NULL
+               AND tsu - touch_tsu <= {ATTR_WINDOW_US}
+              THEN touch_type ELSE 'direct' END AS channel,
+         value
+    FROM ordered
+   WHERE event_type = 'purchase'
+)
+SELECT channel,
+       count(*) AS n_purchases,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+  FROM attributed GROUP BY channel
+""",
+    doc="last-touch attribution: each purchase credits its revenue to the "
+    "user's most recent preceding click/view within a 7-day lookback "
+    "('direct' when none) — the standard marketing-attribution join, "
+    "expressed as last-ignore-nulls over the per-user event order "
+    "instead of a per-purchase correlated lookup: ONE shuffle on "
+    "user_id, no self-join, no per-row subquery. At 100 TB the window "
+    "runs inside each user partition (memory bounded by one user's "
+    "events) and the channel rollup reduces map-side to |channels| rows. "
+    "Ties in ts break by event_id, so the picked touch is engine-stable.",
+)
+def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    tsu = F.unix_micros("ts")
+    is_touch = F.col("event_type").isin(*ATTR_TOUCHES)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ordered = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "value",
+        tsu.alias("tsu"),
+        F.last(F.when(is_touch, F.col("event_type")), ignorenulls=True)
+        .over(w)
+        .alias("touch_type"),
+        F.last(F.when(is_touch, tsu), ignorenulls=True)
+        .over(w)
+        .alias("touch_tsu"),
+    )
+    attributed = ordered.where(F.col("event_type") == "purchase").select(
+        F.when(
+            F.col("touch_type").isNotNull()
+            & (F.col("tsu") - F.col("touch_tsu") <= ATTR_WINDOW_US),
+            F.col("touch_type"),
+        )
+        .otherwise(F.lit("direct"))
+        .alias("channel"),
+        "value",
+    )
+    return attributed.groupBy("channel").agg(
+        F.count("*").alias("n_purchases"),
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("revenue"),
+    )

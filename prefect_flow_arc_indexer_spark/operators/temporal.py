@@ -419,3 +419,135 @@ def q_revenue_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("acf"),
     )
+
+
+# --------------------------------------------------------------------------
+# interval-overlap join: user sessions x incident windows
+# --------------------------------------------------------------------------
+INC_WINDOW_US = 900 * 1_000_000  # each error event opens a 15-min incident
+IJ_BUCKET_US = 3600 * 1_000_000  # physical blocking bucket (1 h)
+
+
+@register(
+    "q_interval_join",
+    oracle=f"""WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_session
+    FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+sessions AS (
+  SELECT user_id,
+         epoch_us(min(ts)) AS s_start_us,
+         epoch_us(max(ts)) AS s_end_us
+    FROM (SELECT user_id, ts,
+                 sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                        ROWS UNBOUNDED PRECEDING) AS seq
+            FROM flagged)
+   GROUP BY user_id, seq
+),
+incidents AS (
+  SELECT event_id AS incident_id,
+         epoch_us(ts) AS i_start_us,
+         epoch_us(ts) + {INC_WINDOW_US} AS i_end_us
+    FROM events WHERE event_type = 'error'
+),
+pairs AS (
+  SELECT s.user_id, s.s_start_us, s.s_end_us, i.incident_id,
+         least(s.s_end_us, i.i_end_us)
+           - greatest(s.s_start_us, i.i_start_us) AS overlap_us
+    FROM sessions s JOIN incidents i
+      ON s.s_start_us <= i.i_end_us AND i.i_start_us <= s.s_end_us
+)
+SELECT user_id, s_start_us, s_end_us,
+       count(*) AS n_incidents,
+       CAST(sum(overlap_us) AS BIGINT) AS overlap_us_total
+  FROM pairs
+ GROUP BY user_id, s_start_us, s_end_us
+""",
+    doc="interval-overlap join: per-user activity sessions (30-min-gap "
+    "gaps-and-islands intervals) joined against global incident windows "
+    "(each error event opens a closed 15-minute interval) on time "
+    "OVERLAP, aggregated to per-session incident count + total overlap. "
+    "The oracle states the semantics as the theta join "
+    "(s.start <= i.end AND i.start <= s.end); the Spark plan BUCKETIZES "
+    "both interval sets onto a 1-hour grid (F.sequence over bucket ids, "
+    "explode) so candidate generation is a hash EQUI-join on bucket id — "
+    "the theta form would be a broadcast-nested-loop scan of every "
+    "(session x incident) pair, which dies at 100 TB while the bucket "
+    "join's volume tracks per-bucket concurrency (intervals alive in the "
+    "same hour). Pairs spanning multiple shared buckets are deduped "
+    "before the exact overlap arithmetic, so bucket width changes cost, "
+    "never results.",
+)
+def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    tsu = F.unix_micros("ts")
+    flagged = ev.select(
+        "user_id",
+        "ts",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (tsu - F.unix_micros(F.lag("ts").over(w)) > 1800 * 1_000_000),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    sessions = (
+        flagged.withColumn(
+            "seq",
+            F.sum("new_session").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .groupBy("user_id", "seq")
+        .agg(
+            F.min(tsu).alias("s_start_us"),
+            F.max(tsu).alias("s_end_us"),
+        )
+    )
+    incidents = ev.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("incident_id"),
+        tsu.alias("i_start_us"),
+        (tsu + INC_WINDOW_US).alias("i_end_us"),
+    )
+
+    def bucketed(df: DataFrame, lo: str, hi: str) -> DataFrame:
+        return df.withColumn(
+            "bucket",
+            F.explode(
+                F.sequence(
+                    (F.col(lo) / IJ_BUCKET_US).cast("bigint"),
+                    (F.col(hi) / IJ_BUCKET_US).cast("bigint"),
+                )
+            ),
+        )
+
+    pairs = (
+        bucketed(sessions, "s_start_us", "s_end_us")
+        .join(
+            bucketed(incidents, "i_start_us", "i_end_us"),
+            "bucket",
+        )
+        .where(
+            (F.col("s_start_us") <= F.col("i_end_us"))
+            & (F.col("i_start_us") <= F.col("s_end_us"))
+        )
+        # one logical pair per (session, incident): drop bucket multiplicity
+        .select(
+            "user_id", "s_start_us", "s_end_us", "incident_id",
+            (
+                F.least("s_end_us", "i_end_us")
+                - F.greatest("s_start_us", "i_start_us")
+            ).alias("overlap_us"),
+        )
+        .distinct()
+    )
+    return pairs.groupBy("user_id", "s_start_us", "s_end_us").agg(
+        F.count("*").alias("n_incidents"),
+        F.sum("overlap_us").cast("bigint").alias("overlap_us_total"),
+    )

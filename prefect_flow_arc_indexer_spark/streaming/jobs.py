@@ -554,3 +554,23 @@ def stream_quality_router(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_dedup_exact(cdc: DataFrame) -> DataFrame:
+    """Streaming exact dedup: drop content-identical documents as they
+    arrive — the ingest-side companion of the batch ``q_dedup_exact``
+    hash-groupBy. The content key is sha2(document); state is bounded by
+    ``dropDuplicatesWithinWatermark``, so a duplicate arriving within the
+    2-hour watermark horizon of its first sighting is dropped, and the
+    state store evicts keys once the watermark passes them — the property
+    that makes streaming dedup feasible over an unbounded stream (plain
+    ``dropDuplicates`` on a stream grows state forever). Downstream batch
+    dedup (the MinHash/SimHash cascade) still catches duplicates that
+    re-arrive beyond the horizon; this stage exists to stop the 99% case
+    (immediate replays, double-delivery) from ever hitting the sink."""
+    return (
+        cdc.withColumn("content_sha", F.sha2("document", 256))
+        .withWatermark("updated_at", "2 hours")
+        .dropDuplicatesWithinWatermark(["content_sha"])
+        .drop("content_sha")
+    )

@@ -37,6 +37,8 @@ EVENT_QUERIES = [
     "q_watermark_compute",
     "q_abtest_lift",
     "q_ab_srm",
+    "q_interval_join",
+    "q_attribution",
 ]
 
 

@@ -591,3 +591,47 @@ def test_stream_quality_router_partitions_feed(spark, tmp_path):
     )
     judged = jobs.quality_verdict(batch).collect()
     assert {r["doc_id"] for r in judged if r["keep"]} == kept
+
+
+def test_stream_dedup_exact_drops_content_identical_docs(spark, tmp_path):
+    """Content-identical documents (different ids, same payload) arriving
+    within the watermark horizon come out once; distinct payloads all
+    survive. This is the ingest-side twin of q_dedup_exact's hash-groupBy
+    (id-based re-delivery dedup is stream_dedup_events; this keys on
+    sha2(document))."""
+    src = tmp_path / "dup_docs"
+    src.mkdir()
+    mk = lambda i, doc, ts: {  # noqa: E731
+        "index": "idx", "id": str(i), "document": doc,
+        "is_deleted": "false", "updated_at": ts,
+    }
+    _write_cdc_file(
+        src / "b0.json",
+        [
+            mk(1, '{"v": 1}', "2024-01-01 00:00:00"),
+            mk(2, '{"v": 1}', "2024-01-01 00:05:00"),  # same content as 1
+            mk(3, '{"v": 3}', "2024-01-01 00:10:00"),
+        ],
+    )
+    _write_cdc_file(
+        src / "b1.json",
+        [
+            mk(4, '{"v": 1}', "2024-01-01 00:20:00"),  # replay within horizon
+            mk(5, '{"v": 5}', "2024-01-01 00:25:00"),  # genuinely new
+        ],
+    )
+    cdc = jobs.read_cdc_stream(spark, str(src))
+    q = (
+        jobs.stream_dedup_exact(cdc)
+        .writeStream.format("memory")
+        .queryName("dedup_docs")
+        .option("checkpointLocation", str(tmp_path / "ckpt_dedup_docs"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    docs = sorted(
+        r.document for r in spark.sql("SELECT document FROM dedup_docs").collect()
+    )
+    assert docs == ['{"v": 1}', '{"v": 3}', '{"v": 5}']
