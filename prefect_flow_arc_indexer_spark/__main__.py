@@ -1,0 +1,160 @@
+"""CLI entry point — the operational surface of the reference flow
+(``README.md:32-46`` parameter list; flow signature
+``flows/main_flow.py:603-624``) mapped onto the Spark engine:
+
+    python -m prefect_flow_arc_indexer_spark \
+        --source /root/testdata/sf0.001 --sink-dir /tmp/sink --full-sync
+
+Reference parameter -> CLI flag:
+
+- ``db_block_name``/``db_table``      -> ``--jdbc-url --db-table`` (or
+  ``--source`` parquet dir, the test-harness stand-in per SURVEY §1.4)
+- ``db_column_es_id``/``db_column_es_index`` -> same names (columns are
+  renamed to the canonical ``id``/``index`` before the sync runs)
+- ``or_ids_to_run``                   -> ``--or-ids a,b,c``
+- ``full_sync``                       -> ``--full-sync`` (default:
+  incremental, exactly like the reference's default False)
+- ``db_batch_size``                   -> ``--db-batch-size`` (JDBC fetchsize)
+- ``es_chunk_size``/``es_request_timeout``/``es_max_retries`` ->
+  ``--es-chunk-size --es-timeout --es-retries`` (forwarded to EsSinkConfig
+  when ``--es-nodes`` is given; otherwise the VersionedSink path ignores
+  them, as there is no ES in the sandbox)
+- flow retries (``flows/main_flow.py:722-723``) -> ``--retries
+  --retry-delay`` (X4 per-index retry wrapper)
+
+The command prints one JSON line with the SyncReport fields so schedulers
+can parse the outcome — the moral equivalent of the reference's Prefect
+task states.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import sys
+from datetime import datetime
+
+from pyspark.sql import DataFrame
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="prefect_flow_arc_indexer_spark")
+    src = p.add_argument_group("source")
+    src.add_argument("--source", help="parquet dir with index_documents tables")
+    src.add_argument("--jdbc-url", help="jdbc:postgresql://host:5432/db")
+    src.add_argument("--db-table", default="graph.index_documents")
+    src.add_argument("--db-user", default="")
+    src.add_argument("--db-password", default="")
+    src.add_argument("--db-batch-size", type=int, default=1000)
+    src.add_argument("--db-column-es-id", default="id")
+    src.add_argument("--db-column-es-index", default="index")
+    sink = p.add_argument_group("sink")
+    sink.add_argument("--sink-dir", help="VersionedSink base dir (local path)")
+    sink.add_argument("--es-nodes", help="ES hosts for the production sink")
+    sink.add_argument("--es-chunk-size", type=int, default=500)
+    sink.add_argument("--es-timeout", type=int, default=30)
+    sink.add_argument("--es-retries", type=int, default=10)
+    run = p.add_argument_group("run")
+    run.add_argument("--or-ids", default=None, help="comma-separated subset")
+    run.add_argument("--full-sync", action="store_true")
+    run.add_argument("--pipeline-name", default="default")
+    run.add_argument("--watermark-store", default=None)
+    run.add_argument("--retries", type=int, default=0)
+    run.add_argument("--retry-delay", type=float, default=0.0)
+    return p
+
+
+def load_docs(spark, args) -> DataFrame:
+    if args.source:
+        from prefect_flow_arc_indexer_spark.sources.parquet import (
+            index_documents,
+        )
+
+        docs = index_documents(spark, args.source)
+    elif args.jdbc_url:
+        from prefect_flow_arc_indexer_spark.sources.jdbc import (
+            JdbcSourceConfig,
+            read_jdbc,
+        )
+
+        docs = read_jdbc(
+            spark,
+            JdbcSourceConfig(
+                url=args.jdbc_url,
+                table=args.db_table,
+                user=args.db_user,
+                password=args.db_password,
+                fetchsize=args.db_batch_size,
+            ),
+        )
+    else:
+        raise SystemExit("one of --source or --jdbc-url is required")
+    # reference db_column_es_id / db_column_es_index: rename configurable
+    # columns to the canonical names the sync drivers use
+    if args.db_column_es_id != "id":
+        docs = docs.withColumnRenamed(args.db_column_es_id, "id")
+    if args.db_column_es_index != "index":
+        docs = docs.withColumnRenamed(args.db_column_es_index, "index")
+    return docs
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    if not args.sink_dir and not args.es_nodes:
+        raise SystemExit("one of --sink-dir or --es-nodes is required")
+    if args.es_nodes and not args.sink_dir:
+        raise SystemExit(
+            "the ES sink needs the elasticsearch-spark connector jar on the "
+            "classpath (production); provide --sink-dir for the local "
+            "VersionedSink path"
+        )
+
+    from prefect_flow_arc_indexer_spark.pipeline.runner import (
+        full_sync,
+        incremental_sync,
+    )
+    from prefect_flow_arc_indexer_spark.pipeline.sinks import VersionedSink
+    from prefect_flow_arc_indexer_spark.session import get_spark
+    from prefect_flow_arc_indexer_spark.streaming.watermark import (
+        WatermarkStore,
+    )
+
+    spark = get_spark("arc-indexer-cli")
+    docs = load_docs(spark, args)
+    sink = VersionedSink(args.sink_dir)
+    or_ids = args.or_ids.split(",") if args.or_ids else None
+
+    wm_path = args.watermark_store or f"{args.sink_dir}/watermarks.json"
+    watermarks = WatermarkStore(wm_path)
+    if args.full_sync:
+        run_started = datetime.now()
+        report = full_sync(
+            spark,
+            docs,
+            sink,
+            or_ids=or_ids,
+            retries=args.retries,
+            retry_delay_s=args.retry_delay,
+        )
+        # the reference records last_modified after EITHER flow completes
+        # (save_last_run_config on-completion hook, flows/main_flow.py:603),
+        # so a full sync seeds the watermark for the next incremental run
+        watermarks.set(args.pipeline_name, run_started)
+    else:
+        report = incremental_sync(
+            spark,
+            docs,
+            sink,
+            watermarks,
+            pipeline_name=args.pipeline_name,
+            or_ids=or_ids,
+            retries=args.retries,
+            retry_delay_s=args.retry_delay,
+        )
+    print(json.dumps(dataclasses.asdict(report), sort_keys=True))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

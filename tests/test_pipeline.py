@@ -509,3 +509,45 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
         spark.sql("DROP TABLE IF EXISTS t_orders_b")
         spark.sql("DROP TABLE IF EXISTS t_cust_b")
+
+
+def test_cli_full_then_incremental_roundtrip(spark, tmp_path, capsys):
+    """The __main__ CLI mirrors the reference's flow parameters: a full
+    sync publishes every index and seeds the watermark (the reference's
+    save_last_run_config hook), and the follow-up incremental run (the
+    reference's default mode) reads that watermark instead of failing."""
+    import json as _json
+
+    from prefect_flow_arc_indexer_spark.__main__ import main
+
+    sink_dir = str(tmp_path / "cli_sink")
+    rc = main(
+        [
+            "--source", "/root/testdata/sf0.001",
+            "--sink-dir", sink_dir,
+            "--full-sync",
+        ]
+    )
+    assert rc == 0
+    full = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert full["indexes"] and full["written"]
+    assert all(full["reconcile_ok"].values())
+
+    rc = main(["--source", "/root/testdata/sf0.001", "--sink-dir", sink_dir])
+    assert rc == 0
+    inc = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    # nothing changed since the full sync's watermark -> all skipped
+    assert sorted(inc["skipped"]) == sorted(full["indexes"])
+
+    # or_ids pinning + lowercase (reference or_ids_to_run)
+    rc = main(
+        [
+            "--source", "/root/testdata/sf0.001",
+            "--sink-dir", str(tmp_path / "pin_sink"),
+            "--full-sync",
+            "--or-ids", "PURCHASE",
+        ]
+    )
+    assert rc == 0
+    pinned = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert pinned["indexes"] == ["purchase"]
