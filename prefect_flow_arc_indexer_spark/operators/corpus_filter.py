@@ -329,3 +329,133 @@ def _register_neardup_apply():
 
 
 _register_neardup_apply()
+
+
+# --------------------------------------------------------------------------
+# DSIR importance weights (Xie et al. 2023): hashed-n-gram domain relevance
+# --------------------------------------------------------------------------
+DSIR_BUCKETS = 256
+DSIR_TARGET_SOURCE = "src0"  # the "target domain" sample
+DSIR_SALT = "dsir:"
+_LOG_QUANT = 1_000_000  # micro-nats: per-bucket log-ratio quantized
+
+
+def _register_dsir():
+    from prefect_flow_arc_indexer_spark.functions.hashing import (
+        dd_stable_hash,
+        stable_hash,
+    )
+
+    salted = f"'{DSIR_SALT}' || w"
+    bucket_dd = f"{dd_stable_hash(salted)} % {DSIR_BUCKETS}"
+    oracle = f"""WITH toks AS (
+  SELECT doc_id, source, unnest({dd_tokens("text")}) AS w FROM documents
+),
+bucketed AS (
+  SELECT doc_id, source, {bucket_dd} AS bucket FROM toks
+),
+tstats AS (
+  SELECT bucket, count(*) AS c FROM bucketed
+   WHERE source = '{DSIR_TARGET_SOURCE}' GROUP BY bucket
+),
+qstats AS (
+  SELECT bucket, count(*) AS c FROM bucketed GROUP BY bucket
+),
+totals AS (
+  SELECT (SELECT count(*) FROM bucketed
+           WHERE source = '{DSIR_TARGET_SOURCE}') AS nt,
+         (SELECT count(*) FROM bucketed) AS nq
+),
+ratio AS (
+  SELECT q.bucket,
+         CAST(round((ln((coalesce(t.c, 0) + 1.0) / (totals.nt + {DSIR_BUCKETS}))
+                     - ln((q.c + 1.0) / (totals.nq + {DSIR_BUCKETS})))
+                    * {_LOG_QUANT}) AS BIGINT) AS lr_micro
+    FROM qstats q CROSS JOIN totals LEFT JOIN tstats t ON t.bucket = q.bucket
+)
+SELECT b.doc_id,
+       count(*) AS n_tokens,
+       CAST(sum(r.lr_micro) AS BIGINT) AS logweight_micro
+  FROM bucketed b JOIN ratio r ON r.bucket = b.bucket
+ GROUP BY b.doc_id
+"""
+
+    @register(
+        "q_dsir_weights",
+        oracle=oracle,
+        doc="DSIR importance weights (Xie et al. 2023, Data Selection via "
+        "Importance Resampling): documents scored by the log-likelihood "
+        f"ratio of a hashed-unigram ({DSIR_BUCKETS} buckets) model of the "
+        f"target domain (source = {DSIR_TARGET_SOURCE!r}, Laplace-"
+        "smoothed) against the corpus-wide proposal model — the weight "
+        "that importance-resamples a web-scale corpus toward a target "
+        "domain. Per-bucket log-ratios are quantized to micro-nats ONCE "
+        "(bounded table), so per-doc sums are exact bigint arithmetic on "
+        "both engines. Scale shape: the feature space is fixed at "
+        f"{DSIR_BUCKETS} buckets, so both n-gram models reduce map-side "
+        "to a bounded table, the ratio table broadcasts, and the per-doc "
+        "score is one scan + one doc-keyed sum — the corpus is never "
+        "shuffled wide, which is the property that lets DSIR score "
+        "trillions of tokens.",
+    )
+    def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+        docs = load_table(spark, sf_dir, "documents", fan_out=True)
+        bucketed = docs.select(
+            "doc_id",
+            "source",
+            F.explode(tokens(F.col("text"))).alias("w"),
+        ).select(
+            "doc_id",
+            "source",
+            (
+                stable_hash(F.concat(F.lit(DSIR_SALT), F.col("w")))
+                % DSIR_BUCKETS
+            ).alias("bucket"),
+        )
+        tstats = (
+            bucketed.where(F.col("source") == DSIR_TARGET_SOURCE)
+            .groupBy("bucket")
+            .agg(F.count("*").alias("tc"))
+        )
+        qstats = bucketed.groupBy("bucket").agg(F.count("*").alias("qc"))
+        totals = bucketed.agg(
+            F.count("*").alias("nq"),
+            F.sum(
+                (F.col("source") == DSIR_TARGET_SOURCE).cast("long")
+            ).alias("nt"),
+        )
+        ratio = (
+            qstats.join(tstats, "bucket", "left")
+            .crossJoin(F.broadcast(totals))
+            .select(
+                "bucket",
+                F.round(
+                    (
+                        F.log(
+                            (F.coalesce(F.col("tc"), F.lit(0)) + 1.0)
+                            / (F.col("nt") + DSIR_BUCKETS)
+                        )
+                        - F.log(
+                            (F.col("qc") + 1.0) / (F.col("nq") + DSIR_BUCKETS)
+                        )
+                    )
+                    * _LOG_QUANT
+                )
+                .cast("bigint")
+                .alias("lr_micro"),
+            )
+        )
+        return (
+            bucketed.join(F.broadcast(ratio), "bucket")
+            .groupBy("doc_id")
+            .agg(
+                F.count("*").alias("n_tokens"),
+                # the resampling score stays in EXACT micro-nats: a derived
+                # double average invites 6dp tie-rounding divergence
+                # (lw/n lands on .5 boundaries whenever 2n | lw)
+                F.sum("lr_micro").cast("bigint").alias("logweight_micro"),
+            )
+        )
+
+
+_register_dsir()

@@ -63,6 +63,10 @@ DOC_QUERIES = [
     "q_dataset_diff",
     "q_source_keywords",
     "q_ece_calibration",
+    # round-4 additions
+    "q_dsir_weights",
+    "q_ngram_jaccard",
+    "q_containment",
 ]
 
 
