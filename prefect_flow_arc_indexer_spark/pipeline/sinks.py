@@ -103,6 +103,52 @@ class VersionedSink:
     def alias_exists(self, alias: str) -> bool:
         return alias in self.read_manifest()
 
+    def compact(
+        self,
+        spark: SparkSession,
+        alias: str,
+        target_bytes: int = 128 * 1024 * 1024,
+        now: datetime | None = None,
+    ) -> str:
+        """Rewrite the published generation of ``alias`` into
+        ``ceil(size / target_bytes)`` files and atomically re-publish.
+
+        Small-file compaction is the maintenance job every incremental
+        sink needs at scale: each CDC merge writes a full generation whose
+        file count tracks the shuffle parallelism, so a busy index
+        accumulates far more files than its bytes justify and every
+        downstream scan pays per-file open/footer costs. The rewrite rides
+        the existing write-audit-publish path — readers see the old or the
+        new generation, never a half-compacted directory — and the row
+        count is reconciled before the flip (X7 discipline). Returns the
+        new generation name."""
+        df = self.read_alias(spark, alias)
+        gen_dir = self.generation_path(self.read_manifest()[alias])
+        size = sum(
+            os.path.getsize(os.path.join(gen_dir, f))
+            for f in os.listdir(gen_dir)
+            if f.endswith(".parquet")
+        )
+        n_files = max(1, -(-size // target_bytes))
+        expected = df.count()
+        ts = generation_timestamp(now)
+        if self.generation_name(alias, ts) == self.read_manifest()[alias]:
+            # same-second collision would overwrite the directory being read
+            ts = generation_timestamp(
+                datetime.fromtimestamp(
+                    (now or datetime.now()).timestamp() + 1
+                )
+            )
+        gen = self.write_generation(df.repartition(n_files), alias, ts)
+        actual = spark.read.parquet(self.generation_path(gen)).count()
+        if actual != expected:
+            self.drop_generation(gen)
+            raise RuntimeError(
+                f"compaction row mismatch for {alias}: {actual} != {expected}"
+            )
+        self.publish(alias, gen)
+        return gen
+
     def cleanup_orphans(self, live_aliases: list[str]) -> list[str]:
         """Drop physical generations matching no live alias — the J1 anti
         join (reference flows/main_flow.py:499-501,515-518) applied to the

@@ -551,3 +551,36 @@ def test_cli_full_then_incremental_roundtrip(spark, tmp_path, capsys):
     assert rc == 0
     pinned = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert pinned["indexes"] == ["purchase"]
+
+
+def test_sink_compaction_reduces_files_and_preserves_rows(spark, sink):
+    """compact() rewrites a many-file generation into the byte-targeted
+    file count, reconciles rows before the atomic flip, and drops the old
+    generation — readers only ever see a complete generation."""
+    rows = [("alpha", str(i), '{"v": %d}' % i, False, "2024-01-01 00:00:00")
+            for i in range(200)]
+    docs = _docs(spark, rows).repartition(16)
+    full_sync(spark, docs, sink, now=datetime(2024, 2, 1))
+    old_gen = sink.read_manifest()["alpha"]
+    old_files = [
+        f for f in os.listdir(sink.generation_path(old_gen))
+        if f.endswith(".parquet")
+    ]
+    assert len(old_files) > 4  # fragmented by the shuffle parallelism
+
+    gen = sink.compact(
+        spark, "alpha", target_bytes=10**9, now=datetime(2024, 2, 2)
+    )
+    assert sink.read_manifest()["alpha"] == gen
+    new_dir = sink.generation_path(gen)
+    new_files = [f for f in os.listdir(new_dir) if f.endswith(".parquet")]
+    assert len(new_files) == 1  # everything fits one 1GB target file
+    assert sink.read_alias(spark, "alpha").count() == 200
+    assert old_gen not in sink.list_generations()
+
+    # same-second re-compaction must not clobber the generation it reads
+    gen2 = sink.compact(
+        spark, "alpha", target_bytes=10**9, now=datetime(2024, 2, 2)
+    )
+    assert gen2 != gen
+    assert sink.read_alias(spark, "alpha").count() == 200

@@ -441,3 +441,43 @@ def test_semdedup_anchor_count_scales_with_corpus(spark):
     df = all_queries()["q_semdedup"].builder(spark, SF_DIR)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("CartesianProduct") == 0
+
+
+def test_semdedup_floor_on_tiny_corpus(spark, tmp_path):
+    """The anchor rule's floor (k = max(8, ceil(sqrt(n)))) engages only
+    below n=64 — never at the shipped SFs — so exercise it explicitly:
+    a 10-vector corpus must still match the DuckDB oracle and use the
+    8-anchor floor on both engines."""
+    import shutil
+
+    import duckdb
+
+    from prefect_flow_arc_indexer_spark.sources.parquet import TABLES
+
+    dst = tmp_path / "tiny"
+    dst.mkdir()
+    con = duckdb.connect()
+    for t in TABLES:
+        if t == "embeddings":
+            con.execute(
+                f"""COPY (SELECT * FROM '{SF_DIR}/embeddings.parquet'
+                         WHERE vec_id < 10)
+                    TO '{dst}/embeddings.parquet' (FORMAT PARQUET)"""
+            )
+        else:
+            shutil.copy(f"{SF_DIR}/{t}.parquet", f"{dst}/{t}.parquet")
+    rq = all_queries()["q_semdedup"]
+    rows = rq.builder(spark, str(dst)).collect()
+    assert len(rows) == 10
+    assert all(r["cluster"] < 8 for r in rows)  # floor: first 8 are anchors
+    con.execute(
+        f"CREATE OR REPLACE VIEW embeddings AS "
+        f"SELECT * FROM '{dst}/embeddings.parquet'"
+    )
+    want = {
+        r[0]: (r[1], r[2], r[3]) for r in con.execute(rq.oracle).fetchall()
+    }
+    got = {
+        r["vec_id"]: (r["cluster"], r["dup_of"], r["is_kept"]) for r in rows
+    }
+    assert got == want
