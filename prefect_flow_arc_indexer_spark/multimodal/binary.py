@@ -751,3 +751,75 @@ def q_speech_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_active").cast("double") / F.col("n_windows"), 6
         ).alias("active_frac"),
     )
+
+
+# --------------------------------------------------------------------------
+# audio spectral features: per-window FFT (numpy) — dominant bin + centroid
+# --------------------------------------------------------------------------
+SPECTRAL_SCHEMA = (
+    "doc_id long, window_idx long, dominant_bin int, centroid double"
+)
+
+
+def _audio_spectral_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: per full 64-sample window, one numpy rFFT over
+    the mean-removed samples; features are the dominant non-DC frequency
+    bin (ties -> lowest bin: argmax picks the first max) and the
+    magnitude-weighted spectral centroid."""
+    import numpy as np
+
+    for pdf in batches:
+        out: dict[str, list] = {
+            "doc_id": [], "window_idx": [], "dominant_bin": [], "centroid": []
+        }
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            if payload is None or len(payload) < AUDIO_WINDOW:
+                continue
+            samples = np.frombuffer(bytes(payload), dtype=np.uint8).astype(
+                np.float64
+            )
+            n_full = len(samples) // AUDIO_WINDOW
+            wins = samples[: n_full * AUDIO_WINDOW].reshape(
+                n_full, AUDIO_WINDOW
+            )
+            wins = wins - wins.mean(axis=1, keepdims=True)
+            mags = np.abs(np.fft.rfft(wins, axis=1))[:, 1:]  # drop DC
+            # ties -> lowest bin: argmax returns the FIRST max
+            dom = mags.argmax(axis=1) + 1
+            bins = np.arange(1, mags.shape[1] + 1, dtype=np.float64)
+            tot = mags.sum(axis=1)
+            cent = np.where(tot > 0, (mags * bins).sum(axis=1) / np.where(tot > 0, tot, 1.0), 0.0)
+            out["doc_id"].extend([doc_id] * n_full)
+            out["window_idx"].extend(range(n_full))
+            out["dominant_bin"].extend(int(d) for d in dom)
+            out["centroid"].extend(float(c) for c in np.round(cent, 6))
+        yield pd.DataFrame(out)
+
+
+def audio_spectral(media: DataFrame) -> DataFrame:
+    """Windowed FFT features over the audio subset (Arrow-batched; the
+    payload dies at the Python boundary, narrow feature rows shuffle)."""
+    return media.where(F.col("media_type") == "audio/wav").mapInPandas(
+        _audio_spectral_batches, schema=SPECTRAL_SCHEMA
+    )
+
+
+@register(
+    "q_audio_spectral",
+    oracle=None,  # FFT is not expressible in DuckDB SQL: rows-only check;
+    # exactness is pinned by a pure-Python DFT replay test instead
+    doc="multimodal audio spectral features: per 64-sample window, the "
+    "dominant non-DC frequency bin and the magnitude-weighted spectral "
+    "centroid from one vectorized numpy rFFT per Arrow batch — the "
+    "tone/music/speech discrimination features an audio curation "
+    "pipeline derives right after VAD. Same scale shape as q_audio_energy: "
+    "the payload crosses into Python once, dies there, and only "
+    "(doc, window, 2 features) rows ever shuffle; window count scales "
+    "with payload bytes, not row count, and the FFT is O(W log W) per "
+    "window at fixed W=64. Correctness is pinned by a pure-Python "
+    "O(W^2) DFT replay test (test_sweep_vad_chat).",
+)
+def q_audio_spectral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return audio_spectral(media_frame(spark, sf_dir))

@@ -481,3 +481,18 @@ def test_semdedup_floor_on_tiny_corpus(spark, tmp_path):
         r["vec_id"]: (r["cluster"], r["dup_of"], r["is_kept"]) for r in rows
     }
     assert got == want
+
+
+def test_interval_join_and_attribution_plan_shapes(spark):
+    """Round-4 plan gates: the interval-overlap join must plan as a hash
+    equi-join on the bucket key (no cartesian/broadcast-nested-loop), and
+    attribution must stay a single window pass (no self-join of events)."""
+    ij = all_queries()["q_interval_join"].builder(spark, SF_DIR)
+    plan = ij._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("CartesianProduct") == 0
+    assert plan.count("BroadcastNestedLoopJoin") == 0
+
+    at = all_queries()["q_attribution"].builder(spark, SF_DIR)
+    plan = at._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Join") == 0  # no self-join: one window + one agg
+    assert plan.count("Window") >= 1

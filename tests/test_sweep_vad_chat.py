@@ -78,3 +78,51 @@ def test_late_census_partition_and_bounds(spark):
         assert r["max_late_us"] >= lo
         if hi is not None:
             assert r["max_late_us"] <= hi
+
+
+def test_audio_spectral_matches_pure_python_dft(spark):
+    """The numpy rFFT features must equal a pure-Python O(W^2) DFT replay
+    (independent of numpy's FFT): dominant bin exactly, centroid to 1e-5."""
+    import cmath
+
+    from pyspark.sql import functions as F
+
+    from prefect_flow_arc_indexer_spark.multimodal.binary import (
+        AUDIO_WINDOW,
+        media_frame,
+    )
+    from prefect_flow_arc_indexer_spark.plans import all_queries
+
+    out = all_queries()["q_audio_spectral"].builder(spark, SF_DIR).collect()
+    assert out
+    by_key = {(r["doc_id"], r["window_idx"]): r for r in out}
+    probe_doc = out[0]["doc_id"]
+    payload = bytes(
+        media_frame(spark, SF_DIR)
+        .where(F.col("doc_id") == probe_doc)
+        .head()["payload"]
+    )
+    n_full = len(payload) // AUDIO_WINDOW
+    assert n_full >= 1
+    for widx in range(n_full):
+        win = [
+            float(b)
+            for b in payload[widx * AUDIO_WINDOW : (widx + 1) * AUDIO_WINDOW]
+        ]
+        mean = sum(win) / AUDIO_WINDOW
+        win = [v - mean for v in win]
+        mags = []
+        for k in range(1, AUDIO_WINDOW // 2 + 1):
+            z = sum(
+                v * cmath.exp(-2j * cmath.pi * k * t / AUDIO_WINDOW)
+                for t, v in enumerate(win)
+            )
+            mags.append(abs(z))
+        dom = max(range(len(mags)), key=lambda i: (mags[i], -i)) + 1
+        tot = sum(mags)
+        cent = (
+            sum((i + 1) * m for i, m in enumerate(mags)) / tot if tot else 0.0
+        )
+        r = by_key[(probe_doc, widx)]
+        assert r["dominant_bin"] == dom
+        assert abs(r["centroid"] - cent) < 1e-5
