@@ -178,19 +178,32 @@ def apply_actions_batch(
     cfg: EsSinkConfig,
     write=write_upserts,
     write_delete=write_deletes,
+    adaptive: bool = False,
+    sleep=time.sleep,
 ) -> dict[str, int]:
     """Two-phase apply of a doc-action DataFrame (_op_type index|delete,
     grouped per target ``_index``): upserts first, then deletes — each phase
     through its OWN writer, because the ES connector cannot express deletes
     (see :func:`write_deletes`). Returns counts per phase. Both writers are
     injectable so tests (and the local pipeline) can capture the per-phase
-    frames without an ES cluster."""
+    frames without an ES cluster. With ``adaptive=True`` each per-index
+    write goes through :func:`write_adaptive` (T6), and a chunk size that
+    had to shrink for one index CARRIES OVER to the rest of the batch —
+    the reference keeps the reduced ``es_chunk_size`` for the remainder of
+    its stream (flows/main_flow.py:443-451), on the theory that an ES
+    cluster under pressure stays under pressure."""
     counts: dict[str, int] = {}
+    current = cfg
     for op, writer in (("index", write), ("delete", write_delete)):
         subset = actions.where(F.col("_op_type") == op)
         for row in subset.select("_index").distinct().collect():
             idx = row["_index"]
             frame = subset.where(F.col("_index") == idx)
-            writer(frame, cfg, idx)
+            if adaptive:
+                current = write_adaptive(
+                    frame, current, idx, write=writer, sleep=sleep
+                )
+            else:
+                writer(frame, current, idx)
             counts[f"{op}:{idx}"] = frame.count()
     return counts

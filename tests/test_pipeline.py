@@ -584,3 +584,121 @@ def test_sink_compaction_reduces_files_and_preserves_rows(spark, sink):
     )
     assert gen2 != gen
     assert sink.read_alias(spark, "alpha").count() == 200
+
+
+def test_es_rest_delete_over_real_http(spark):
+    """The REST bulk-delete path exercised over an actual HTTP listener
+    (stdlib http.server playing ES): executors POST NDJSON to /_bulk,
+    chunked by batch_entries, and the server sees every id exactly once.
+    This covers the production transport up to the cluster boundary —
+    URL shaping, content type, chunking, executor-side execution."""
+    import http.server
+    import json as _json
+    import tempfile
+    import threading
+
+    from prefect_flow_arc_indexer_spark.pipeline.es_sink import (
+        EsSinkConfig,
+        write_deletes,
+    )
+
+    cap_dir = tempfile.mkdtemp(prefix="es_bulk_")
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def do_POST(self):
+            body = self.rfile.read(int(self.headers["Content-Length"]))
+            import os
+            import uuid
+
+            with open(os.path.join(cap_dir, uuid.uuid4().hex), "wb") as f:
+                f.write(
+                    _json.dumps(
+                        {
+                            "path": self.path,
+                            "ctype": self.headers["Content-Type"],
+                            "body": body.decode(),
+                        }
+                    ).encode()
+                )
+            resp = b'{"errors": false, "items": []}'
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(resp)))
+            self.end_headers()
+            self.wfile.write(resp)
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    port = srv.server_address[1]
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        cfg = EsSinkConfig(
+            nodes=f"127.0.0.1:{port}", id_column="_id", batch_entries=3
+        )
+        df = spark.createDataFrame(
+            [(f"d{i}",) for i in range(8)], "_id string"
+        ).coalesce(2)
+        write_deletes(df, cfg, "idx_http")  # default urllib transport
+    finally:
+        srv.shutdown()
+
+    import os
+
+    posts = [_json.load(open(os.path.join(cap_dir, p))) for p in os.listdir(cap_dir)]
+    assert posts, "no HTTP bulk requests arrived"
+    assert all(p["path"] == "/_bulk" for p in posts)
+    assert all(p["ctype"] == "application/x-ndjson" for p in posts)
+    actions = [
+        _json.loads(line)
+        for p in posts
+        for line in p["body"].strip().split("\n")
+    ]
+    assert sorted(a["delete"]["_id"] for a in actions) == [
+        f"d{i}" for i in range(8)
+    ]
+    assert all(a["delete"]["_index"] == "idx_http" for a in actions)
+    assert max(len(p["body"].strip().split("\n")) for p in posts) <= 3
+
+
+def test_apply_actions_batch_adaptive_carries_chunk_size(spark):
+    """T6 end-to-end through the two-phase apply: a timeout on the first
+    index shrinks the chunk and the SHRUNK size is used for every later
+    index (the reference keeps the reduced es_chunk_size for the rest of
+    the stream)."""
+    from prefect_flow_arc_indexer_spark.pipeline.es_sink import (
+        EsSinkConfig,
+        apply_actions_batch,
+    )
+
+    actions = spark.createDataFrame(
+        [
+            ("idx_a", "1", "index", "{}"),
+            ("idx_b", "2", "index", "{}"),
+            ("idx_a", "3", "delete", None),
+        ],
+        "_index string, _id string, _op_type string, _source string",
+    )
+    seen = []
+    fails = {"n": 0}
+
+    def flaky(frame, cfg, idx):
+        seen.append((idx, cfg.batch_entries))
+        if cfg.batch_entries > 450 and fails["n"] == 0:
+            fails["n"] += 1
+            raise TimeoutError("bulk timeout")
+
+    counts = apply_actions_batch(
+        actions,
+        EsSinkConfig(nodes="es:9200"),
+        write=flaky,
+        write_delete=flaky,
+        adaptive=True,
+        sleep=lambda s: None,
+    )
+    # first index: 500 fails -> retried at 450; remaining writes stay at 450
+    assert seen[0][1] == 500 and seen[1][1] == 450
+    assert all(c == 450 for _, c in seen[2:])
+    assert counts["index:idx_a"] == 1 and counts["delete:idx_a"] == 1
