@@ -95,6 +95,50 @@ def _post_bulk(url: str, body: bytes, timeout_s: int) -> int:
         return resp.status
 
 
+def write_upserts_rest(
+    df: DataFrame,
+    cfg: EsSinkConfig,
+    index: str,
+    post=_post_bulk,
+    source_column: str = "_source",
+) -> None:
+    """Bulk-upsert via the ES ``_bulk`` REST API, ``foreachPartition`` —
+    the connector-less fallback mirroring the reference's own write path
+    (``streaming_bulk`` with ``_op_type: index``, flows/main_flow.py:
+    366-395). Each executor task ships NDJSON ``{"index": meta}\\n{doc}``
+    pairs in ``batch_entries`` chunks; idempotent by ``_id`` (a replayed
+    partition re-indexes the same documents). Use when the
+    elasticsearch-spark jar is absent; the connector path
+    (:func:`write_upserts`) is preferred in production for its retry and
+    backpressure handling."""
+    node = cfg.nodes.split(",")[0].strip()
+    if "://" not in node:
+        node = f"http://{node}"
+    url = f"{node}/_bulk"
+    id_col, chunk, timeout_s = cfg.id_column, cfg.batch_entries, cfg.timeout_s
+
+    def _partition(rows) -> None:
+        import json as _json
+
+        buf: list[bytes] = []
+        for row in rows:
+            meta = {"index": {"_index": index, "_id": str(row[id_col])}}
+            src = row[source_column]
+            doc = src if isinstance(src, str) else _json.dumps(src)
+            buf.append(
+                _json.dumps(meta).encode() + b"\n" + doc.encode() + b"\n"
+            )
+            if len(buf) >= chunk:
+                post(url, b"".join(buf), timeout_s)
+                buf.clear()
+        if buf:
+            post(url, b"".join(buf), timeout_s)
+
+    df.select(F.col(id_col), F.col(source_column)).foreachPartition(
+        _partition
+    )
+
+
 def write_deletes(
     df: DataFrame, cfg: EsSinkConfig, index: str, post=_post_bulk
 ) -> None:

@@ -702,3 +702,69 @@ def test_apply_actions_batch_adaptive_carries_chunk_size(spark):
     assert seen[0][1] == 500 and seen[1][1] == 450
     assert all(c == 450 for _, c in seen[2:])
     assert counts["index:idx_a"] == 1 and counts["delete:idx_a"] == 1
+
+
+def test_es_rest_upsert_over_real_http(spark):
+    """The connector-less REST upsert path over a live HTTP listener:
+    NDJSON {"index": meta}\\n{doc} pairs, chunked, every (_id, _source)
+    delivered exactly once."""
+    import http.server
+    import json as _json
+    import os
+    import tempfile
+    import threading
+    import uuid
+
+    from prefect_flow_arc_indexer_spark.pipeline.es_sink import (
+        EsSinkConfig,
+        write_upserts_rest,
+    )
+
+    cap_dir = tempfile.mkdtemp(prefix="es_upsert_")
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def do_POST(self):
+            body = self.rfile.read(int(self.headers["Content-Length"]))
+            with open(os.path.join(cap_dir, uuid.uuid4().hex), "wb") as f:
+                f.write(body)
+            resp = b'{"errors": false, "items": []}'
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(resp)))
+            self.end_headers()
+            self.wfile.write(resp)
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        cfg = EsSinkConfig(
+            nodes=f"127.0.0.1:{srv.server_address[1]}",
+            id_column="_id",
+            batch_entries=2,
+        )
+        df = spark.createDataFrame(
+            [(str(i), '{"v": %d}' % i) for i in range(5)],
+            "_id string, _source string",
+        ).coalesce(1)
+        write_upserts_rest(df, cfg, "idx_up")
+    finally:
+        srv.shutdown()
+
+    lines = [
+        ln
+        for p in os.listdir(cap_dir)
+        for ln in open(os.path.join(cap_dir, p)).read().strip().split("\n")
+    ]
+    metas = [_json.loads(ln) for ln in lines[0::2] if "index" in ln] or [
+        _json.loads(ln) for ln in lines if '"index"' in ln
+    ]
+    docs = [ln for ln in lines if ln.startswith('{"v"')]
+    got = sorted(
+        (m["index"]["_id"] for m in metas if "index" in m), key=int
+    )
+    assert got == [str(i) for i in range(5)]
+    assert all(m["index"]["_index"] == "idx_up" for m in metas)
+    assert sorted(docs) == sorted('{"v": %d}' % i for i in range(5))
