@@ -324,3 +324,69 @@ def test_hilbert_kernel_matches_scalar_reference():
     out = list(_hilbert_batches(iter([pdf])))[0]
     for _, r in out.iterrows():
         assert r["hkey"] == hilbert_d(int(r["x"]), int(r["y"]))
+
+
+@given(start=st.integers(min_value=1, max_value=2000))
+@settings(max_examples=50, deadline=None)
+def test_shrink_chunk_schedule_property(start):
+    """From any start, the T6 step-down is strictly decreasing, floors at
+    1, and follows the reference's -50/-10/-1 bands."""
+    from prefect_flow_arc_indexer_spark.pipeline.es_sink import shrink_chunk
+
+    cur = start
+    for _ in range(10_000):
+        nxt = shrink_chunk(cur)
+        assert 1 <= nxt
+        if cur == 1:
+            assert nxt == 1
+            break
+        assert nxt < cur
+        if cur > 50:
+            assert nxt == cur - 50
+        elif cur > 10:
+            assert nxt == cur - 10
+        else:
+            assert nxt == cur - 1
+        cur = nxt
+    assert cur == 1
+
+
+@given(
+    sessions=st.lists(
+        st.tuples(st.integers(0, 10**6), st.integers(0, 10**5)),
+        min_size=1,
+        max_size=30,
+    ),
+    incidents=st.lists(
+        st.tuples(st.integers(0, 10**6), st.integers(1, 10**5)),
+        min_size=1,
+        max_size=30,
+    ),
+    bucket=st.sampled_from([1, 7, 100, 3600]),
+)
+@settings(max_examples=100, deadline=None)
+def test_interval_bucket_blocking_is_complete(sessions, incidents, bucket):
+    """The q_interval_join physical rule — explode each closed interval to
+    its covered buckets, pair on shared bucket — must find EVERY pair the
+    theta join (s0 <= i1 AND i0 <= s1) finds, for any bucket width."""
+    svs = [(s, s + d) for s, d in sessions]
+    ivs = [(s, s + d) for s, d in incidents]
+    truth = {
+        (a, b)
+        for a, (s0, s1) in enumerate(svs)
+        for b, (i0, i1) in enumerate(ivs)
+        if s0 <= i1 and i0 <= s1
+    }
+
+    def buckets(lo, hi):
+        return range(lo // bucket, hi // bucket + 1)
+
+    got = {
+        (a, b)
+        for a, (s0, s1) in enumerate(svs)
+        for b, (i0, i1) in enumerate(ivs)
+        if (set(buckets(s0, s1)) & set(buckets(i0, i1)))
+        and s0 <= i1
+        and i0 <= s1
+    }
+    assert got == truth
