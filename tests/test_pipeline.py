@@ -768,3 +768,36 @@ def test_es_rest_upsert_over_real_http(spark):
     assert got == [str(i) for i in range(5)]
     assert all(m["index"]["_index"] == "idx_up" for m in metas)
     assert sorted(docs) == sorted('{"v": %d}' % i for i in range(5))
+
+
+def test_incremental_replay_is_idempotent(spark, sink, tmp_path):
+    """Running the same incremental batch twice (the reference's inclusive
+    >= watermark re-delivers rows at the boundary) must leave the sink in
+    an identical state — the idempotence that makes T2/T5 safe."""
+    wm = WatermarkStore(str(tmp_path / "wm.json"))
+    full_sync(spark, _docs(spark, BASE_ROWS), sink, now=datetime(2024, 2, 1))
+    changed = BASE_ROWS + [
+        ("alpha", "2", '{"v": 22}', False, "2024-01-15 00:00:00"),
+        ("alpha", "4", '{"v": 4}', False, "2024-01-17 00:00:00"),
+    ]
+    for run_day in (2, 3):
+        wm.set("default", datetime(2024, 1, 10))  # same watermark replayed
+        incremental_sync(
+            spark,
+            _docs(spark, changed),
+            sink,
+            wm,
+            now=datetime(2024, 2, run_day),
+        )
+        state = sorted(
+            (r.id, r.document)
+            for r in sink.read_alias(spark, "alpha").collect()
+        )
+        assert state == [
+            ("1", '{"v": 1}'),
+            ("2", '{"v": 22}'),
+            ("4", '{"v": 4}'),
+        ]
+    # exactly one live generation per alias after the replay
+    gens = [g for g in sink.list_generations() if g.startswith("alpha_")]
+    assert gens == [sink.read_manifest()["alpha"]]
