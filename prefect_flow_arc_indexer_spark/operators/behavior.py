@@ -230,3 +230,116 @@ def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("revenue"),
     )
+
+
+# --------------------------------------------------------------------------
+# RFM segmentation: recency / frequency / monetary quintiles per user
+# --------------------------------------------------------------------------
+@register(
+    "q_rfm_segments",
+    oracle="""WITH base AS (
+  SELECT user_id,
+         epoch_us(max(ts)) AS recency_us,
+         count(*) AS frequency,
+         CAST(coalesce(sum(CASE WHEN event_type = 'purchase'
+                                THEN CAST(value AS DECIMAL(18,2)) END),
+                       0) AS DOUBLE) AS monetary
+    FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+),
+ranked AS (
+  SELECT *,
+         row_number() OVER (ORDER BY recency_us, user_id) AS r_rk,
+         row_number() OVER (ORDER BY frequency, user_id) AS f_rk,
+         row_number() OVER (ORDER BY monetary, user_id) AS m_rk,
+         count(*) OVER () AS n
+    FROM base
+),
+scored AS (
+  SELECT user_id, recency_us, frequency, monetary,
+         CAST(5 * (r_rk - 1) // n + 1 AS INT) AS r_score,
+         CAST(5 * (f_rk - 1) // n + 1 AS INT) AS f_score,
+         CAST(5 * (m_rk - 1) // n + 1 AS INT) AS m_score
+    FROM ranked
+)
+SELECT user_id, recency_us, frequency, monetary,
+       r_score, f_score, m_score,
+       r_score * 100 + f_score * 10 + m_score AS rfm,
+       CASE WHEN r_score >= 4 AND f_score >= 4 THEN 'champion'
+            WHEN r_score <= 2 AND f_score >= 4 THEN 'at_risk'
+            WHEN r_score <= 2 AND f_score <= 2 THEN 'hibernating'
+            ELSE 'regular' END AS segment
+  FROM scored
+""",
+    doc="RFM segmentation: per user, recency (last event), frequency "
+    "(event count) and monetary (decimal-exact purchase revenue) each "
+    "scored into exact quintiles via integer rank arithmetic "
+    "(5*(rank-1)/n + 1 — no float percentile drift), combined into the "
+    "classic 111-555 RFM code plus a coarse lifecycle label. Ties break "
+    "by user_id so scores are engine-stable. Scale: the user rollup is "
+    "one map-side-combinable aggregation; the three global ranks over "
+    "the USER table (already |users| << |events|) take the two-pass "
+    "repartitionByRange form at 100 TB exactly like q_shard_balance — "
+    "the single-window formulation here is the readable small-table "
+    "variant of the same semantics.",
+)
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("user_id").isNotNull()
+    )
+    base = ev.groupBy("user_id").agg(
+        F.unix_micros(F.max("ts")).alias("recency_us"),
+        F.count("*").alias("frequency"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    F.col("value").cast("decimal(18,2)"),
+                )
+            ),
+            F.lit(0),
+        )
+        .cast("double")
+        .alias("monetary"),
+    )
+    # integer FLOOR division on both engines (DuckDB //, Spark SQL `div`):
+    # 5*(rank-1)/n as a double would CAST-round in DuckDB but truncate in
+    # Spark — boundary users would land one quintile apart
+    ranked = base.select(
+        "*",
+        F.row_number()
+        .over(Window.orderBy("recency_us", "user_id"))
+        .alias("r_rk"),
+        F.row_number()
+        .over(Window.orderBy("frequency", "user_id"))
+        .alias("f_rk"),
+        F.row_number()
+        .over(Window.orderBy("monetary", "user_id"))
+        .alias("m_rk"),
+        F.count("*").over(Window.partitionBy()).alias("n"),
+    )
+    scored = ranked.select(
+        "user_id",
+        "recency_us",
+        "frequency",
+        "monetary",
+        F.expr("cast(5 * (r_rk - 1) div n + 1 as int)").alias("r_score"),
+        F.expr("cast(5 * (f_rk - 1) div n + 1 as int)").alias("f_score"),
+        F.expr("cast(5 * (m_rk - 1) div n + 1 as int)").alias("m_score"),
+    )
+    return scored.select(
+        "*",
+        (
+            F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score")
+        ).alias("rfm"),
+        F.when(
+            (F.col("r_score") >= 4) & (F.col("f_score") >= 4), "champion"
+        )
+        .when((F.col("r_score") <= 2) & (F.col("f_score") >= 4), "at_risk")
+        .when(
+            (F.col("r_score") <= 2) & (F.col("f_score") <= 2), "hibernating"
+        )
+        .otherwise("regular")
+        .alias("segment"),
+    )

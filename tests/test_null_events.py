@@ -39,6 +39,7 @@ EVENT_QUERIES = [
     "q_ab_srm",
     "q_interval_join",
     "q_attribution",
+    "q_rfm_segments",
 ]
 
 
