@@ -574,3 +574,76 @@ def stream_dedup_exact(cdc: DataFrame) -> DataFrame:
         .dropDuplicatesWithinWatermark(["content_sha"])
         .drop("content_sha")
     )
+
+
+def stream_incremental_sink(
+    cdc: DataFrame,
+    spark: SparkSession,
+    sink,
+    checkpoint_dir: str,
+):
+    """The reference's incremental flow (E2) as a STREAM: each micro-batch
+    is last-writer-wins-compacted per id, split per target index, and
+    merged into the live generation of the versioned sink (anti-join old
+    by touched ids, union upserts — tombstones propagate by omission),
+    publishing a fresh generation per (index, batch) through the same
+    atomic manifest flip the batch driver uses.
+
+    Exactly-once story: foreachBatch gives at-least-once batch delivery;
+    the merge is idempotent by id (replaying a batch rebuilds an identical
+    generation) and the alias flip is atomic, so readers never observe a
+    partial merge. Generation names carry the batch id, so a same-second
+    replay can never overwrite the directory the merge is reading.
+
+    Ordering contract: batches must arrive in CDC-watermark order — the
+    guarantee the reference's single watermark-ordered cursor provides
+    (and Kafka provides per partition key). The file source orders by
+    modification time, so same-mtime drops are ambiguous; a deployment
+    that cannot guarantee delivery order should carry ``updated_at`` into
+    the sink rows and merge newest-wins with tombstone retention — the
+    Delta/Iceberg ``MERGE`` formulation of this same logic.
+
+    This is the piece that makes the engine a drop-in for the reference's
+    stream task (flows/main_flow.py:712-723): point ``read_cdc_stream`` at
+    the CDC drop location and the sink stays continuously synced.
+    """
+    from prefect_flow_arc_indexer_spark.pipeline.sinks import (
+        generation_timestamp,
+    )
+
+    def _apply(batch: DataFrame, batch_id: int) -> None:
+        latest = (
+            batch.withColumn(
+                "_rn",
+                F.row_number().over(
+                    Window.partitionBy("id").orderBy(
+                        F.col("updated_at").desc(), F.col("is_deleted").desc()
+                    )
+                ),
+            )
+            .where(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        ts = f"{generation_timestamp()}.b{batch_id}"
+        for row in latest.select("index").distinct().collect():
+            idx = row["index"]
+            if idx is None:
+                continue
+            b = latest.where(F.col("index") == idx)
+            upserts = b.where(~F.col("is_deleted")).select("id", "document")
+            if sink.alias_exists(idx):
+                old = sink.read_alias(spark, idx)
+                merged = old.join(
+                    b.select("id"), "id", "left_anti"
+                ).unionByName(upserts)
+            else:
+                merged = upserts
+            gen = sink.write_generation(merged, idx, ts)
+            sink.publish(idx, gen)
+
+    return (
+        cdc.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

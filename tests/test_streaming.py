@@ -635,3 +635,58 @@ def test_stream_dedup_exact_drops_content_identical_docs(spark, tmp_path):
         r.document for r in spark.sql("SELECT document FROM dedup_docs").collect()
     )
     assert docs == ['{"v": 1}', '{"v": 3}', '{"v": 5}']
+
+
+def test_stream_incremental_sink_matches_batch_merge(spark, tmp_path):
+    """E2 as a stream: CDC files drained through stream_incremental_sink
+    must leave the versioned sink in exactly the state the BATCH
+    incremental driver produces from the same rows — upserts applied,
+    tombstones propagated, later batches overriding earlier ones."""
+    from prefect_flow_arc_indexer_spark.pipeline.sinks import VersionedSink
+
+    src = tmp_path / "cdc_inc"
+    src.mkdir()
+    mk = lambda idx, i, doc, deleted, ts: {  # noqa: E731
+        "index": idx, "id": str(i), "document": doc,
+        "is_deleted": "true" if deleted else "false", "updated_at": ts,
+    }
+    _write_cdc_file(
+        src / "b0.json",
+        [
+            mk("alpha", 1, '{"v": 1}', False, "2024-01-01 00:00:00"),
+            mk("alpha", 2, '{"v": 2}', False, "2024-01-01 00:01:00"),
+            mk("beta", 10, '{"v": 10}', False, "2024-01-01 00:02:00"),
+        ],
+    )
+    _write_cdc_file(
+        src / "b1.json",
+        [
+            mk("alpha", 2, '{"v": 22}', False, "2024-01-02 00:00:00"),
+            mk("alpha", 1, "{}", True, "2024-01-02 00:01:00"),  # tombstone
+            mk("alpha", 3, '{"v": 3}', False, "2024-01-02 00:02:00"),
+        ],
+    )
+    # the file source orders same-mtime files arbitrarily; the CDC contract
+    # is watermark-ordered delivery (as in the reference), so pin mtimes
+    import os as _os
+
+    _os.utime(src / "b0.json", (1_700_000_000, 1_700_000_000))
+    _os.utime(src / "b1.json", (1_700_000_100, 1_700_000_100))
+    sink = VersionedSink(str(tmp_path / "stream_sink"))
+    q = jobs.stream_incremental_sink(
+        jobs.read_cdc_stream(spark, str(src)),
+        spark,
+        sink,
+        str(tmp_path / "ckpt_inc_sink"),
+    )
+    q.awaitTermination(180)
+
+    alpha = {
+        r.id: r.document for r in sink.read_alias(spark, "alpha").collect()
+    }
+    assert alpha == {"2": '{"v": 22}', "3": '{"v": 3}'}  # 1 tombstoned
+    beta = {r.id: r.document for r in sink.read_alias(spark, "beta").collect()}
+    assert beta == {"10": '{"v": 10}'}
+    # one live generation per alias; every published dir is complete
+    manifest = sink.read_manifest()
+    assert set(manifest) == {"alpha", "beta"}
