@@ -249,3 +249,195 @@ def q_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= MAXSIM_TOP_K)
         .select("query_id", "neighbor_id", "maxsim", "rank")
     )
+
+
+# --------------------------------------------------------------------------
+# more-like-this: shared-rare-term document similarity (the ES MLT query)
+# --------------------------------------------------------------------------
+MLT_PROBES = 3  # doc_id < 3 play the "find documents like this one" probes
+MLT_TOP_K = 10
+
+
+@register(
+    "q_more_like_this",
+    oracle=f"""WITH toks AS (
+  SELECT doc_id, {dd_tokens("text")} AS tok FROM documents
+),
+terms AS (
+  SELECT DISTINCT doc_id, unnest(tok) AS w FROM toks
+),
+df AS (SELECT w, count(*) AS df FROM terms GROUP BY w),
+n AS (SELECT count(*) AS n FROM documents),
+eligible AS (
+  SELECT w, df, 1000000 // df AS w_micro
+    FROM df, n WHERE 5 * df <= 4 * n
+),
+probe AS (SELECT doc_id AS probe_id, w FROM terms WHERE doc_id < {MLT_PROBES}),
+cand AS (
+  SELECT p.probe_id, t.doc_id AS candidate_id,
+         CAST(count(*) AS BIGINT) AS n_shared,
+         CAST(sum(e.w_micro) AS BIGINT) AS score_micro
+    FROM probe p
+    JOIN eligible e ON e.w = p.w
+    JOIN terms t ON t.w = p.w AND t.doc_id <> p.probe_id
+   GROUP BY p.probe_id, t.doc_id
+)
+SELECT probe_id, candidate_id, n_shared, score_micro, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY probe_id
+                               ORDER BY score_micro DESC, candidate_id) AS rank
+    FROM cand) WHERE rank <= {MLT_TOP_K}
+""",
+    doc="more-like-this retrieval (the ES MLT query the reference's "
+    "downstream users run against what it indexes): candidates share at "
+    "least one ELIGIBLE term with the probe doc — terms above the "
+    "max-doc-frequency cap (df <= 4n/5, MLT's stop-term guard) are "
+    "excluded, and each shared term contributes an exact integer "
+    "reciprocal-df weight (1e6 // df, the engine-stable IDF surrogate: "
+    "rarer terms dominate). Candidate generation is the inverted-index "
+    "equi-join on the term — fan-out bounded by the df cap, never a "
+    "probe x corpus product; top-k per probe by (score, id). At 100 TB "
+    "the df table is vocab-bounded and broadcastable, and the term join "
+    "is the same shape the dedup/LSH family already prices.",
+)
+def q_more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    terms = (
+        docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("w"))
+        .distinct()
+    )
+    n = docs.select(F.count("*").alias("n"))
+    df = terms.groupBy("w").agg(F.count("*").alias("df"))
+    eligible = (
+        df.crossJoin(F.broadcast(n))
+        .where(5 * F.col("df") <= 4 * F.col("n"))
+        .select("w", F.expr("1000000 div df").alias("w_micro"))
+    )
+    probe = terms.where(F.col("doc_id") < MLT_PROBES).select(
+        F.col("doc_id").alias("probe_id"), "w"
+    )
+    cand = (
+        probe.join(F.broadcast(eligible), "w")
+        .join(
+            terms.select(F.col("doc_id").alias("candidate_id"), "w"),
+            "w",
+        )
+        .where(F.col("candidate_id") != F.col("probe_id"))
+        .groupBy("probe_id", "candidate_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_shared"),
+            F.sum("w_micro").cast("bigint").alias("score_micro"),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("score_micro").desc(), F.col("candidate_id")
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= MLT_TOP_K)
+        .select("probe_id", "candidate_id", "n_shared", "score_micro", "rank")
+    )
+
+
+# --------------------------------------------------------------------------
+# snippet extraction: best query-term window per document (ES highlighting)
+# --------------------------------------------------------------------------
+SNIPPET_TERMS = ("data", "hash", "join")
+SNIPPET_W = 10  # snippet width in tokens
+
+
+@register(
+    "q_snippet_extract",
+    oracle=f"""WITH toks AS (
+  SELECT doc_id, {dd_tokens("text")} AS tok FROM documents
+),
+s AS (
+  SELECT doc_id, tok, len(tok) AS n,
+         list_transform(tok, t -> CASE WHEN list_contains(
+             {list(SNIPPET_TERMS)}, t) THEN 1 ELSE 0 END) AS hits
+    FROM toks
+),
+w AS (
+  SELECT doc_id, tok, n, hits,
+         CASE WHEN n >= {SNIPPET_W} THEN n - {SNIPPET_W - 1}
+              WHEN n >= 1 THEN 1 ELSE 0 END AS n_windows,
+         CAST(list_aggregate(hits, 'sum') AS BIGINT) AS total_hits
+    FROM s
+),
+b AS (
+  SELECT doc_id, tok, n, total_hits,
+         list_transform(generate_series(1, n_windows),
+                        st -> list_aggregate(hits[st:st+{SNIPPET_W - 1}],
+                                             'sum')) AS wsums
+    FROM w WHERE total_hits >= 1
+)
+SELECT doc_id, n AS n_tokens, total_hits,
+       CAST(list_position(wsums, list_max(wsums)) AS INT) AS best_start,
+       CAST(list_max(wsums) AS BIGINT) AS best_hits,
+       array_to_string(tok[list_position(wsums, list_max(wsums)):
+                           list_position(wsums, list_max(wsums))
+                           + {SNIPPET_W - 1}], ' ') AS snippet
+  FROM b
+""",
+    doc="snippet extraction (ES highlighting): for a fixed query-term set, "
+    f"the {SNIPPET_W}-token window with the most query-term hits per "
+    "matching document (ties -> earliest window, via first-position "
+    "argmax), emitted with its hit counts and the joined snippet text. "
+    "Entirely row-local higher-order functions — hit mask, windowed sums "
+    "over sequence/slice, argmax by array_position — inside whole-stage "
+    "codegen: at 100 TB snippets compute at scan speed with zero "
+    "shuffles, the same contract as q_winnowing.",
+)
+def q_snippet_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    terms_arr = F.array(*[F.lit(t) for t in SNIPPET_TERMS])
+    s = docs.select(
+        "doc_id",
+        tokens(F.col("text")).alias("tok"),
+    ).select(
+        "doc_id",
+        "tok",
+        F.size("tok").alias("n"),
+        F.transform(
+            F.col("tok"),
+            lambda t: F.when(F.array_contains(terms_arr, t), 1).otherwise(0),
+        ).alias("hits"),
+    )
+    w = s.select(
+        "doc_id",
+        "tok",
+        "n",
+        "hits",
+        F.when(F.col("n") >= SNIPPET_W, F.col("n") - (SNIPPET_W - 1))
+        .when(F.col("n") >= 1, F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("n_windows"),
+        F.aggregate("hits", F.lit(0), lambda a, x: a + x)
+        .cast("bigint")
+        .alias("total_hits"),
+    ).where(F.col("total_hits") >= 1)
+    wsums = F.transform(
+        F.sequence(F.lit(1), F.col("n_windows")),
+        lambda st: F.aggregate(
+            F.slice("hits", st, SNIPPET_W), F.lit(0), lambda a, x: a + x
+        ),
+    )
+    b = w.select(
+        "doc_id",
+        "tok",
+        F.col("n").alias("n_tokens"),
+        "total_hits",
+        wsums.alias("wsums"),
+    )
+    best_start = F.array_position(
+        F.col("wsums"), F.array_max("wsums")
+    ).cast("int")
+    return b.select(
+        "doc_id",
+        "n_tokens",
+        "total_hits",
+        best_start.alias("best_start"),
+        F.array_max("wsums").cast("bigint").alias("best_hits"),
+        F.array_join(
+            F.slice("tok", best_start, SNIPPET_W), " "
+        ).alias("snippet"),
+    )

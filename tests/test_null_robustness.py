@@ -67,6 +67,8 @@ DOC_QUERIES = [
     "q_dsir_weights",
     "q_ngram_jaccard",
     "q_containment",
+    "q_more_like_this",
+    "q_snippet_extract",
 ]
 
 
