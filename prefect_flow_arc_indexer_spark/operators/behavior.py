@@ -277,13 +277,15 @@ SELECT user_id, recency_us, frequency, monetary,
     "classic 111-555 RFM code plus a coarse lifecycle label. Ties break "
     "by user_id so scores are engine-stable. Scale: the user rollup is "
     "one map-side-combinable aggregation; the three global ranks over "
-    "the USER table (already |users| << |events|) take the two-pass "
-    "repartitionByRange form at 100 TB exactly like q_shard_balance — "
-    "the single-window formulation here is the readable small-table "
-    "variant of the same semantics.",
+    "the USER table run in the two-pass repartitionByRange form "
+    "(distrank.global_rank — parallel range sort + broadcast offsets), so "
+    "no single-task window touches user-cardinality data; n is a "
+    "broadcast scalar.",
 )
 def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
+    from prefect_flow_arc_indexer_spark.operators.distrank import (
+        global_rank,
+    )
 
     ev = load_table(spark, sf_dir, "events").where(
         F.col("user_id").isNotNull()
@@ -302,23 +304,21 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("double")
         .alias("monetary"),
-    )
+    ).localCheckpoint(eager=True)  # one events scan feeds n + 3 rank passes
     # integer FLOOR division on both engines (DuckDB //, Spark SQL `div`):
     # 5*(rank-1)/n as a double would CAST-round in DuckDB but truncate in
     # Spark — boundary users would land one quintile apart
-    ranked = base.select(
-        "*",
-        F.row_number()
-        .over(Window.orderBy("recency_us", "user_id"))
-        .alias("r_rk"),
-        F.row_number()
-        .over(Window.orderBy("frequency", "user_id"))
-        .alias("f_rk"),
-        F.row_number()
-        .over(Window.orderBy("monetary", "user_id"))
-        .alias("m_rk"),
-        F.count("*").over(Window.partitionBy()).alias("n"),
+    n_tot = base.agg(F.count(F.lit(1)).alias("n"))
+    ranked = global_rank(
+        base, [F.col("recency_us").asc(), F.col("user_id").asc()], "r_rk"
     )
+    ranked = global_rank(
+        ranked, [F.col("frequency").asc(), F.col("user_id").asc()], "f_rk"
+    )
+    ranked = global_rank(
+        ranked, [F.col("monetary").asc(), F.col("user_id").asc()], "m_rk"
+    )
+    ranked = ranked.crossJoin(F.broadcast(n_tot))
     scored = ranked.select(
         "user_id",
         "recency_us",

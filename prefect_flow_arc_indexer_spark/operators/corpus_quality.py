@@ -608,19 +608,27 @@ SELECT doc_id, n_tokens,
     "windows): docs concatenated in doc_id order, each doc assigned the "
     "pack where its first token lands plus its offset — the deterministic "
     "batch-assembly step of LLM training (GPT-style streaming concat). "
-    "Exact integer window arithmetic. The global-order cumulative window "
-    "is the DETERMINISM CONTRACT of this operator, so it is inherently "
-    "single-ordered; at 100 TB packing runs per shard (partitionBy on a "
-    "shard key) with the same code, which is how production packers keep "
-    "it parallel",
+    "Exact integer window arithmetic. The doc_id-ordered prefix sum is "
+    "the DETERMINISM CONTRACT of this operator and runs in the two-pass "
+    "distrank.global_cumsum form (parallel range sort + broadcast "
+    "offsets; exclusive start = inclusive cum - own length), so packing "
+    "is parallel at any cardinality without changing the assignment",
 )
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from prefect_flow_arc_indexer_spark.operators.distrank import (
+        global_cumsum,
+    )
+
     t = _toks(spark, sf_dir).select(
         "doc_id", F.size("tok").alias("n_tokens")
     )
-    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
-    start = F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("bigint")
-    return t.select(
+    cum = global_cumsum(
+        t, F.col("n_tokens"), [F.col("doc_id").asc()], "_cum"
+    )
+    start = (
+        F.col("_cum") - F.coalesce(F.col("n_tokens"), F.lit(0))
+    ).cast("bigint")
+    return cum.select(
         "doc_id", "n_tokens", start.alias("_start")
     ).select(
         "doc_id",

@@ -700,31 +700,20 @@ RRF_PARTS = 8  # range partitions for each scale-honest global rank
 
 def _global_rank(df: DataFrame, signal: str) -> DataFrame:
     """row_number() by (signal DESC, doc_id ASC) in the scale-honest
-    TWO-PASS form: repartitionByRange -> per-partition row_number ->
-    broadcast per-partition offsets (same pattern as q_shard_balance) —
-    never a single-task global window. Returns (doc_id, rnk)."""
-    from pyspark.sql import Window
+    TWO-PASS form — thin wrapper over the shared
+    :func:`~prefect_flow_arc_indexer_spark.operators.distrank.global_rank`
+    (repartitionByRange -> per-partition row_number -> broadcast offsets;
+    never a single-task global window). Returns (doc_id, rnk)."""
+    from prefect_flow_arc_indexer_spark.operators.distrank import (
+        global_rank,
+    )
 
-    parted = df.repartitionByRange(
-        RRF_PARTS, F.col(signal).desc(), F.col("doc_id").asc()
-    ).withColumn("pid", F.spark_partition_id())
-    local_w = Window.partitionBy("pid").orderBy(
-        F.col(signal).desc(), F.col("doc_id").asc()
-    )
-    local = parted.withColumn("lr", F.row_number().over(local_w))
-    off_w = Window.orderBy("pid").rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    offsets = (
-        local.groupBy("pid")
-        .agg(F.count("*").alias("n"))
-        .withColumn("off", F.coalesce(F.sum("n").over(off_w), F.lit(0)))
-        .select("pid", "off")
-    )
-    return (
-        local.join(F.broadcast(offsets), "pid")
-        .select("doc_id", (F.col("lr") + F.col("off")).alias("rnk"))
-    )
+    return global_rank(
+        df,
+        [F.col(signal).desc(), F.col("doc_id").asc()],
+        "rnk",
+        num_parts=RRF_PARTS,
+    ).select("doc_id", "rnk")
 
 
 def _register_rank_fusion():

@@ -407,11 +407,16 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 # dangling), so an unmaterialized checkpoint would re-run both
                 .localCheckpoint(eager=True)
             )
+        # top-k FIRST via orderBy+limit (plans as TakeOrderedAndProject —
+        # parallel partial top-k, no single-task sort of the node table),
+        # then number the k survivors; identical to rank-then-filter
+        # because the sort key is the same total order.
         wnd = Window.orderBy(F.desc("rq"), F.asc("term"))
         return (
             rank.select("term", F.round("r", 6).alias("rq"))
+            .orderBy(F.desc("rq"), F.asc("term"))
+            .limit(PAGERANK_TOP_K)
             .withColumn("rank_pos", F.row_number().over(wnd))
-            .where(F.col("rank_pos") <= PAGERANK_TOP_K)
             .select("rank_pos", "term", F.col("rq").alias("pagerank"))
         )
     finally:

@@ -143,24 +143,23 @@ SELECT doc_id, lang, n_chars,
     "axis (a doc is picked iff a ticket boundary falls inside its weight "
     "span — ALL-integer arithmetic, so unlike the classic -ln(u)/w "
     "exponential-rank trick there is no float ordering to drift across "
-    "engines); the global cumsum window is the operator's determinism "
-    "contract, sharded per stratum in production like q_pack_sequences",
+    "engines); the doc_id-ordered cumulative weight is the operator's "
+    "determinism contract and is computed in the two-pass "
+    "distrank.global_cumsum form (parallel range sort + broadcast "
+    "offsets) — no single-task window at any cardinality",
 )
 def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
+    from prefect_flow_arc_indexer_spark.operators.distrank import (
+        global_cumsum,
+    )
 
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "lang", "n_chars"
     )
-    cum = F.sum("n_chars").over(
-        Window.orderBy("doc_id").rowsBetween(
-            Window.unboundedPreceding, Window.currentRow
-        )
-    )
     tot = docs.agg(F.sum("n_chars").cast("long").alias("total"))
-    w = docs.select("doc_id", "lang", "n_chars", cum.alias("cum")).join(
-        F.broadcast(tot)
-    )
+    w = global_cumsum(
+        docs, F.col("n_chars"), [F.col("doc_id").asc()], "cum"
+    ).join(F.broadcast(tot))
     ticket = F.expr(f"(cum * {WEIGHTED_K}) div total")
     prev_ticket = F.expr(f"((cum - n_chars) * {WEIGHTED_K}) div total")
     return (

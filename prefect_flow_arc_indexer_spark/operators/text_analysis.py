@@ -587,15 +587,17 @@ SELECT (SELECT CAST(n_cal AS BIGINT) FROM qhat LIMIT 1) AS n_cal,
         "classifier scores gate what enters training data. Calibration "
         "membership is a salted hash (reproducible split), the quantile "
         "rank is exact-integer ceil((n+1)(1-a)), and the corpus "
-        "contributes the two classifier scans; the quantile itself runs "
-        "on the calibration slice (one bounded single-partition window, "
-        "same aggregate-then-rank discipline as q_vocab_coverage).",
+        "contributes the two classifier scans; the quantile rank over the "
+        "calibration slice (~corpus/2 rows) runs in the two-pass "
+        "distrank.global_rank form with n_cal as a broadcast scalar — no "
+        "single-task window at any cardinality.",
     )
     def q_conformal_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
-        from pyspark.sql import Window
-
         from prefect_flow_arc_indexer_spark.functions.hashing import (
             stable_hash,
+        )
+        from prefect_flow_arc_indexer_spark.operators.distrank import (
+            global_rank,
         )
 
         pred = _REGISTRY["q_quality_logistic"].builder(spark, sf_dir).select(
@@ -621,12 +623,11 @@ SELECT (SELECT CAST(n_cal AS BIGINT) FROM qhat LIMIT 1) AS n_cal,
             ).alias("is_cal"),
         )
         joined = joined.localCheckpoint(eager=True)  # both splits reuse it
-        w = Window.orderBy(F.col("s_micro").asc(), F.col("doc_id").asc())
-        cal = (
-            joined.where("is_cal")
-            .withColumn("rk", F.row_number().over(w))
-            .withColumn("n_cal", F.count("*").over(Window.partitionBy()))
-        )
+        cal0 = joined.where("is_cal")
+        n_cal_df = cal0.agg(F.count(F.lit(1)).alias("n_cal"))
+        cal = global_rank(
+            cal0, [F.col("s_micro").asc(), F.col("doc_id").asc()], "rk"
+        ).crossJoin(F.broadcast(n_cal_df))
         qhat = cal.where(
             F.col("rk")
             == F.least(
