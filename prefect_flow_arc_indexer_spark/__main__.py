@@ -16,9 +16,11 @@ Reference parameter -> CLI flag:
   incremental, exactly like the reference's default False)
 - ``db_batch_size``                   -> ``--db-batch-size`` (JDBC fetchsize)
 - ``es_chunk_size``/``es_request_timeout``/``es_max_retries`` ->
-  ``--es-chunk-size --es-timeout --es-retries`` (forwarded to EsSinkConfig
-  when ``--es-nodes`` is given; otherwise the VersionedSink path ignores
-  them, as there is no ES in the sandbox)
+  ``--es-chunk-size --es-timeout --es-retries``: when ``--es-nodes`` is
+  given they build the :class:`EsSinkConfig` used to MIRROR each synced
+  index to ES via the REST ``_bulk`` path after publish (``--sink-dir``
+  stays required — the manifest/watermark source of truth is local);
+  without ``--es-nodes`` they are unused
 - flow retries (``flows/main_flow.py:722-723``) -> ``--retries
   --retry-delay`` (X4 per-index retry wrapper)
 
@@ -101,13 +103,11 @@ def load_docs(spark, args) -> DataFrame:
 
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
-    if not args.sink_dir and not args.es_nodes:
-        raise SystemExit("one of --sink-dir or --es-nodes is required")
-    if args.es_nodes and not args.sink_dir:
+    if not args.sink_dir:
         raise SystemExit(
-            "the ES sink needs the elasticsearch-spark connector jar on the "
-            "classpath (production); provide --sink-dir for the local "
-            "VersionedSink path"
+            "--sink-dir is required (the VersionedSink manifest is the "
+            "source of truth); add --es-nodes to ALSO mirror each synced "
+            "index to Elasticsearch over the REST _bulk path"
         )
 
     from prefect_flow_arc_indexer_spark.pipeline.runner import (
@@ -152,6 +152,29 @@ def main(argv: list[str] | None = None) -> int:
             retries=args.retries,
             retry_delay_s=args.retry_delay,
         )
+    if args.es_nodes:
+        # mirror every index this run wrote to ES through the connector-less
+        # REST bulk path (reference data plane: streaming_bulk upserts,
+        # flows/main_flow.py:366-395); chunk/timeout/retry flags land here
+        from prefect_flow_arc_indexer_spark.pipeline.es_sink import (
+            EsSinkConfig,
+            write_upserts_rest,
+        )
+
+        es_cfg = EsSinkConfig(
+            nodes=args.es_nodes,
+            batch_entries=args.es_chunk_size,
+            timeout_s=args.es_timeout,
+            retries=args.es_retries,
+        )
+        for index in report.written:
+            write_upserts_rest(
+                sink.read_alias(spark, index),
+                es_cfg,
+                index,
+                source_column="document",
+            )
+
     print(json.dumps(dataclasses.asdict(report), sort_keys=True))
     return 0
 

@@ -1288,7 +1288,8 @@ crossed AS (
     FROM s0 a JOIN s1 b ON b.bucket = a.bucket
 ),
 knn_a AS (
-  SELECT id_a, CAST(sum(cos_u) AS BIGINT) AS sum_a
+  SELECT id_a, CAST(sum(cos_u) AS BIGINT) AS sum_a,
+         CAST(count(*) AS BIGINT) AS cnt_a
     FROM (SELECT id_a, cos_u,
                  row_number() OVER (PARTITION BY id_a
                                     ORDER BY cos_u DESC, id_b) AS rn
@@ -1296,7 +1297,8 @@ knn_a AS (
    WHERE rn <= {MARGIN_K} GROUP BY id_a
 ),
 knn_b AS (
-  SELECT id_b, CAST(sum(cos_u) AS BIGINT) AS sum_b
+  SELECT id_b, CAST(sum(cos_u) AS BIGINT) AS sum_b,
+         CAST(count(*) AS BIGINT) AS cnt_b
     FROM (SELECT id_b, cos_u,
                  row_number() OVER (PARTITION BY id_b
                                     ORDER BY cos_u DESC, id_a) AS rn
@@ -1305,7 +1307,8 @@ knn_b AS (
 )
 SELECT c.id_a, c.id_b,
        round(CAST(c.cos_u AS DOUBLE) / 1000000, 6) AS cos_sim,
-       round(2.0 * {MARGIN_K} * c.cos_u / (ka.sum_a + kb.sum_b), 6) AS margin
+       round(2.0 * c.cos_u * ka.cnt_a * kb.cnt_b
+             / (ka.sum_a * kb.cnt_b + kb.sum_b * ka.cnt_a), 6) AS margin
   FROM crossed c
   JOIN knn_a ka ON ka.id_a = c.id_a
   JOIN knn_b kb ON kb.id_b = c.id_b
@@ -1321,8 +1324,11 @@ SELECT c.id_a, c.id_b,
         "cosine over the average of both endpoints' k-NN cosine into "
         "the other side — the hubness-robust selection rule for mining "
         "parallel training pairs; label parity plays the two languages. "
-        "Neighborhood means are exact integer sums of 1e-6-quantized "
-        "cosines (order-proof), one double division per pair, "
+        "The denominator weighs each endpoint by its ACTUAL neighbor "
+        "count min(K, candidates), so sparse LSH buckets don't inflate "
+        "margins. Neighborhood means are exact integer sums of "
+        "1e-6-quantized cosines (order-proof), one double division per "
+        "pair, "
         "deterministic top-20 review queue via TakeOrdered. Candidates "
         "come from the LSH bucket equi-join (hash join on bucket id — "
         "the oracle applies the identical rule), so the plan contains NO "
@@ -1369,17 +1375,29 @@ SELECT c.id_a, c.id_b,
         w_b = Window.partitionBy("id_b").orderBy(
             F.col("cos_u").desc(), F.col("id_a")
         )
+        # carry the ACTUAL neighbor count (min(K, candidates)) into the
+        # denominator: an endpoint in a small LSH bucket has fewer than K
+        # candidates, and dividing its sum by K would understate its k-NN
+        # mean and inflate margins (ADVICE r4) — the count-weighted form
+        # keeps the Artetxe & Schwenk criterion exact for sparse buckets
+        # and reduces to the 2K*cos/(sum_a+sum_b) form when both are full
         knn_a = (
             crossed.withColumn("rn", F.row_number().over(w_a))
             .where(F.col("rn") <= MARGIN_K)
             .groupBy("id_a")
-            .agg(F.sum("cos_u").cast("bigint").alias("sum_a"))
+            .agg(
+                F.sum("cos_u").cast("bigint").alias("sum_a"),
+                F.count(F.lit(1)).cast("bigint").alias("cnt_a"),
+            )
         )
         knn_b = (
             crossed.withColumn("rn", F.row_number().over(w_b))
             .where(F.col("rn") <= MARGIN_K)
             .groupBy("id_b")
-            .agg(F.sum("cos_u").cast("bigint").alias("sum_b"))
+            .agg(
+                F.sum("cos_u").cast("bigint").alias("sum_b"),
+                F.count(F.lit(1)).cast("bigint").alias("cnt_b"),
+            )
         )
         # knn_a/knn_b have one row per endpoint (|side| rows) — NOT
         # broadcastable at corpus scale; plain equi-joins let AQE pick
@@ -1394,9 +1412,13 @@ SELECT c.id_a, c.id_b,
                 ),
                 F.round(
                     2.0
-                    * MARGIN_K
                     * F.col("cos_u")
-                    / (F.col("sum_a") + F.col("sum_b")),
+                    * F.col("cnt_a")
+                    * F.col("cnt_b")
+                    / (
+                        F.col("sum_a") * F.col("cnt_b")
+                        + F.col("sum_b") * F.col("cnt_a")
+                    ),
                     6,
                 ).alias("margin"),
             )

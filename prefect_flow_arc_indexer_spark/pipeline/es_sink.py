@@ -83,16 +83,53 @@ def write_upserts(df: DataFrame, cfg: EsSinkConfig, index: str) -> None:
     writer.save(index)
 
 
+class BulkItemError(RuntimeError):
+    """ES ``_bulk`` returned HTTP 200 with per-item failures
+    (``"errors": true`` in the body — e.g. es_rejected_execution_exception).
+    Raised so callers and :func:`write_adaptive`'s backpressure shrink see
+    item-level rejections, exactly as the reference's ``streaming_bulk``
+    raises on item errors (flows/main_flow.py:366-395; ADVICE r4)."""
+
+
+def _check_bulk_response(raw: bytes) -> None:
+    """Raise :class:`BulkItemError` when a bulk response body reports
+    ``errors: true``, surfacing the first failed item. A non-JSON body is
+    ignored (some proxies return empty 200s; transport errors already raise
+    in urlopen)."""
+    import json as _json
+
+    try:
+        payload = _json.loads(raw)
+    except Exception:
+        return
+    if not isinstance(payload, dict) or not payload.get("errors"):
+        return
+    first = next(
+        (
+            op.get("error")
+            for item in payload.get("items", [])
+            for op in item.values()
+            if isinstance(op, dict) and op.get("error")
+        ),
+        None,
+    )
+    raise BulkItemError(f"bulk response reported item failures: {first!r}")
+
+
 def _post_bulk(url: str, body: bytes, timeout_s: int) -> int:
-    """POST an NDJSON bulk body to ES; returns the HTTP status. Split out so
-    tests (and air-gapped runs) can inject a fake transport."""
+    """POST an NDJSON bulk body to ES; returns the HTTP status. Raises
+    :class:`BulkItemError` when the 200 body carries per-item failures
+    (``errors: true``) — a bare 200 is NOT success for ``_bulk``. Split out
+    so tests (and air-gapped runs) can inject a fake transport."""
     import urllib.request
 
     req = urllib.request.Request(
         url, data=body, headers={"Content-Type": "application/x-ndjson"}
     )
     with urllib.request.urlopen(req, timeout=timeout_s) as resp:
-        return resp.status
+        status = resp.status
+        _check_bulk_response(resp.read())
+        return status
 
 
 def write_upserts_rest(

@@ -124,6 +124,26 @@ def _run_with_retries(
             sleep(retry_delay_s)
 
 
+def _collision_free_ts(
+    sink: VersionedSink, index: str, ts: str, run_started: datetime
+) -> str:
+    """Same-second generation-name collision guard (the hazard ``compact``
+    and ``stream_incremental_sink`` already dodge): if this run's timestamp
+    reproduces the PUBLISHED generation name of ``index`` — publish followed
+    by an incremental run within one second — ``write_generation``'s
+    overwrite would clobber the directory the lazy merge plan is reading
+    from, and a retry rollback would delete live published data. Bump the
+    timestamp forward one second until the name is free (ADVICE r4)."""
+    published = sink.read_manifest().get(index)
+    bump = 0
+    while sink.generation_name(index, ts) == published:
+        bump += 1
+        ts = generation_timestamp(
+            datetime.fromtimestamp(run_started.timestamp() + bump)
+        )
+    return ts
+
+
 def _probe_schema_name(frame: DataFrame, path: str):
     """T7 probe: the ``schema_name`` of one (deterministically-arbitrary:
     min-id) document — the reference grabs an arbitrary doc from each side
@@ -247,11 +267,23 @@ def incremental_sync(
                 rebuild = True
                 report.rebuilt.append(index)
 
-        if rebuild:
-            gen = sink.generation_name(index, ts)
+        # same-second collision with the published generation would clobber
+        # the directory the lazy plan reads from (and rollback would delete
+        # live data) — bump this index's timestamp until the name is free
+        idx_ts = _collision_free_ts(sink, index, ts, run_started)
 
-            def attempt(index=index, live=live, gen=gen):
-                sink.write_generation(live, index, ts)
+        if rebuild:
+            gen = sink.generation_name(index, idx_ts)
+            actual = [0]
+
+            def attempt(index=index, live=live, gen=gen, idx_ts=idx_ts,
+                        actual=actual):
+                sink.write_generation(live, index, idx_ts)
+                # record what the rebuild actually wrote (the full live doc
+                # set), not the CDC batch count — consistent with full_sync
+                actual[0] = spark.read.parquet(
+                    sink.generation_path(gen)
+                ).count()
                 sink.publish(index, gen)
 
             _run_with_retries(
@@ -263,17 +295,17 @@ def incremental_sync(
                 retry_delay_s,
                 sleep,
             )
-            report.written[index] = n
+            report.written[index] = actual[0]
             continue
 
         upserts = batch.where(~F.col("is_deleted")).select("id", "document")
         touched_ids = batch.select("id")
         # idempotent by id: delete-then-insert covers upsert AND tombstone
         merged = old.join(touched_ids, "id", "left_anti").unionByName(upserts)
-        gen = sink.generation_name(index, ts)
+        gen = sink.generation_name(index, idx_ts)
 
-        def attempt(index=index, merged=merged, gen=gen):
-            sink.write_generation(merged, index, ts)
+        def attempt(index=index, merged=merged, gen=gen, idx_ts=idx_ts):
+            sink.write_generation(merged, index, idx_ts)
             sink.publish(index, gen)
 
         _run_with_retries(
