@@ -261,6 +261,7 @@ def apply_actions_batch(
     write_delete=write_deletes,
     adaptive: bool = False,
     sleep=time.sleep,
+    out_cfg: list | None = None,
 ) -> dict[str, int]:
     """Two-phase apply of a doc-action DataFrame (_op_type index|delete,
     grouped per target ``_index``): upserts first, then deletes — each phase
@@ -272,7 +273,10 @@ def apply_actions_batch(
     had to shrink for one index CARRIES OVER to the rest of the batch —
     the reference keeps the reduced ``es_chunk_size`` for the remainder of
     its stream (flows/main_flow.py:443-451), on the theory that an ES
-    cluster under pressure stays under pressure."""
+    cluster under pressure stays under pressure. When ``out_cfg`` (an
+    empty list) is passed, the config that last succeeded is appended to
+    it so callers batching many micro-batches (:class:`EsStreamSink`) can
+    carry the adapted size forward."""
     counts: dict[str, int] = {}
     current = cfg
     for op, writer in (("index", write), ("delete", write_delete)):
@@ -287,4 +291,44 @@ def apply_actions_batch(
             else:
                 writer(frame, current, idx)
             counts[f"{op}:{idx}"] = frame.count()
+    if out_cfg is not None:
+        out_cfg.append(current)
     return counts
+
+
+class EsStreamSink:
+    """T6 for the STREAMING path: an ``apply_batch`` callable for
+    :func:`~prefect_flow_arc_indexer_spark.streaming.jobs.
+    stream_doc_actions` that applies each micro-batch through
+    :func:`apply_actions_batch` with ``adaptive=True`` and CARRIES the
+    shrunken chunk size across micro-batches — a stream that hit ES
+    backpressure in batch N starts batch N+1 at the reduced
+    ``es.batch.size.entries``, exactly the reference's behavior for the
+    remainder of its cursor stream (flows/main_flow.py:443-451)."""
+
+    def __init__(
+        self,
+        cfg: EsSinkConfig,
+        write=write_upserts,
+        write_delete=write_deletes,
+        sleep=time.sleep,
+    ) -> None:
+        self.cfg = cfg
+        self._write = write
+        self._write_delete = write_delete
+        self._sleep = sleep
+        self.batches: list[dict[str, int]] = []  # per-batch apply counts
+
+    def __call__(self, actions: DataFrame, batch_id: int) -> None:
+        holder: list[EsSinkConfig] = []
+        counts = apply_actions_batch(
+            actions,
+            self.cfg,
+            write=self._write,
+            write_delete=self._write_delete,
+            adaptive=True,
+            sleep=self._sleep,
+            out_cfg=holder,
+        )
+        self.cfg = holder[0]
+        self.batches.append(counts)

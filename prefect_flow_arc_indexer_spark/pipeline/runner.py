@@ -36,7 +36,10 @@ same logic is a Delta/Iceberg MERGE or the ES connector's upsert mode.
 
 from __future__ import annotations
 
+import os
+import shutil
 import time
+from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field
 from datetime import datetime
 
@@ -155,6 +158,117 @@ def _probe_schema_name(frame: DataFrame, path: str):
     return row["schema_name"] if row else None
 
 
+def one_pass_live(docs: DataFrame, indexes: list[str]) -> DataFrame:
+    """The fused full-sync data plane: ONE frame holding every index's live
+    documents, pre-shuffled on ``index`` so the ``partitionBy`` write emits
+    one directory per index from few tasks (the
+    ``pipeline.partitioned.write_partitioned`` discipline). A full sync
+    through this frame scans the fact table ONCE, not O(#indexes) times —
+    the Spark-native improvement over the reference's one-SQL-per-index
+    shape (flows/main_flow.py:317-343)."""
+    return (
+        docs.where(F.col("index").isin(indexes) & ~F.col("is_deleted"))
+        .select("index", "id", "document")
+        .repartition(F.col("index"))
+    )
+
+
+def _full_sync_one_pass(
+    spark: SparkSession,
+    docs: DataFrame,
+    sink: VersionedSink,
+    report: SyncReport,
+    ts: str,
+    retries: int,
+    retry_delay_s: float,
+    sleep,
+    bucketed: bool = False,
+    n_buckets: int = 16,
+) -> None:
+    """One Spark job writes every index's generation data (partitionBy on
+    ``index`` into a staging dir, single fact-table scan); the per-index
+    write-audit-publish loop stays driver-side: each staged partition
+    directory is renamed into place as its generation, reconciled against
+    per-index expected counts collected by an ``Observation`` ON the write
+    job itself (one conditional count per index — #indexes is
+    catalog-bounded — so reconciliation costs ZERO extra scans), and
+    atomically published. Rollback moves a generation back to staging so a
+    retry can re-promote it."""
+    from pyspark.sql import Observation
+
+    from prefect_flow_arc_indexer_spark.pipeline.bucketed import (
+        _write_marker,
+        bucket_of,
+    )
+
+    live_all = one_pass_live(docs, report.indexes)
+    stage = os.path.join(sink.base_dir, f"_stage_{ts}")
+    os.makedirs(sink.base_dir, exist_ok=True)
+    obs = Observation(f"one_pass_counts_{ts}")
+    observed = live_all.observe(
+        obs,
+        *(
+            F.sum(F.when(F.col("index") == idx, 1).otherwise(0))
+            .cast("long")
+            .alias(f"c_{n}")
+            for n, idx in enumerate(report.indexes)
+        ),
+    )
+    part_cols = ["index"]
+    if bucketed:
+        # composes: the same single scan also lays down the hash-bucketed
+        # generation layout the incremental merge path prunes on
+        observed = observed.withColumn(
+            "bucket", bucket_of(F.col("id"), n_buckets)
+        ).repartition(F.col("index"), F.col("bucket"))
+        part_cols = ["index", "bucket"]
+    observed.write.partitionBy(*part_cols).mode("overwrite").parquet(stage)
+    counts = obs.get  # blocks until the write job finishes
+    expected = {
+        idx: counts[f"c_{n}"] or 0 for n, idx in enumerate(report.indexes)
+    }
+    try:
+        for index in report.indexes:
+            part_dir = os.path.join(stage, f"index={index}")
+            gen = sink.generation_name(index, ts)
+            gen_path = sink.generation_path(gen)
+
+            def attempt(index=index, part_dir=part_dir, gen=gen,
+                        gen_path=gen_path):
+                if os.path.isdir(part_dir) and not os.path.isdir(gen_path):
+                    shutil.move(part_dir, gen_path)
+                    if bucketed:
+                        _write_marker(gen_path, n_buckets)
+                if os.path.isdir(gen_path):
+                    actual = spark.read.parquet(gen_path).count()
+                else:
+                    # an index whose docs are all tombstones writes no
+                    # partition — publish an explicitly empty generation
+                    sink.write_generation(
+                        docs.where(F.lit(False)).select("id", "document"),
+                        index,
+                        ts,
+                    )
+                    actual = 0
+                report.reconcile_ok[index] = expected.get(index, 0) == actual
+                sink.publish(index, gen)
+                report.written[index] = actual
+
+            def rollback(part_dir=part_dir, gen_path=gen_path):
+                # restore the staged partition so a retry can re-promote it
+                if os.path.isdir(gen_path) and not os.path.isdir(part_dir):
+                    shutil.move(gen_path, part_dir)
+                else:
+                    shutil.rmtree(gen_path, ignore_errors=True)
+
+            _run_with_retries(
+                index, attempt, rollback, report, retries, retry_delay_s,
+                sleep,
+            )
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+
+
 def full_sync(
     spark: SparkSession,
     docs: DataFrame,
@@ -164,8 +278,28 @@ def full_sync(
     retries: int = 0,
     retry_delay_s: float = 0.0,
     sleep=time.sleep,
+    parallel_large: bool = False,
+    one_pass: bool = False,
+    bucketed: bool = False,
+    n_buckets: int = 16,
 ) -> SyncReport:
-    """E1: full rebuild with write-audit-publish per index."""
+    """E1: full rebuild with write-audit-publish per index.
+    ``bucketed=True`` lays generations out hash-bucketed by id
+    (``pipeline.bucketed``) so later incremental merges rewrite only
+    touched buckets.
+
+    ``parallel_large=True`` finishes X3 end-to-end (reference
+    ``run_large_indexer_parallel``, flows/main_flow.py:685-687,721): the
+    small indexes still run smallest-first sequentially, then the
+    ``pg-indexer-large`` class is submitted CONCURRENTLY from a driver
+    thread pool — each thread sets its own thread-local scheduler pool, so
+    a FAIR scheduler config actually sees both pools at once.
+
+    ``one_pass=True`` fuses the data plane: one ``partitionBy("index")``
+    write job (single fact-table scan) feeds every generation; publish/
+    reconcile remain per-index and driver-side. Implies the data plane is
+    already one parallel job, so ``parallel_large`` is moot there.
+    """
     report = SyncReport()
     if or_ids:
         indexes = [x.lower() for x in or_ids]  # P8, flows/main_flow.py:640
@@ -180,19 +314,37 @@ def full_sync(
     large = set(report.indexes[-N_LARGE:])
     ts = generation_timestamp(now)
     sc = spark.sparkContext
+    for index in report.indexes:
+        report.pools[index] = POOL_LARGE if index in large else POOL_DEFAULT
 
-    try:
-        for index in report.indexes:
-            pool = POOL_LARGE if index in large else POOL_DEFAULT
-            report.pools[index] = pool
-            sc.setLocalProperty("spark.scheduler.pool", pool)
+    if one_pass:
+        _full_sync_one_pass(
+            spark, docs, sink, report, ts, retries, retry_delay_s, sleep,
+            bucketed=bucketed, n_buckets=n_buckets,
+        )
+        return report
+
+    def _sync_one(index: str) -> None:
+        # setLocalProperty is thread-local (pinned-thread mode), so each
+        # concurrent driver thread carries its own pool tag
+        sc.setLocalProperty("spark.scheduler.pool", report.pools[index])
+        try:
             live = docs.where(
                 (F.col("index") == index) & ~F.col("is_deleted")
             ).select("id", "document")
             gen = sink.generation_name(index, ts)
 
             def attempt(index=index, live=live, gen=gen):
-                sink.write_generation(live, index, ts)
+                if bucketed:
+                    from prefect_flow_arc_indexer_spark.pipeline.bucketed import (  # noqa: E501
+                        write_generation_bucketed,
+                    )
+
+                    write_generation_bucketed(
+                        sink, live, index, ts, n_buckets
+                    )
+                else:
+                    sink.write_generation(live, index, ts)
                 # X7: count reconciliation before the swap commits the alias
                 expected = live.count()
                 actual = spark.read.parquet(sink.generation_path(gen)).count()
@@ -209,8 +361,25 @@ def full_sync(
                 retry_delay_s,
                 sleep,
             )
-    finally:
-        sc.setLocalProperty("spark.scheduler.pool", None)
+        finally:
+            sc.setLocalProperty("spark.scheduler.pool", None)
+
+    small = [i for i in report.indexes if i not in large]
+    big = [i for i in report.indexes if i in large]
+    if parallel_large and len(big) > 1:
+        for index in small:
+            _sync_one(index)
+        with ThreadPoolExecutor(
+            max_workers=len(big), thread_name_prefix="pg-indexer-large"
+        ) as pool:
+            futures = [pool.submit(_sync_one, i) for i in big]
+            errs = [f.exception() for f in futures]
+        for e in errs:
+            if e is not None:
+                raise e
+    else:
+        for index in report.indexes:
+            _sync_one(index)
     return report
 
 
@@ -226,9 +395,22 @@ def incremental_sync(
     retries: int = 0,
     retry_delay_s: float = 0.0,
     sleep=time.sleep,
+    bucketed: bool = False,
+    n_buckets: int = 16,
 ) -> SyncReport:
     """E2: CDC merge since the inclusive watermark, tombstones propagated;
-    schema drift forces a full per-index rebuild (T7)."""
+    schema drift forces a full per-index rebuild (T7).
+
+    When the published generation is hash-bucketed (or ``bucketed=True``
+    makes rebuilds write that layout), the merge goes through
+    ``pipeline.bucketed.merge_bucketed``: only buckets containing touched
+    ids are rewritten, untouched buckets are hard-linked into the new
+    generation — O(touched) I/O per batch instead of O(corpus)."""
+    from prefect_flow_arc_indexer_spark.pipeline.bucketed import (
+        bucket_count,
+        merge_bucketed,
+        write_generation_bucketed,
+    )
     report = SyncReport()
     wm = watermarks.get(pipeline_name)
     if wm is None:
@@ -278,7 +460,12 @@ def incremental_sync(
 
             def attempt(index=index, live=live, gen=gen, idx_ts=idx_ts,
                         actual=actual):
-                sink.write_generation(live, index, idx_ts)
+                if bucketed:
+                    write_generation_bucketed(
+                        sink, live, index, idx_ts, n_buckets
+                    )
+                else:
+                    sink.write_generation(live, index, idx_ts)
                 # record what the rebuild actually wrote (the full live doc
                 # set), not the CDC batch count — consistent with full_sync
                 actual[0] = spark.read.parquet(
@@ -298,15 +485,31 @@ def incremental_sync(
             report.written[index] = actual[0]
             continue
 
-        upserts = batch.where(~F.col("is_deleted")).select("id", "document")
-        touched_ids = batch.select("id")
-        # idempotent by id: delete-then-insert covers upsert AND tombstone
-        merged = old.join(touched_ids, "id", "left_anti").unionByName(upserts)
         gen = sink.generation_name(index, idx_ts)
+        if bucket_count(sink, sink.read_manifest()[index]) is not None:
+            # bucketed merge: rewrite only buckets containing touched ids
+            def attempt(index=index, batch=batch, gen=gen, idx_ts=idx_ts):
+                merge_bucketed(
+                    spark,
+                    sink,
+                    index,
+                    batch.select("id", "document", "is_deleted"),
+                    idx_ts,
+                )
+                sink.publish(index, gen)
+        else:
+            upserts = batch.where(~F.col("is_deleted")).select(
+                "id", "document"
+            )
+            touched_ids = batch.select("id")
+            # idempotent by id: delete-then-insert covers upsert + tombstone
+            merged = old.join(touched_ids, "id", "left_anti").unionByName(
+                upserts
+            )
 
-        def attempt(index=index, merged=merged, gen=gen, idx_ts=idx_ts):
-            sink.write_generation(merged, index, idx_ts)
-            sink.publish(index, gen)
+            def attempt(index=index, merged=merged, gen=gen, idx_ts=idx_ts):
+                sink.write_generation(merged, index, idx_ts)
+                sink.publish(index, gen)
 
         _run_with_retries(
             index,

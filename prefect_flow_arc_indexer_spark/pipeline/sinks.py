@@ -98,7 +98,12 @@ class VersionedSink:
         manifest = self.read_manifest()
         if alias not in manifest:
             raise KeyError(f"alias {alias!r} not published")
-        return spark.read.parquet(self.generation_path(manifest[alias]))
+        df = spark.read.parquet(self.generation_path(manifest[alias]))
+        # hash-bucketed generations (pipeline.bucketed) carry a physical
+        # `bucket` partition column; readers see the logical document schema
+        if "bucket" in df.columns:
+            df = df.drop("bucket")
+        return df
 
     def alias_exists(self, alias: str) -> bool:
         return alias in self.read_manifest()
@@ -121,7 +126,16 @@ class VersionedSink:
         the existing write-audit-publish path — readers see the old or the
         new generation, never a half-compacted directory — and the row
         count is reconciled before the flip (X7 discipline). Returns the
-        new generation name."""
+        new generation name. Bucketed generations delegate to
+        ``pipeline.bucketed.compact_bucketed`` so the merge-friendly
+        layout survives compaction."""
+        from prefect_flow_arc_indexer_spark.pipeline.bucketed import (
+            bucket_count,
+            compact_bucketed,
+        )
+
+        if bucket_count(self, self.read_manifest()[alias]) is not None:
+            return compact_bucketed(spark, self, alias, target_bytes, now)
         df = self.read_alias(spark, alias)
         gen_dir = self.generation_path(self.read_manifest()[alias])
         size = sum(
