@@ -63,6 +63,17 @@ _OPERATOR_MODULES = (
 # entries inside the window).  Queries outside the window are identical
 # citizens everywhere else (bench, selfcheck, tests); only the recorded
 # 50-sample is curated.
+#
+# r5 rotation (VERDICT r4 task 6): families whose driver exposure was
+# redundant gave their slots to round-3/4 additions that had never had a
+# driver-green row — q_minhash_verified (minhash family already sampled by
+# q_dedup_minhash), q_pq_adc (PQ family sampled by q_ivfpq_adc),
+# q_bloom_decontaminate (result identical-by-construction to the plain
+# decontaminate), q_small_qty_revenue / q_hopping_window / q_resample_ffill
+# (their families keep q_pricing_summary+q_ship_priority+q_market_revenue,
+# q_session_window, q_asof_join) -> in: q_more_like_this,
+# q_snippet_extract, q_rfm_segments, q_dsir_weights, q_interval_join,
+# q_attribution.
 _DRIVER_WINDOW = (
     # reference surface (SURVEY §2)
     "q_distinct_indexes", "q_index_order", "q_count_active",
@@ -72,28 +83,27 @@ _DRIVER_WINDOW = (
     "q_anti_join_cleanup", "q_dup_alias_having", "q_dup_alias_semi",
     "q_count_reconcile", "q_schema_probe", "q_topk_tail",
     # dedup (q_semdedup is the cluster-bounded upgrade of embedding dedup)
-    "q_dedup_exact", "q_dedup_minhash", "q_minhash_verified",
+    "q_dedup_exact", "q_dedup_minhash",
     "q_dedup_components", "q_semdedup",
     # multimodal (mapInPandas decode plumbing)
     "q_multimodal_meta",
-    # similarity / vectors (q_ivfpq_adc composes the IVF and PQ families;
-    # q_pq_adc keeps the cell-unrestricted ADC baseline in the sample)
-    "q_knn_cosine", "q_ivfpq_adc", "q_pq_adc", "q_embed_quantize",
+    # similarity / vectors (q_ivfpq_adc composes the IVF and PQ families)
+    "q_knn_cosine", "q_ivfpq_adc", "q_embed_quantize",
+    # retrieval (r5 rotation: first driver exposure)
+    "q_more_like_this", "q_snippet_extract",
     # text analysis
     "q_token_count", "q_text_quality", "q_lang_id", "q_doc_fingerprint",
-    # corpus prep (bloom variant = decontaminate + the Bloom-prefilter
-    # physical plan; result is identical by construction)
+    "q_dsir_weights",
+    # corpus prep
     "q_pii_pseudonymize", "q_chunk_dedup", "q_tfidf_topterms",
-    "q_bloom_decontaminate",
-    # event-time windows
-    "q_session_window", "q_hopping_window",
+    # event-time windows + behavior (r5 rotation)
+    "q_session_window", "q_rfm_segments", "q_attribution",
     # relational (TPC-H shapes)
     "q_pricing_summary", "q_ship_priority", "q_market_revenue",
-    "q_small_qty_revenue",
     # analytics windows / grouping sets
     "q_rollup_revenue", "q_window_suite",
-    # temporal + grouped-Arrow sequence logic
-    "q_asof_join", "q_resample_ffill",
+    # temporal joins (r5 rotation: q_interval_join joins the family)
+    "q_asof_join", "q_interval_join",
     # splits + fused pipeline
     "q_train_split", "q_corpus_pipeline",
 )
