@@ -47,6 +47,7 @@ _OPERATOR_MODULES = (
     "prefect_flow_arc_indexer_spark.operators.graph_text",
     "prefect_flow_arc_indexer_spark.operators.pipeline_e2e",
     "prefect_flow_arc_indexer_spark.operators.curation",
+    "prefect_flow_arc_indexer_spark.operators.corpus_mining",
     "prefect_flow_arc_indexer_spark.multimodal.binary",
 )
 

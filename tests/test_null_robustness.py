@@ -69,6 +69,11 @@ DOC_QUERIES = [
     "q_containment",
     "q_more_like_this",
     "q_snippet_extract",
+    # round-5 corpus-mining additions
+    "q_repeated_ngrams",
+    "q_line_dedup",
+    "q_tokenizer_fertility",
+    "q_curriculum_stages",
 ]
 
 
