@@ -1,0 +1,320 @@
+"""Vector-corpus operations round 5: filtered ANN, hard-negative mining,
+embedding hygiene, and MMR diversification — the retrieval/contrastive-
+training surface on top of the q_knn_* family.
+
+- q_filtered_knn: top-k cosine under a metadata predicate (filtered vector
+  search — the production shape where ANN composes with an access filter);
+- q_semihard_negatives: per-query SEMI-HARD negatives (most-similar
+  vectors of a DIFFERENT label below a near-positive cap, Schroff et al.
+  '15) — the banded refinement of the existing q_hard_negatives miner;
+- q_embedding_audit: per-label embedding hygiene (zero vectors, norm
+  spread) — the go/no-go check before any similarity pipeline;
+- q_mmr_rerank: maximal-marginal-relevance diversification of the top-k
+  pool (rows-only: the greedy argmax is iterative; exactness is pinned by
+  a pure-Python replay test).
+
+Scale notes: every query keeps the corpus side streaming (the 5-query set
+is broadcast; candidate pools are per-query bounded); the audit is one
+map-side-combinable rollup. Filtered search at 100 TB composes the same
+predicate with the LSH/IVF candidate generation (filter first when
+selective — it pushes to the scan — else over-fetch then post-filter).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from prefect_flow_arc_indexer_spark.functions.vectors import (
+    cosine_similarity,
+    dd_cosine_similarity,
+    norm,
+)
+from prefect_flow_arc_indexer_spark.plans.registry import register
+from prefect_flow_arc_indexer_spark.sources.parquet import load_table
+
+N_QUERIES = 5  # vec_id < 5 play the query set (same convention as q_knn_*)
+TOP_K = 5
+FILTER_MOD = 3  # metadata predicate: label % FILTER_MOD == 0 is "allowed"
+HN_CAP_MICRO = 950_000  # semi-hard band: cos < 0.95 excludes near-positives
+MMR_POOL = 20
+MMR_K = 5
+MMR_LAMBDA = 0.7
+
+
+@register(
+    "q_filtered_knn",
+    oracle=f"""WITH q AS (
+  SELECT vec_id AS query_id, embedding AS q_emb
+    FROM embeddings WHERE vec_id < {N_QUERIES}
+),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id, e.label,
+         round({dd_cosine_similarity("q.q_emb", "e.embedding")}, 6) AS cos_sim
+    FROM q JOIN embeddings e
+      ON e.vec_id <> q.query_id AND e.label % {FILTER_MOD} = 0
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+    FROM scored
+)
+SELECT query_id, neighbor_id, label, cos_sim, rank
+  FROM ranked WHERE rank <= {TOP_K}
+""",
+    doc="filtered vector search: top-k cosine restricted to corpus rows "
+    f"passing a metadata predicate (label % {FILTER_MOD} = 0 plays the "
+    "allowed-source/ACL filter) — the production retrieval shape ANN "
+    "papers call filtered/constrained search. The predicate lands in the "
+    "corpus SCAN (PushedFilters), the 5-query set is broadcast, and the "
+    "filtered corpus streams once. At 100 TB this composes with IVF/LSH: "
+    "selective predicates filter before candidate generation (scan "
+    "pruning), broad ones over-fetch the candidate pool and post-filter "
+    "— both keep the corpus side unbroadcast and uncollected.",
+)
+def q_filtered_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings", fan_out=True)
+    q = e.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    allowed = e.where(F.col("label") % FILTER_MOD == 0).select(
+        F.col("vec_id").alias("neighbor_id"), "label", "embedding"
+    )
+    scored = allowed.join(
+        F.broadcast(q), F.col("neighbor_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        "neighbor_id",
+        "label",
+        F.round(
+            cosine_similarity(F.col("q_emb"), F.col("embedding")), 6
+        ).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "label", "cos_sim", "rank")
+    )
+
+
+@register(
+    "q_semihard_negatives",
+    oracle=f"""WITH q AS (
+  SELECT vec_id AS query_id, label AS q_label, embedding AS q_emb
+    FROM embeddings WHERE vec_id < {N_QUERIES}
+),
+scored AS (
+  SELECT q.query_id, q.q_label, e.vec_id AS neighbor_id,
+         e.label AS neg_label,
+         CAST(round({dd_cosine_similarity("q.q_emb", "e.embedding")}
+                    * 1000000) AS BIGINT) AS cos_micro
+    FROM q JOIN embeddings e
+      ON e.label <> q.q_label AND e.vec_id <> q.query_id
+),
+banded AS (SELECT * FROM scored WHERE cos_micro < {HN_CAP_MICRO}),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos_micro DESC, neighbor_id ASC)
+              AS rank
+    FROM banded
+)
+SELECT query_id, q_label, neighbor_id, neg_label, cos_micro, rank
+  FROM ranked WHERE rank <= {TOP_K}
+""",
+    doc="semi-hard negative mining (FaceNet band): per query vector, "
+    "the most-similar corpus vectors of a DIFFERENT label, capped below "
+    f"cos {HN_CAP_MICRO / 1e6:g} (the semi-hard band — near-positives "
+    "above the cap are likelier label noise than useful negatives, the "
+    "standard triplet-mining guard). Similarities are 1e-6-quantized to "
+    "integers BEFORE banding and ranking, so the band edge and the "
+    "ordering cannot drift between engines. Same scale shape as "
+    "q_filtered_knn: broadcast query set, label predicate on the scan, "
+    "per-query bounded top-k.",
+)
+def q_semihard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings", fan_out=True)
+    q = e.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("q_label"),
+        F.col("embedding").alias("q_emb"),
+    )
+    c = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("neg_label"),
+        "embedding",
+    )
+    scored = c.join(
+        F.broadcast(q),
+        (F.col("neg_label") != F.col("q_label"))
+        & (F.col("neighbor_id") != F.col("query_id")),
+    ).select(
+        "query_id",
+        "q_label",
+        "neighbor_id",
+        "neg_label",
+        F.round(
+            cosine_similarity(F.col("q_emb"), F.col("embedding")) * 1_000_000
+        )
+        .cast("bigint")
+        .alias("cos_micro"),
+    )
+    banded = scored.where(F.col("cos_micro") < HN_CAP_MICRO)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_micro").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        banded.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+        .select(
+            "query_id", "q_label", "neighbor_id", "neg_label", "cos_micro",
+            "rank",
+        )
+    )
+
+
+@register(
+    "q_embedding_audit",
+    oracle="""WITH per_vec AS (
+  SELECT label,
+         CAST(round(sqrt(list_aggregate(
+             list_transform(embedding::DOUBLE[], x -> x * x), 'sum'))
+             * 1000000) AS BIGINT) AS norm_micro
+    FROM embeddings
+)
+SELECT label,
+       CAST(count(*) AS BIGINT) AS n_vecs,
+       CAST(sum(CASE WHEN norm_micro = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_zero,
+       CAST(min(norm_micro) AS BIGINT) AS min_norm_micro,
+       CAST(max(norm_micro) AS BIGINT) AS max_norm_micro,
+       CAST(sum(norm_micro) // count(*) AS BIGINT) AS mean_norm_micro
+  FROM per_vec GROUP BY label
+""",
+    doc="embedding hygiene audit per label: vector counts, zero-norm "
+    "vectors (poison for cosine — they yield NULL/NaN similarities), and "
+    "the L2-norm spread (min/max/floor-mean in 1e-6 units; norms are "
+    "quantized to integers scan-side so the rollup is exact-integer and "
+    "order-proof). The first gate any embedding pipeline runs: a "
+    "norm-collapsed or zero-heavy label poisons every downstream "
+    "similarity. One map-side-combinable aggregate keyed by label "
+    "(values-bounded); the vectors themselves never shuffle.",
+)
+def q_embedding_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings", fan_out=True)
+    per_vec = e.select(
+        "label",
+        F.round(norm(F.col("embedding")) * 1_000_000)
+        .cast("bigint")
+        .alias("norm_micro"),
+    )
+    return per_vec.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+        F.sum((F.col("norm_micro") == 0).cast("int"))
+        .cast("bigint")
+        .alias("n_zero"),
+        F.min("norm_micro").cast("bigint").alias("min_norm_micro"),
+        F.max("norm_micro").cast("bigint").alias("max_norm_micro"),
+        F.expr("sum(norm_micro) div count(1)")
+        .cast("bigint")
+        .alias("mean_norm_micro"),
+    )
+
+
+def mmr_select(cands: list[tuple[int, float, list[float]]]) -> list[tuple[int, int, float]]:
+    """Pure-Python MMR greedy over one query's candidate pool (shared by
+    the Arrow worker and the replay test — float64 arithmetic, ties to the
+    earlier candidate in (-relevance, id) order). Returns
+    [(neighbor_id, mmr_rank, mmr_score)]."""
+    ordered = sorted(cands, key=lambda t: (-t[1], t[0]))
+    selected: list[tuple[int, int, float]] = []
+    chosen_vecs: list[list[float]] = []
+    remaining = list(ordered)
+    while remaining and len(selected) < MMR_K:
+        best_i, best_score = 0, None
+        for i, (nid, rel, vec) in enumerate(remaining):
+            if chosen_vecs:
+                red = max(_cos(vec, cv) for cv in chosen_vecs)
+            else:
+                red = 0.0
+            score = MMR_LAMBDA * rel - (1.0 - MMR_LAMBDA) * red
+            if best_score is None or score > best_score:
+                best_i, best_score = i, score
+        nid, rel, vec = remaining.pop(best_i)
+        chosen_vecs.append(vec)
+        selected.append((nid, len(selected) + 1, round(best_score, 6)))
+    return selected
+
+
+def _cos(a, b) -> float:
+    dot = sum(float(x) * float(y) for x, y in zip(a, b))
+    na = sum(float(x) * float(x) for x in a) ** 0.5
+    nb = sum(float(y) * float(y) for y in b) ** 0.5
+    return dot / (na * nb) if na > 0 and nb > 0 else 0.0
+
+
+MMR_SCHEMA = (
+    "query_id long, neighbor_id long, mmr_rank int, mmr_score double"
+)
+
+
+@register(
+    "q_mmr_rerank",
+    oracle=None,  # greedy argmax is iterative — not SQL-expressible;
+    # exactness is pinned by the pure-Python replay in test_vector_ops
+    doc="maximal-marginal-relevance diversification: each query's "
+    f"top-{MMR_POOL} cosine pool greedily re-ranked by "
+    f"{MMR_LAMBDA}*relevance - {1 - MMR_LAMBDA:g}*max-redundancy-to-"
+    f"selected, keeping {MMR_K} (Carbonell & Goldstein '98 — the "
+    "standard retrieval de-duplication step between ANN and a RAG "
+    "context window). The corpus contributes ONE broadcast-query brute "
+    "scan for the pools; the greedy loop runs per query over its "
+    f"{MMR_POOL}-row pool inside applyInPandas (O(K*pool) sims on a "
+    "64-dim pool — microseconds), so the iterative part never sees "
+    "corpus-sized data. Ties break to the earlier candidate in "
+    "(-relevance, id) order, making the greedy path deterministic.",
+)
+def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings", fan_out=True)
+    q = e.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    c = e.select(F.col("vec_id").alias("neighbor_id"), "embedding")
+    scored = c.join(
+        F.broadcast(q), F.col("neighbor_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        "neighbor_id",
+        cosine_similarity(F.col("q_emb"), F.col("embedding")).alias("rel"),
+        "embedding",
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rel").desc(), F.col("neighbor_id").asc()
+    )
+    pool = scored.withColumn("rk", F.row_number().over(w)).where(
+        F.col("rk") <= MMR_POOL
+    )
+
+    def _mmr(pdf: pd.DataFrame) -> pd.DataFrame:
+        qid = int(pdf["query_id"].iloc[0])
+        cands = [
+            (int(n), float(r), list(v))
+            for n, r, v in zip(
+                pdf["neighbor_id"], pdf["rel"], pdf["embedding"]
+            )
+        ]
+        rows = mmr_select(cands)
+        return pd.DataFrame(
+            {
+                "query_id": [qid] * len(rows),
+                "neighbor_id": [n for n, _, _ in rows],
+                "mmr_rank": [k for _, k, _ in rows],
+                "mmr_score": [s for _, _, s in rows],
+            }
+        )
+
+    return pool.groupBy("query_id").applyInPandas(_mmr, schema=MMR_SCHEMA)
