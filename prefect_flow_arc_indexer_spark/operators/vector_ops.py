@@ -11,7 +11,11 @@ training surface on top of the q_knn_* family.
   spread) — the go/no-go check before any similarity pipeline;
 - q_mmr_rerank: maximal-marginal-relevance diversification of the top-k
   pool (rows-only: the greedy argmax is iterative; exactness is pinned by
-  a pure-Python replay test).
+  a pure-Python replay test);
+- q_cluster_profile: the documents x embeddings id join — per-(label,
+  lang) cluster composition with exact integer shares;
+- q_knn_classify: kNN majority-vote classification (retrieval-augmented
+  labeling) with an engine-stable vote tie-break chain.
 
 Scale notes: every query keeps the corpus side streaming (the 5-query set
 is broadcast; candidate pools are per-query bounded); the audit is one
@@ -318,3 +322,177 @@ def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return pool.groupBy("query_id").applyInPandas(_mmr, schema=MMR_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# cross-modal: documents JOIN embeddings (vec_id is the doc's vector)
+# --------------------------------------------------------------------------
+@register(
+    "q_cluster_profile",
+    oracle=f"""WITH joined AS (
+  SELECT e.label, d.lang, d.n_chars,
+         CASE WHEN d.text IS NULL THEN 0 ELSE 1 END AS has_text
+    FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id
+),
+per AS (
+  SELECT label, lang, count(*) AS n,
+         CAST(sum(n_chars) AS BIGINT) AS chars,
+         CAST(sum(has_text) AS BIGINT) AS n_text
+    FROM joined GROUP BY label, lang
+),
+tot AS (SELECT label, CAST(sum(n) AS BIGINT) AS n_label FROM per GROUP BY label)
+SELECT p.label, p.lang,
+       CAST(p.n AS BIGINT) AS n_docs,
+       p.chars AS total_chars,
+       p.n_text AS n_with_text,
+       CAST((1000000 * p.n) // t.n_label AS BIGINT) AS share_micro
+  FROM per p JOIN tot t ON t.label = p.label
+""",
+    doc="semantic-cluster profiling (the documents x embeddings join): for "
+    "each embedding label (playing the cluster id a k-means/IVF pass "
+    "assigns), the language composition, char mass, and non-null-text "
+    "share of its member documents — the inspection table a curation "
+    "team reads to decide which semantic clusters to up/down-sample. "
+    "Plan: ONE equi-join on the id (both sides narrow projections, "
+    "corpus streams), then a (label, lang) values-bounded rollup and an "
+    "integer-exact share against the per-label total. At 100 TB the "
+    "join is the standard co-partitioned id join (bucket both tables on "
+    "the id and it is shuffle-free).",
+)
+def q_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings", fan_out=True).select(
+        F.col("vec_id").alias("doc_id"), "label"
+    )
+    d = load_table(spark, sf_dir, "documents", fan_out=True).select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.col("text").isNotNull().cast("int").alias("has_text"),
+    )
+    per = (
+        e.join(d, "doc_id")
+        .groupBy("label", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("n_chars").cast("bigint").alias("chars"),
+            F.sum("has_text").cast("bigint").alias("n_text"),
+        )
+    )
+    tot = per.groupBy("label").agg(
+        F.sum("n").cast("bigint").alias("n_label")
+    )
+    return per.join(tot, "label").select(
+        "label",
+        "lang",
+        F.col("n").cast("bigint").alias("n_docs"),
+        F.col("chars").alias("total_chars"),
+        F.col("n_text").alias("n_with_text"),
+        F.expr("(1000000 * n) div n_label").cast("bigint").alias(
+            "share_micro"
+        ),
+    )
+
+
+KNN_VOTE_K = 7
+
+
+@register(
+    "q_knn_classify",
+    oracle=f"""WITH q AS (
+  SELECT vec_id AS query_id, label AS true_label, embedding AS q_emb
+    FROM embeddings WHERE vec_id < {N_QUERIES}
+),
+scored AS (
+  SELECT q.query_id, q.true_label, e.label AS n_label,
+         CAST(round({dd_cosine_similarity("q.q_emb", "e.embedding")}
+                    * 1000000) AS BIGINT) AS cos_micro,
+         e.vec_id AS neighbor_id
+    FROM q JOIN embeddings e ON e.vec_id <> q.query_id
+),
+topk AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cos_micro DESC, neighbor_id ASC)
+                 AS rk
+      FROM scored) WHERE rk <= {KNN_VOTE_K}
+),
+votes AS (
+  SELECT query_id, true_label, n_label,
+         CAST(count(*) AS BIGINT) AS n_votes,
+         CAST(sum(cos_micro) AS BIGINT) AS sum_cos_micro
+    FROM topk GROUP BY query_id, true_label, n_label
+),
+best AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY n_votes DESC, sum_cos_micro DESC,
+                                        n_label ASC) AS vr
+    FROM votes
+)
+SELECT query_id, true_label, n_label AS predicted_label, n_votes,
+       sum_cos_micro,
+       CASE WHEN n_label = true_label THEN 1 ELSE 0 END AS correct
+  FROM best WHERE vr = 1
+""",
+    doc=f"kNN majority-vote classification (retrieval-augmented labeling): "
+    f"each query vector takes its {KNN_VOTE_K} nearest neighbors' labels, "
+    "votes resolved by (count, total 1e-6-quantized cosine, label) — an "
+    "engine-stable tie-break chain — and the prediction is scored "
+    "against the query's own label. The label-propagation primitive for "
+    "weakly-supervised data annotation. Same broadcast-query/streaming-"
+    "corpus shape as q_knn_cosine; the vote rollup is per-query bounded "
+    f"({KNN_VOTE_K} rows).",
+)
+def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings", fan_out=True)
+    q = e.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("true_label"),
+        F.col("embedding").alias("q_emb"),
+    )
+    c = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("n_label"),
+        "embedding",
+    )
+    scored = c.join(
+        F.broadcast(q), F.col("neighbor_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        "true_label",
+        "n_label",
+        "neighbor_id",
+        F.round(
+            cosine_similarity(F.col("q_emb"), F.col("embedding")) * 1_000_000
+        )
+        .cast("bigint")
+        .alias("cos_micro"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_micro").desc(), F.col("neighbor_id").asc()
+    )
+    topk = scored.withColumn("rk", F.row_number().over(w)).where(
+        F.col("rk") <= KNN_VOTE_K
+    )
+    votes = topk.groupBy("query_id", "true_label", "n_label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_votes"),
+        F.sum("cos_micro").cast("bigint").alias("sum_cos_micro"),
+    )
+    wv = Window.partitionBy("query_id").orderBy(
+        F.col("n_votes").desc(),
+        F.col("sum_cos_micro").desc(),
+        F.col("n_label").asc(),
+    )
+    return (
+        votes.withColumn("vr", F.row_number().over(wv))
+        .where(F.col("vr") == 1)
+        .select(
+            "query_id",
+            "true_label",
+            F.col("n_label").alias("predicted_label"),
+            "n_votes",
+            "sum_cos_micro",
+            (F.col("n_label") == F.col("true_label"))
+            .cast("int")
+            .alias("correct"),
+        )
+    )

@@ -110,3 +110,29 @@ def test_mmr_first_pick_is_most_relevant_and_ranks_contiguous(spark):
         # rank-1 MMR pick == the plain top-1 neighbor (lambda-weighted
         # relevance dominates when nothing is selected yet)
         assert picks[1] == knn[(qid, 1)]
+
+
+def test_cluster_profile_shares_and_join(spark):
+    rows = all_queries()["q_cluster_profile"].builder(spark, SF_DIR).collect()
+    assert rows
+    per_label: dict[int, list] = {}
+    for r in rows:
+        per_label.setdefault(r.label, []).append(r)
+    for label, group in per_label.items():
+        n_label = sum(r.n_docs for r in group)
+        # integer floor shares: sum within floor(1e6) of exactly 1e6
+        total_share = sum(r.share_micro for r in group)
+        assert 1_000_000 - len(group) < total_share <= 1_000_000
+        assert all(
+            r.share_micro == (1_000_000 * r.n_docs) // n_label for r in group
+        )
+
+
+def test_knn_classify_one_prediction_per_query(spark):
+    rows = all_queries()["q_knn_classify"].builder(spark, SF_DIR).collect()
+    assert sorted(r.query_id for r in rows) == list(range(N_QUERIES))
+    from prefect_flow_arc_indexer_spark.operators.vector_ops import KNN_VOTE_K
+
+    for r in rows:
+        assert 1 <= r.n_votes <= KNN_VOTE_K
+        assert r.correct == int(r.predicted_label == r.true_label)
