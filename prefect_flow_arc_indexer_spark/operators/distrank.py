@@ -21,6 +21,18 @@ The pattern first shipped for q_shard_balance / q_rank_fusion
 (VERDICT r4 task 1: q_rfm_segments, q_weighted_sample, q_pack_sequences,
 q_conformal_threshold now route through it).
 
+CRITICAL consistency detail: the per-partition frame is localCheckpoint'ed
+before the offsets aggregation. Both consumers (the ranked rows and the
+offset table) would otherwise re-plan the range exchange independently,
+and Catalyst's column pruning can make the two exchange subplans differ —
+defeating ReuseExchange — so the two RangePartitioners SAMPLE different
+boundaries and ``spark_partition_id`` no longer aligns between branches
+(observed at sf0.1: a silently wrong cumsum whenever the caller carried an
+extra column). The checkpoint pins one materialized partitioning that both
+branches read; at 100 TB that one write of the range-sorted narrow table
+to executor-local disk is the standard price of a stable distributed sort
+(Spark's own zipWithIndex runs the same two-job shape).
+
 Correctness note on ties: callers must pass a TOTAL order (append a unique
 id as the last sort key). ``repartitionByRange`` places equal keys in the
 same range partition, so with a total order no rank/sum can straddle a
@@ -62,7 +74,12 @@ def global_rank(
         "_pid", F.spark_partition_id()
     )
     local_w = Window.partitionBy("_pid").orderBy(*order)
-    local = parted.withColumn("_lr", F.row_number().over(local_w))
+    # checkpoint: offsets + output must see ONE materialized partitioning
+    # (see module docstring — independent exchanges may sample different
+    # range boundaries and misalign _pid between the two branches)
+    local = parted.withColumn(
+        "_lr", F.row_number().over(local_w)
+    ).localCheckpoint(eager=False)
     offs = _offsets(local, F.count(F.lit(1)))
     return (
         local.join(F.broadcast(offs), "_pid")
@@ -92,10 +109,16 @@ def global_cumsum(
         .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    local = parted.withColumn("_lc", F.sum(v).over(local_w))
-    offs = _offsets(local, F.sum(v))
+    # checkpoint for the same branch-consistency reason as global_rank;
+    # carry the coalesced value so the offsets sum reads the CHECKPOINTED
+    # rows (summing the raw column again would re-derive nothing wrong,
+    # but keeping every consumer on one materialization is the contract)
+    local = parted.withColumn("_v", v).withColumn(
+        "_lc", F.sum("_v").over(local_w)
+    ).localCheckpoint(eager=False)
+    offs = _offsets(local, F.sum("_v"))
     return (
         local.join(F.broadcast(offs), "_pid")
         .withColumn(out_col, F.col("_lc") + F.col("_off"))
-        .drop("_pid", "_lc", "_off")
+        .drop("_pid", "_v", "_lc", "_off")
     )

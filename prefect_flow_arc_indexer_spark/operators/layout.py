@@ -257,6 +257,9 @@ SELECT CAST(shard AS INTEGER) AS shard,
 )
 def q_shard_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     from prefect_flow_arc_indexer_spark.functions.textfns import tokens
+    from prefect_flow_arc_indexer_spark.operators.distrank import (
+        global_rank,
+    )
 
     docs = load_table(spark, sf_dir, "documents", fan_out=True).select(
         "doc_id",
@@ -264,25 +267,14 @@ def q_shard_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.size(tokens(F.col("text"))))
         .alias("n_tokens"),
     )
-    parted = docs.repartitionByRange(
-        RANK_PARTS, F.col("n_tokens").desc(), F.col("doc_id").asc()
-    ).withColumn("pid", F.spark_partition_id())
-    local_w = Window.partitionBy("pid").orderBy(
-        F.col("n_tokens").desc(), F.col("doc_id").asc()
-    )
-    local = parted.withColumn("lr", F.row_number().over(local_w))
-    off_w = (
-        Window.orderBy("pid")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    offsets = (
-        local.groupBy("pid")
-        .agg(F.count("*").alias("n"))
-        .withColumn("off", F.coalesce(F.sum("n").over(off_w), F.lit(0)))
-        .select("pid", "off")
-    )
-    ranked = local.join(F.broadcast(offsets), "pid").withColumn(
-        "rnk", F.col("lr") + F.col("off")
+    # shared two-pass helper (checkpointed partitioning — see distrank's
+    # branch-consistency note; the inline form this replaced was exposed
+    # to independent range-boundary sampling between its two branches)
+    ranked = global_rank(
+        docs,
+        [F.col("n_tokens").desc(), F.col("doc_id").asc()],
+        "rnk",
+        num_parts=RANK_PARTS,
     )
     shard = F.expr(
         f"CASE WHEN ((rnk - 1) div {SHARDS}) % 2 = 0 THEN (rnk - 1) % {SHARDS} "

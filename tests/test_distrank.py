@@ -1,0 +1,63 @@
+"""distrank two-pass primitives: exactness at scale, including the
+branch-consistency regression (r5): WITHOUT the internal localCheckpoint,
+the offsets aggregation and the output rows re-plan the range exchange
+independently; column pruning can make the two exchange subplans differ,
+each RangePartitioner samples its own boundaries, and spark_partition_id
+misaligns between branches — a silently wrong cumsum/rank whenever the
+caller carries an extra column (observed on the sf0.1 documents table)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from prefect_flow_arc_indexer_spark.operators.distrank import (
+    global_cumsum,
+    global_rank,
+)
+
+
+def _wide_frame(spark, n=20_000):
+    # extra payload columns reproduce the divergent-pruning shape
+    return spark.range(n).select(
+        F.col("id"),
+        (F.xxhash64("id") % 997).alias("v"),
+        F.concat(F.lit("payload_"), F.col("id")).alias("extra1"),
+        (F.col("id") % 13).alias("extra2"),
+    )
+
+
+def test_global_cumsum_exact_with_extra_columns(spark):
+    df = _wide_frame(spark)
+    out = global_cumsum(
+        df, F.col("v"), [F.col("id").asc()], "cum", num_parts=8
+    )
+    rows = sorted((r.id, r.v, r.cum) for r in out.collect())
+    run = 0
+    for _id, v, cum in rows:
+        run += v
+        assert cum == run, f"cumsum diverged at id={_id}: {cum} != {run}"
+    # payload columns survive
+    assert set(out.columns) == {"id", "v", "extra1", "extra2", "cum"}
+
+
+def test_global_rank_exact_and_dense_with_extra_columns(spark):
+    df = _wide_frame(spark)
+    out = global_rank(
+        df, [F.col("v").asc(), F.col("id").asc()], "rnk", num_parts=8
+    )
+    rows = sorted((r.v, r.id, r.rnk) for r in out.collect())
+    for i, (_, _, rnk) in enumerate(rows):
+        assert rnk == i + 1
+
+
+def test_global_cumsum_null_values_count_as_zero(spark):
+    df = spark.createDataFrame(
+        [(1, 10), (2, None), (3, 5)], "id long, v int"
+    )
+    out = {
+        r.id: r.cum
+        for r in global_cumsum(
+            df, F.col("v"), [F.col("id").asc()], "cum"
+        ).collect()
+    }
+    assert out == {1: 10, 2: 10, 3: 15}

@@ -74,6 +74,10 @@ DOC_QUERIES = [
     "q_line_dedup",
     "q_tokenizer_fertility",
     "q_curriculum_stages",
+    # round-5 corpus-policy additions
+    "q_mixture_temperature",
+    "q_lang_confusion",
+    "q_toxicity_lexicon",
 ]
 
 
