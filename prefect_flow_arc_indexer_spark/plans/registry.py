@@ -50,6 +50,7 @@ _OPERATOR_MODULES = (
     "prefect_flow_arc_indexer_spark.operators.corpus_mining",
     "prefect_flow_arc_indexer_spark.operators.vector_ops",
     "prefect_flow_arc_indexer_spark.operators.corpus_policy",
+    "prefect_flow_arc_indexer_spark.operators.sequence_mining",
     "prefect_flow_arc_indexer_spark.multimodal.binary",
 )
 

@@ -40,6 +40,9 @@ EVENT_QUERIES = [
     "q_interval_join",
     "q_attribution",
     "q_rfm_segments",
+    # round-5 sequence-mining additions
+    "q_event_paths",
+    "q_inter_event_gaps",
 ]
 
 
