@@ -64,6 +64,25 @@ def build_parser() -> argparse.ArgumentParser:
     run.add_argument("--watermark-store", default=None)
     run.add_argument("--retries", type=int, default=0)
     run.add_argument("--retry-delay", type=float, default=0.0)
+    run.add_argument(
+        "--one-pass",
+        action="store_true",
+        help="full sync: single partitionBy(index) write job (one fact-"
+        "table scan) instead of the per-index loop",
+    )
+    run.add_argument(
+        "--parallel-large",
+        action="store_true",
+        help="full sync: submit the pg-indexer-large class from concurrent "
+        "driver threads (reference run_large_indexer_parallel)",
+    )
+    run.add_argument(
+        "--bucketed",
+        action="store_true",
+        help="write generations hash-bucketed by id so incremental merges "
+        "rewrite only touched buckets",
+    )
+    run.add_argument("--n-buckets", type=int, default=16)
     return p
 
 
@@ -136,6 +155,10 @@ def main(argv: list[str] | None = None) -> int:
             or_ids=or_ids,
             retries=args.retries,
             retry_delay_s=args.retry_delay,
+            parallel_large=args.parallel_large,
+            one_pass=args.one_pass,
+            bucketed=args.bucketed,
+            n_buckets=args.n_buckets,
         )
         # the reference records last_modified after EITHER flow completes
         # (save_last_run_config on-completion hook, flows/main_flow.py:603),
@@ -151,6 +174,8 @@ def main(argv: list[str] | None = None) -> int:
             or_ids=or_ids,
             retries=args.retries,
             retry_delay_s=args.retry_delay,
+            bucketed=args.bucketed,
+            n_buckets=args.n_buckets,
         )
     if args.es_nodes:
         # mirror every index this run wrote to ES through the connector-less
