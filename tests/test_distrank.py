@@ -61,3 +61,69 @@ def test_global_cumsum_null_values_count_as_zero(spark):
         ).collect()
     }
     assert out == {1: 10, 2: 10, 3: 15}
+
+
+# -- property-based: random values/duplicates/negatives vs plain Python ------
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+_PROP = dict(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@settings(**_PROP)
+@given(
+    vals=st.lists(
+        st.integers(min_value=-1000, max_value=1000), min_size=1, max_size=60
+    ),
+    parts=st.integers(min_value=1, max_value=5),
+)
+def test_global_rank_matches_python_sort(spark, vals, parts):
+    df = spark.createDataFrame(
+        [(i, v, f"x{i}") for i, v in enumerate(vals)],
+        "id long, v long, extra string",
+    )
+    got = {
+        r.id: r.rnk
+        for r in global_rank(
+            df, [F.col("v").asc(), F.col("id").asc()], num_parts=parts
+        ).collect()
+    }
+    want = {
+        i: rank + 1
+        for rank, (v, i) in enumerate(
+            sorted((v, i) for i, v in enumerate(vals))
+        )
+    }
+    assert got == want
+
+
+@settings(**_PROP)
+@given(
+    vals=st.lists(
+        st.one_of(
+            st.none(), st.integers(min_value=-1000, max_value=1000)
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+    parts=st.integers(min_value=1, max_value=5),
+)
+def test_global_cumsum_matches_python_prefix_sum(spark, vals, parts):
+    df = spark.createDataFrame(
+        [(i, v, i % 3) for i, v in enumerate(vals)],
+        "id long, v long, extra long",
+    )
+    got = {
+        r.id: r.cum
+        for r in global_cumsum(
+            df, F.col("v"), [F.col("id").asc()], num_parts=parts
+        ).collect()
+    }
+    run, want = 0, {}
+    for i, v in enumerate(vals):
+        run += v or 0
+        want[i] = run
+    assert got == want
