@@ -26,7 +26,6 @@ selective — it pushes to the scan — else over-fetch then post-filter).
 
 from __future__ import annotations
 
-from typing import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
