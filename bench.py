@@ -104,7 +104,7 @@ def main() -> None:
     def _drain():
         """Let the ContextCleaner release the warm pass's leftovers
         (localCheckpoint blocks, shuffle files) OUTSIDE the timed windows:
-        cleanup triggers on driver GC, and with 231 queries x multiple
+        cleanup triggers on driver GC, and with 250+ queries x multiple
         passes in one JVM the accumulated blocks otherwise surface as GC
         pauses inside unrelated small queries' timings."""
         spark.sparkContext._jvm.System.gc()
