@@ -690,3 +690,65 @@ def test_stream_incremental_sink_matches_batch_merge(spark, tmp_path):
     # one live generation per alias; every published dir is complete
     manifest = sink.read_manifest()
     assert set(manifest) == {"alpha", "beta"}
+
+
+def test_stream_doc_actions_with_es_stream_sink_carries_chunk(spark, tmp_path):
+    """Task-7 wiring proved end-to-end: the CDC stream drives EsStreamSink
+    through foreachBatch; an injected timeout in micro-batch 0 shrinks the
+    bulk chunk and micro-batch 1 STARTS at the carried-over size; a
+    checkpoint restart re-applies nothing until new files arrive."""
+    import os as _os
+
+    from prefect_flow_arc_indexer_spark.pipeline.es_sink import (
+        EsSinkConfig,
+        EsStreamSink,
+    )
+
+    src = tmp_path / "cdc_es"
+    src.mkdir()
+    mk = lambda i, ts: {  # noqa: E731
+        "index": "a", "id": str(i), "document": '{"v":%d}' % i,
+        "is_deleted": "false", "updated_at": ts,
+    }
+    _write_cdc_file(src / "b0.json", [mk(1, "2024-01-01 00:00:00")])
+    _write_cdc_file(src / "b1.json", [mk(2, "2024-01-02 00:00:00")])
+    _os.utime(src / "b0.json", (1_700_000_000, 1_700_000_000))
+    _os.utime(src / "b1.json", (1_700_000_100, 1_700_000_100))
+
+    seen: list[tuple[str, int, int]] = []  # (ids, chunk at write time)
+    fail_once = {"armed": True}
+
+    def flaky_write(df, cfg, index):
+        ids = ",".join(sorted(r["_id"] for r in df.collect()))
+        seen.append((ids, cfg.batch_entries, 0))
+        if fail_once["armed"]:
+            fail_once["armed"] = False
+            raise TimeoutError("injected es.http.timeout")
+
+    es = EsStreamSink(
+        EsSinkConfig(nodes="example:9200", batch_entries=500),
+        write=flaky_write,
+        write_delete=lambda df, cfg, index: None,
+        sleep=lambda s: None,
+    )
+    ckpt = str(tmp_path / "ckpt_es")
+    q = jobs.stream_doc_actions(jobs.read_cdc_stream(spark, str(src)), es, ckpt)
+    q.awaitTermination(180)
+
+    # batch 0: attempt at 500 (timeout) then 450; batch 1 starts at 450
+    assert [(ids, c) for ids, c, _ in seen] == [
+        ("1", 500), ("1", 450), ("2", 450)
+    ]
+    assert es.cfg.batch_entries == 450
+    assert len(es.batches) == 2
+
+    # restart from the same checkpoint: nothing re-applied...
+    q2 = jobs.stream_doc_actions(jobs.read_cdc_stream(spark, str(src)), es, ckpt)
+    q2.awaitTermination(180)
+    assert len(seen) == 3
+    # ...until a NEW file arrives — applied at the carried-over chunk size
+    _write_cdc_file(src / "b2.json", [mk(3, "2024-01-03 00:00:00")])
+    _os.utime(src / "b2.json", (1_700_000_200, 1_700_000_200))
+    q3 = jobs.stream_doc_actions(jobs.read_cdc_stream(spark, str(src)), es, ckpt)
+    q3.awaitTermination(180)
+    assert [(ids, c) for ids, c, _ in seen[3:]] == [("3", 450)]
