@@ -20,8 +20,8 @@ this module encodes:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql.types import StructType
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import StructField, StructType
 
 FORMATS = ("parquet", "orc", "json", "csv")
 
@@ -118,3 +118,56 @@ def convert_to_parquet(
     get column pruning, predicate pushdown, and row-group statistics."""
     read_table(spark, src_path, fmt, schema).write.parquet(dest_path)
     return spark.read.parquet(dest_path)
+
+
+def read_with_quarantine(
+    spark: SparkSession,
+    path: str,
+    fmt: str,
+    schema: StructType | str,
+    quarantine_path: str | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """PERMISSIVE read split into (good, quarantined) frames — the ingest
+    posture between FAILFAST (one bad row kills a 100 TB load) and silent
+    PERMISSIVE (bad rows become NULLs nobody audits): parse errors land in
+    ``_corrupt_record``, the good frame drops the audit column, and the
+    quarantine frame carries ONLY the raw offending lines (plus the source
+    file for triage). When ``quarantine_path`` is given the rejects are
+    also appended there as text, so a re-run of the fixed parser can
+    re-ingest exactly the quarantined lines.
+
+    Caveat baked into the split: Spark only populates ``_corrupt_record``
+    when the column is part of the read schema, so it is appended here —
+    callers pass their LOGICAL schema. The split predicate is
+    NULL-safety-correct: a legitimately all-NULL row is NOT quarantined
+    (its ``_corrupt_record`` is NULL)."""
+    from pyspark.sql.types import StringType
+
+    if isinstance(schema, str):
+        from pyspark.sql.types import _parse_datatype_string
+
+        schema = _parse_datatype_string(schema)
+    read_schema = StructType(
+        [*schema.fields, StructField("_corrupt_record", StringType())]
+    )
+    from pyspark import StorageLevel
+
+    df = read_files(
+        spark, path, fmt, schema=read_schema, permissive=True,
+        columnNameOfCorruptRecord="_corrupt_record",
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    # the persist is REQUIRED, not an optimization: Spark refuses a query
+    # that filters raw files on _corrupt_record alone
+    # (queryFromRawFilesIncludeCorruptRecordColumnError) — the sanctioned
+    # pattern is parse once, persist, then split; disk-spillable storage
+    # keeps it viable for large loads (one materialized pass, two reads)
+    good = df.where(F.col("_corrupt_record").isNull()).drop(
+        "_corrupt_record"
+    )
+    bad = df.where(F.col("_corrupt_record").isNotNull()).select(
+        F.col("_corrupt_record").alias("raw_line"),
+        F.input_file_name().alias("source_file"),
+    )
+    if quarantine_path is not None:
+        bad.select("raw_line").write.mode("append").text(quarantine_path)
+    return good, bad

@@ -76,3 +76,37 @@ def test_unknown_format_rejected(spark, tmp_path):
     docs = load_table(spark, SF_DIR, "documents")
     with pytest.raises(ValueError, match="unsupported format"):
         files.write_table(docs, str(tmp_path / "x"), "avro")
+
+
+def test_read_with_quarantine_splits_good_and_corrupt(spark, tmp_path):
+    from prefect_flow_arc_indexer_spark.sources.files import (
+        read_with_quarantine,
+    )
+
+    src = tmp_path / "in"
+    src.mkdir()
+    with open(src / "rows.json", "w") as f:
+        f.write('{"id": 1, "name": "ok"}\n')
+        f.write("this is not json at all\n")
+        f.write('{"id": 2, "name": "also ok"}\n')
+        f.write('{"id": "NOT A NUMBER", "name": "type clash"}\n')
+        f.write('{"id": null, "name": null}\n')  # all-NULL but VALID
+
+    good, bad = read_with_quarantine(
+        spark,
+        str(src),
+        "json",
+        "id long, name string",
+        quarantine_path=str(tmp_path / "quarantine"),
+    )
+    good_rows = {(r.id, r.name) for r in good.collect()}
+    assert (1, "ok") in good_rows and (2, "also ok") in good_rows
+    assert (None, None) in good_rows  # legit NULL row is NOT quarantined
+    assert good.columns == ["id", "name"]
+
+    bad_rows = sorted(r.raw_line for r in bad.collect())
+    assert len(bad_rows) == 2
+    assert "not json" in bad_rows[1] or "not json" in bad_rows[0]
+    # quarantine file carries exactly the offending raw lines for re-ingest
+    q = spark.read.text(str(tmp_path / "quarantine"))
+    assert q.count() == 2
