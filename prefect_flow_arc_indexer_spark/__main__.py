@@ -139,7 +139,9 @@ def main(argv: list[str] | None = None) -> int:
         WatermarkStore,
     )
 
-    spark = get_spark("arc-indexer-cli")
+    # --parallel-large needs REAL pool isolation: FAIR mode + the shipped
+    # allocation file are build-time confs, so they go in here
+    spark = get_spark("arc-indexer-cli", fair_pools=args.parallel_large)
     docs = load_docs(spark, args)
     sink = VersionedSink(args.sink_dir)
     or_ids = args.or_ids.split(",") if args.or_ids else None

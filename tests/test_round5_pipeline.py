@@ -349,3 +349,28 @@ def test_cli_one_pass_bucketed_flags(tmp_path, capsys):
     sink = VersionedSink(sink_dir)
     for idx, gen in sink.read_manifest().items():
         assert bucket_count(sink, gen) == 4, idx
+
+
+def test_fair_scheduler_confs_point_at_valid_pool_file():
+    """X3 pools must be REAL scheduling, not labels: the conf helper turns
+    on FAIR mode with an allocation file declaring exactly the pool names
+    the runner assigns."""
+    import xml.etree.ElementTree as ET
+
+    from prefect_flow_arc_indexer_spark.pipeline.runner import (
+        POOL_DEFAULT,
+        POOL_LARGE,
+    )
+    from prefect_flow_arc_indexer_spark.session import fair_scheduler_confs
+
+    confs = fair_scheduler_confs()
+    assert confs["spark.scheduler.mode"] == "FAIR"
+    path = confs["spark.scheduler.allocation.file"]
+    assert os.path.isfile(path)
+    pools = {
+        p.get("name"): {c.tag: c.text for c in p}
+        for p in ET.parse(path).getroot().findall("pool")
+    }
+    assert set(pools) == {POOL_DEFAULT, POOL_LARGE}
+    # the large class outweighs the default one
+    assert int(pools[POOL_LARGE]["weight"]) > int(pools[POOL_DEFAULT]["weight"])
