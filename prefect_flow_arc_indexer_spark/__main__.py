@@ -148,6 +148,9 @@ def main(argv: list[str] | None = None) -> int:
 
     wm_path = args.watermark_store or f"{args.sink_dir}/watermarks.json"
     watermarks = WatermarkStore(wm_path)
+    # captured BEFORE the run: the ES mirror re-derives the merged delta with
+    # the same inclusive predicate the runner applied (updated_at >= wm_prev)
+    wm_prev = watermarks.get(args.pipeline_name)
     if args.full_sync:
         run_started = datetime.now()
         report = full_sync(
@@ -181,10 +184,16 @@ def main(argv: list[str] | None = None) -> int:
         )
     if args.es_nodes:
         # mirror every index this run wrote to ES through the connector-less
-        # REST bulk path (reference data plane: streaming_bulk upserts,
-        # flows/main_flow.py:366-395); chunk/timeout/retry flags land here
+        # REST bulk path (reference data plane: streaming_bulk upserts +
+        # _op_type:delete, flows/main_flow.py:366-395); chunk/timeout/retry
+        # flags land here. Upserts alone are NOT enough: tombstones the
+        # local merge applied must also be deleted from ES, or the mirror
+        # permanently drifts from the manifest source of truth (ADVICE r5).
+        from pyspark.sql import functions as F
+
         from prefect_flow_arc_indexer_spark.pipeline.es_sink import (
             EsSinkConfig,
+            write_deletes,
             write_upserts_rest,
         )
 
@@ -194,13 +203,54 @@ def main(argv: list[str] | None = None) -> int:
             timeout_s=args.es_timeout,
             retries=args.es_retries,
         )
-        for index in report.written:
-            write_upserts_rest(
-                sink.read_alias(spark, index),
-                es_cfg,
-                index,
-                source_column="document",
-            )
+        if args.full_sync or wm_prev is None:
+            # full sync rebuilt each alias from scratch: ship it wholesale,
+            # then delete the source tombstones so a mirror that pre-dates
+            # this run converges instead of retaining dead docs
+            for index in report.written:
+                write_upserts_rest(
+                    sink.read_alias(spark, index),
+                    es_cfg,
+                    index,
+                    source_column="document",
+                )
+                write_deletes(
+                    docs.where(
+                        (F.col("index") == index) & F.col("is_deleted")
+                    ).select("id"),
+                    es_cfg,
+                    index,
+                )
+        else:
+            # incremental: mirror ONLY this run's merged delta, not the
+            # whole alias — at 100 TB re-shipping every document per batch
+            # is the scale bug, and deletes are what keep ES honest
+            changed = docs.where(F.col("updated_at") >= F.lit(wm_prev))
+            for index in report.written:
+                batch = changed.where(F.col("index") == index)
+                if index in report.rebuilt:
+                    # schema-drift rebuild replaced the alias locally; the
+                    # delta doesn't cover it — re-ship the rebuilt alias
+                    write_upserts_rest(
+                        sink.read_alias(spark, index),
+                        es_cfg,
+                        index,
+                        source_column="document",
+                    )
+                else:
+                    write_upserts_rest(
+                        batch.where(~F.col("is_deleted")).select(
+                            "id", "document"
+                        ),
+                        es_cfg,
+                        index,
+                        source_column="document",
+                    )
+                write_deletes(
+                    batch.where(F.col("is_deleted")).select("id"),
+                    es_cfg,
+                    index,
+                )
 
     print(json.dumps(dataclasses.asdict(report), sort_keys=True))
     return 0

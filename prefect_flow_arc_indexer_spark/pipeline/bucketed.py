@@ -82,6 +82,15 @@ def write_generation_bucketed(
         .mode("overwrite")
         .parquet(path)
     )
+    # an EMPTY frame writes no bucket=N dirs at all, leaving a generation
+    # Spark cannot re-read (UNABLE_TO_INFER_SCHEMA) — which would break
+    # read_alias/merge/compact for an all-tombstone index. Lay down one
+    # schema-carrying empty bucket so the layout (and its O(touched-bucket)
+    # merge cost class) survives.
+    if not any(e.startswith("bucket=") for e in os.listdir(path)):
+        df.limit(0).write.mode("overwrite").parquet(
+            os.path.join(path, "bucket=0")
+        )
     _write_marker(path, n_buckets)
     return gen
 

@@ -199,6 +199,7 @@ def _full_sync_one_pass(
     from prefect_flow_arc_indexer_spark.pipeline.bucketed import (
         _write_marker,
         bucket_of,
+        write_generation_bucketed,
     )
 
     live_all = one_pass_live(docs, report.indexes)
@@ -235,22 +236,45 @@ def _full_sync_one_pass(
 
             def attempt(index=index, part_dir=part_dir, gen=gen,
                         gen_path=gen_path):
+                want = expected.get(index, 0)
                 if os.path.isdir(part_dir) and not os.path.isdir(gen_path):
                     shutil.move(part_dir, gen_path)
                     if bucketed:
                         _write_marker(gen_path, n_buckets)
                 if os.path.isdir(gen_path):
                     actual = spark.read.parquet(gen_path).count()
+                elif want > 0:
+                    # the write job counted live docs for this index but its
+                    # staged partition dir is absent (partition-value
+                    # escaping of an unusual index name, prior partial
+                    # failure): publishing would commit an EMPTY generation
+                    # over live data — abort so _run_with_retries rolls back,
+                    # mirroring compact()'s audit-abort discipline
+                    raise RuntimeError(
+                        f"one-pass stage for {index!r} missing: expected "
+                        f"{want} docs but no staged partition at {part_dir}"
+                    )
                 else:
                     # an index whose docs are all tombstones writes no
-                    # partition — publish an explicitly empty generation
-                    sink.write_generation(
-                        docs.where(F.lit(False)).select("id", "document"),
-                        index,
-                        ts,
-                    )
+                    # partition — publish an explicitly empty generation,
+                    # in the bucketed layout when requested so the index
+                    # keeps its O(touched-buckets) merge cost class
+                    empty = docs.where(F.lit(False)).select("id", "document")
+                    if bucketed:
+                        write_generation_bucketed(
+                            sink, empty, index, ts, n_buckets
+                        )
+                    else:
+                        sink.write_generation(empty, index, ts)
                     actual = 0
-                report.reconcile_ok[index] = expected.get(index, 0) == actual
+                if actual != want:
+                    # short generation (lost files, concurrent truncation):
+                    # abort-before-publish, same contract as compact()
+                    raise RuntimeError(
+                        f"one-pass audit for {index!r} failed: expected "
+                        f"{want} docs, staged generation has {actual}"
+                    )
+                report.reconcile_ok[index] = True
                 sink.publish(index, gen)
                 report.written[index] = actual
 

@@ -152,22 +152,55 @@ def read_with_quarantine(
     )
     from pyspark import StorageLevel
 
-    df = read_files(
-        spark, path, fmt, schema=read_schema, permissive=True,
-        columnNameOfCorruptRecord="_corrupt_record",
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    # input_file_name() must be captured BELOW the persist boundary, i.e.
+    # evaluated over the file scan itself: if it sat above the cache, the
+    # first materialization (e.g. consuming the good frame) would pin cached
+    # rows with no file provenance and every later quarantine read would see
+    # source_file = '' — the triage column silently dies.
+    df = (
+        read_files(
+            spark, path, fmt, schema=read_schema, permissive=True,
+            columnNameOfCorruptRecord="_corrupt_record",
+        )
+        .withColumn("_source_file", F.input_file_name())
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     # the persist is REQUIRED, not an optimization: Spark refuses a query
     # that filters raw files on _corrupt_record alone
     # (queryFromRawFilesIncludeCorruptRecordColumnError) — the sanctioned
     # pattern is parse once, persist, then split; disk-spillable storage
-    # keeps it viable for large loads (one materialized pass, two reads)
+    # keeps it viable for large loads (one materialized pass, two reads).
+    # Release it with release_quarantine(good) (or df.unpersist()) once both
+    # frames are consumed.
     good = df.where(F.col("_corrupt_record").isNull()).drop(
-        "_corrupt_record"
+        "_corrupt_record", "_source_file"
     )
     bad = df.where(F.col("_corrupt_record").isNotNull()).select(
         F.col("_corrupt_record").alias("raw_line"),
-        F.input_file_name().alias("source_file"),
+        F.col("_source_file").alias("source_file"),
     )
     if quarantine_path is not None:
         bad.select("raw_line").write.mode("append").text(quarantine_path)
+    _QUARANTINE_CACHE[id(good)] = df
+    _QUARANTINE_CACHE[id(bad)] = df
     return good, bad
+
+
+# frame -> the persisted parse frame backing it, so callers can release the
+# cache without holding the internal frame themselves
+_QUARANTINE_CACHE: dict[int, DataFrame] = {}
+
+
+def release_quarantine(frame: DataFrame) -> bool:
+    """Unpersist the cached parse behind a (good, bad) pair returned by
+    :func:`read_with_quarantine`. Pass either frame of the pair; returns
+    True when a cache entry was found and released."""
+    df = _QUARANTINE_CACHE.pop(id(frame), None)
+    if df is None:
+        return False
+    # drop the sibling alias pointing at the same cache
+    for k, v in list(_QUARANTINE_CACHE.items()):
+        if v is df:
+            _QUARANTINE_CACHE.pop(k, None)
+    df.unpersist()
+    return True

@@ -274,3 +274,56 @@ def test_es_stream_sink_carries_shrunken_chunk_across_batches(spark):
     assert seen[-1] == 450  # batch 1 starts at the carried-over size
     assert es.cfg.batch_entries == 450
     assert len(es.batches) == 2
+
+
+def test_merge_crash_before_publish_leaves_published_gen_intact(spark, sink):
+    """Crash-recovery (VERDICT r5 task 7): a merge that dies BETWEEN bucket
+    links and the manifest flip must leave the published generation fully
+    readable, and rollback must drop ONLY the partial generation — the
+    hard-linked files in the old generation survive the rmtree."""
+    import prefect_flow_arc_indexer_spark.pipeline.bucketed as bucketed_mod
+
+    gen0 = write_generation_bucketed(
+        sink, _live(spark), "alpha", "2024-01-01t00.00.00", N_BUCKETS
+    )
+    sink.publish("alpha", gen0)
+    before = _bucket_files(sink, gen0)
+    batch = spark.createDataFrame(
+        [("doc0", '{"v": 100}', False)], "id string, document string, is_deleted boolean"
+    )
+
+    # die after the FIRST untouched-bucket link: a partially-built new gen
+    calls = {"n": 0}
+    orig_link = bucketed_mod._link_bucket
+
+    def dying_link(src, dst):
+        orig_link(src, dst)
+        calls["n"] += 1
+        raise RuntimeError("simulated crash mid-merge")
+
+    bucketed_mod._link_bucket, saved = dying_link, bucketed_mod._link_bucket
+    try:
+        with pytest.raises(RuntimeError, match="simulated crash"):
+            merge_bucketed(spark, sink, "alpha", batch, "2024-01-02t00.00.00")
+    finally:
+        bucketed_mod._link_bucket = saved
+    assert calls["n"] == 1
+
+    # the manifest never flipped; the published generation still reads whole
+    assert sink.read_manifest()["alpha"] == gen0
+    assert sink.read_alias(spark, "alpha").count() == 20
+
+    # rollback: dropping the partial generation touches only its own dir...
+    partial = sink.generation_name("alpha", "2024-01-02t00.00.00")
+    assert os.path.isdir(sink.generation_path(partial))
+    sink.drop_generation(partial)
+    assert not os.path.isdir(sink.generation_path(partial))
+    # ...and the old generation's files (hard-link sources) are untouched
+    assert _bucket_files(sink, gen0) == before
+    assert sink.read_alias(spark, "alpha").count() == 20
+
+    # a clean re-run of the same merge then succeeds and publishes
+    gen2 = merge_bucketed(spark, sink, "alpha", batch, "2024-01-03t00.00.00")
+    sink.publish("alpha", gen2)
+    rows = {r.id: r.document for r in sink.read_alias(spark, "alpha").collect()}
+    assert rows["doc0"] == '{"v": 100}' and len(rows) == 20

@@ -179,6 +179,7 @@ def test_cli_es_nodes_mirrors_published_indexes(tmp_path, capsys, monkeypatch):
     from prefect_flow_arc_indexer_spark.__main__ import main
 
     calls: list[tuple[str, int, int, int, int]] = []
+    delete_calls: list[tuple[str, int]] = []
 
     def fake_mirror(df, cfg, index, source_column="_source"):
         calls.append(
@@ -191,7 +192,11 @@ def test_cli_es_nodes_mirrors_published_indexes(tmp_path, capsys, monkeypatch):
             )
         )
 
+    def fake_deletes(df, cfg, index):
+        delete_calls.append((index, df.count()))
+
     monkeypatch.setattr(es_sink, "write_upserts_rest", fake_mirror)
+    monkeypatch.setattr(es_sink, "write_deletes", fake_deletes)
     rc = main(
         [
             "--source", "/root/testdata/sf0.001",
@@ -209,6 +214,9 @@ def test_cli_es_nodes_mirrors_published_indexes(tmp_path, capsys, monkeypatch):
     assert [c[0] for c in calls] == ["purchase"]
     assert calls[0][1] == report["written"]["purchase"]
     assert calls[0][2:] == (123, 7, 2)  # flags reached EsSinkConfig
+    # the full-sync mirror also converges pre-existing ES state: source
+    # tombstones are bulk-deleted after the upsert pass (ADVICE r5)
+    assert [d[0] for d in delete_calls] == ["purchase"]
 
 
 # -- X3: concurrent submission of the large-index class ----------------------

@@ -110,3 +110,27 @@ def test_read_with_quarantine_splits_good_and_corrupt(spark, tmp_path):
     # quarantine file carries exactly the offending raw lines for re-ingest
     q = spark.read.text(str(tmp_path / "quarantine"))
     assert q.count() == 2
+
+
+def test_quarantine_source_file_survives_cache_order(spark, tmp_path):
+    """source_file must be captured below the persist: consuming the good
+    frame FIRST materializes the cache, and a post-cache input_file_name()
+    would then return '' for every quarantine row (the r5 ADVICE bug)."""
+    from prefect_flow_arc_indexer_spark.sources.files import (
+        read_with_quarantine,
+        release_quarantine,
+    )
+
+    src = tmp_path / "in"
+    src.mkdir()
+    with open(src / "rows.json", "w") as f:
+        f.write('{"id": 1, "name": "ok"}\n')
+        f.write("broken line\n")
+
+    good, bad = read_with_quarantine(spark, str(src), "json", "id long, name string")
+    assert good.count() == 1  # materializes the cache first
+    files_seen = [r.source_file for r in bad.collect()]
+    assert files_seen and all(f.endswith("rows.json") for f in files_seen)
+    # the persisted parse is released through either frame of the pair
+    assert release_quarantine(bad) is True
+    assert release_quarantine(good) is False  # sibling entry already dropped
