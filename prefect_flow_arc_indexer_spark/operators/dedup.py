@@ -176,6 +176,122 @@ def lsh_candidate_pairs(sig: DataFrame) -> DataFrame:
     )
 
 
+# Default degenerate-bucket cap for the PRODUCTION near-dedup path.  An LSH
+# bucket of B docs emits B*(B-1)/2 pairs; 1000 caps a single bucket at
+# ~500k pairs (and, more importantly, caps the collect_list row at 1000
+# ids).  Honest LSH buckets at real shingle entropy are orders of magnitude
+# smaller — anything over the cap is boilerplate/empty-text degeneracy whose
+# members are better handled by exact dedup upstream.
+MAX_BUCKET_DEFAULT = 1000
+
+
+def lsh_candidate_pairs_capped(
+    sig: DataFrame, max_bucket_size: int = MAX_BUCKET_DEFAULT
+) -> tuple[DataFrame, DataFrame]:
+    """:func:`lsh_candidate_pairs` with the degenerate-bucket guard the
+    uncapped form documents but cannot apply (its oracle is the exact pair
+    set): buckets larger than ``max_bucket_size`` are SIDELINED into a
+    census frame instead of exploding quadratically.
+
+    Returns ``(pairs, census)`` where ``census`` is
+    ``(band_id, band_key, bucket_size)`` for every dropped bucket — the
+    production caller logs/persists it so capped volume is visible, never
+    silent (VERDICT r5 task 2).
+
+    Scale shape: bucket sizes are measured with a COUNT aggregation first
+    (map-side partial agg — the shuffle carries one row per partition x
+    bucket, never a member list), and over-cap keys are removed by a
+    broadcast anti-join BEFORE the ``collect_list`` shuffle, so no
+    aggregation row ever materializes a degenerate bucket's id array — the
+    exact failure mode the uncapped form has at 100 TB.  The signature
+    frame is persisted so the two passes share one MinHash computation.
+    """
+    from pyspark import StorageLevel
+
+    sig = sig.persist(StorageLevel.MEMORY_AND_DISK)
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band_id"),
+            F.concat_ws(
+                "_",
+                *[F.col(f"m{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)],
+            ).alias("band_key"),
+        )
+        for b in range(N_BANDS)
+    ]
+    buckets = sig.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("bk")
+    ).select("doc_id", "bk.band_id", "bk.band_key")
+    sizes = buckets.groupBy("band_id", "band_key").agg(
+        F.count("*").alias("bucket_size")
+    )
+    census = sizes.where(F.col("bucket_size") > max_bucket_size)
+    ok = buckets.join(
+        F.broadcast(census.select("band_id", "band_key")),
+        ["band_id", "band_key"],
+        "left_anti",
+    )
+    grouped = (
+        ok.groupBy("band_id", "band_key")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .where(F.size("ids") > 1)
+    )
+    pair_expr = F.expr(
+        "flatten(transform(ids, (x, i) -> "
+        "transform(slice(ids, i + 2, size(ids) - i - 1), "
+        "y -> struct(x AS doc_a, y AS doc_b))))"
+    )
+    pairs = (
+        grouped.select(F.explode(pair_expr).alias("p"))
+        .select("p.doc_a", "p.doc_b")
+        .distinct()
+    )
+    return pairs, census
+
+
+def near_dedup_keepers(
+    docs: DataFrame, max_bucket_size: int = MAX_BUCKET_DEFAULT
+) -> tuple[DataFrame, DataFrame]:
+    """PRODUCTION near-dedup: MinHash -> capped LSH pairs -> connected
+    components -> per-doc keeper assignment.  The degenerate-bucket cap is
+    DEFAULT-ON here (the oracle-gated queries stay exact and uncapped);
+    over-cap buckets are returned as the census and logged when non-empty.
+
+    Returns ``(keepers, census)``: ``keepers`` is
+    ``(doc_id, component_id, component_size)`` restricted to component
+    keepers (``doc_id == component_id``), i.e. the surviving corpus ids.
+    """
+    import logging
+
+    pairs, census = lsh_candidate_pairs_capped(
+        minhash_signature(docs), max_bucket_size
+    )
+    dropped = census.count()
+    if dropped:
+        logging.getLogger(__name__).warning(
+            "near_dedup_keepers: %d LSH bucket(s) over cap %d sidelined "
+            "(census frame carries band_id/band_key/bucket_size)",
+            dropped,
+            max_bucket_size,
+        )
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    comp = connected_components(edges).withColumnRenamed("id", "doc_id")
+    assigned = docs.select("doc_id").join(comp, "doc_id", "left").select(
+        "doc_id", F.coalesce("comp", "doc_id").alias("component_id")
+    )
+    sizes = assigned.groupBy("component_id").agg(
+        F.count("*").alias("component_size")
+    )
+    keepers = (
+        assigned.where(F.col("doc_id") == F.col("component_id"))
+        .join(sizes, "component_id")
+        .select("doc_id", "component_id", "component_size")
+    )
+    return keepers, census
+
+
 def _dd_shingle_cte() -> str:
     return f"""toks AS (
   SELECT doc_id, {dd_tokens("text")} AS tok FROM documents
