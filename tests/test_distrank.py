@@ -127,3 +127,55 @@ def test_global_cumsum_matches_python_prefix_sum(spark, vals, parts):
         run += v or 0
         want[i] = run
     assert got == want
+
+
+# -- derived fan-out (VERDICT r5 task 3) -------------------------------------
+
+
+def test_derived_parts_grow_with_input(spark):
+    """The fan-out must scale with the optimizer's input-size estimate: a
+    100x scale-up that forgets the num_parts knob no longer gets 8-partition
+    range sorts."""
+    from prefect_flow_arc_indexer_spark.operators.distrank import (
+        MIN_PARTS,
+        TARGET_PART_BYTES,
+        derive_num_parts,
+    )
+
+    small = derive_num_parts(spark.range(1_000))
+    big = derive_num_parts(spark.range(2_000_000_000))   # ~16 GB estimate
+    huge = derive_num_parts(spark.range(200_000_000_000))  # ~1.6 TB estimate
+    assert small == MIN_PARTS
+    assert big > small and huge > big
+    # proportionality: one partition per TARGET_PART_BYTES of input
+    assert huge == -(-200_000_000_000 * 8 // TARGET_PART_BYTES)
+
+
+def test_derived_parts_session_conf_override(spark):
+    from prefect_flow_arc_indexer_spark.operators.distrank import (
+        PARTS_CONF,
+        derive_num_parts,
+    )
+
+    spark.conf.set(PARTS_CONF, "37")
+    try:
+        assert derive_num_parts(spark.range(10)) == 37
+        assert derive_num_parts(spark.range(200_000_000_000)) == 37
+    finally:
+        spark.conf.unset(PARTS_CONF)
+
+
+def test_global_rank_derived_parts_correct_end_to_end(spark):
+    """num_parts=None (the derived path) produces the identical ranking."""
+    df = spark.createDataFrame(
+        [(i, i * 7 % 13) for i in range(40)], "id long, v long"
+    )
+    got = {
+        r.id: r.rnk
+        for r in global_rank(
+            df, [F.col("v").asc(), F.col("id").asc()]
+        ).collect()
+    }
+    order = sorted(range(40), key=lambda i: (i * 7 % 13, i))
+    want = {i: n + 1 for n, i in enumerate(order)}
+    assert got == want
