@@ -38,6 +38,11 @@ class EsSinkConfig:
     batch_entries: int = 500  # reference es_chunk_size
     timeout_s: int = 30  # reference es_request_timeout
     retries: int = 10  # reference es_max_retries
+    # reference streaming_bulk backoff (flows/main_flow.py:420-421):
+    # sleep min(max_backoff, initial_backoff * 2**(attempt-1)) between
+    # per-chunk retries of 429-rejected items -> 30, 60, 120, 200, 200, ...
+    initial_backoff_s: float = 30.0
+    max_backoff_s: float = 200.0
     extra_options: dict[str, str] = field(default_factory=dict)
 
     def writer_options(self, operation: str = "upsert") -> dict[str, str]:
@@ -88,7 +93,19 @@ class BulkItemError(RuntimeError):
     (``"errors": true`` in the body — e.g. es_rejected_execution_exception).
     Raised so callers and :func:`write_adaptive`'s backpressure shrink see
     item-level rejections, exactly as the reference's ``streaming_bulk``
-    raises on item errors (flows/main_flow.py:366-395; ADVICE r4)."""
+    raises on item errors (flows/main_flow.py:366-395; ADVICE r4).
+
+    ``statuses`` carries every failed item's HTTP status; ``retryable`` is
+    True when ALL failures are 429 rejections — the one class
+    ``streaming_bulk`` retries in place (``retry_on_status=(429,)``)."""
+
+    def __init__(self, message: str, statuses: tuple[int, ...] = ()):
+        super().__init__(message)
+        self.statuses = tuple(statuses)
+
+    @property
+    def retryable(self) -> bool:
+        return bool(self.statuses) and all(s == 429 for s in self.statuses)
 
 
 def _check_bulk_response(raw: bytes) -> None:
@@ -104,16 +121,19 @@ def _check_bulk_response(raw: bytes) -> None:
         return
     if not isinstance(payload, dict) or not payload.get("errors"):
         return
-    first = next(
-        (
-            op.get("error")
-            for item in payload.get("items", [])
-            for op in item.values()
-            if isinstance(op, dict) and op.get("error")
-        ),
-        None,
+    failed = [
+        op
+        for item in payload.get("items", [])
+        for op in item.values()
+        if isinstance(op, dict) and op.get("error")
+    ]
+    first = failed[0].get("error") if failed else None
+    statuses = tuple(
+        op.get("status") for op in failed if isinstance(op.get("status"), int)
     )
-    raise BulkItemError(f"bulk response reported item failures: {first!r}")
+    raise BulkItemError(
+        f"bulk response reported item failures: {first!r}", statuses
+    )
 
 
 def _post_bulk(url: str, body: bytes, timeout_s: int) -> int:
@@ -132,12 +152,48 @@ def _post_bulk(url: str, body: bytes, timeout_s: int) -> int:
         return status
 
 
+def backoff_schedule(cfg: EsSinkConfig) -> list[float]:
+    """The reference's ``streaming_bulk`` retry delays
+    (flows/main_flow.py:420-421): ``min(max_backoff, initial * 2**(n))``
+    for retry n in [0, retries) — with the defaults, 30, 60, 120, then 200
+    capped, 10 entries total."""
+    return [
+        min(cfg.max_backoff_s, cfg.initial_backoff_s * (2.0 ** n))
+        for n in range(cfg.retries)
+    ]
+
+
+def make_retrying_post(cfg: EsSinkConfig, post=_post_bulk, sleep=time.sleep):
+    """Wrap ``post`` with the reference's in-place retry of 429-rejected
+    bulk items: up to ``cfg.retries`` replays with the exponential
+    :func:`backoff_schedule` between attempts.  The whole chunk is replayed
+    — safe because every op is idempotent by ``_id``, the same guarantee
+    ``streaming_bulk`` leans on.  Non-retryable item failures (mapping
+    errors, 4xx other than 429) raise immediately; exhausted retries
+    re-raise the last error so :func:`write_adaptive`'s chunk-shrink
+    backpressure (the reference's OUTER loop) takes over."""
+    delays = backoff_schedule(cfg)
+
+    def _retrying(url: str, body: bytes, timeout_s: int) -> int:
+        for delay in delays:
+            try:
+                return post(url, body, timeout_s)
+            except BulkItemError as e:
+                if not e.retryable:
+                    raise
+                sleep(delay)
+        return post(url, body, timeout_s)
+
+    return _retrying
+
+
 def write_upserts_rest(
     df: DataFrame,
     cfg: EsSinkConfig,
     index: str,
     post=_post_bulk,
     source_column: str = "_source",
+    sleep=time.sleep,
 ) -> None:
     """Bulk-upsert via the ES ``_bulk`` REST API, ``foreachPartition`` —
     the connector-less fallback mirroring the reference's own write path
@@ -153,6 +209,8 @@ def write_upserts_rest(
         node = f"http://{node}"
     url = f"{node}/_bulk"
     id_col, chunk, timeout_s = cfg.id_column, cfg.batch_entries, cfg.timeout_s
+    # in-place 429 retry with the reference's 30->200s exponential backoff
+    post = make_retrying_post(cfg, post=post, sleep=sleep)
 
     def _partition(rows) -> None:
         import json as _json
@@ -177,7 +235,8 @@ def write_upserts_rest(
 
 
 def write_deletes(
-    df: DataFrame, cfg: EsSinkConfig, index: str, post=_post_bulk
+    df: DataFrame, cfg: EsSinkConfig, index: str, post=_post_bulk,
+    sleep=time.sleep,
 ) -> None:
     """Bulk-delete the ids in ``df`` from ``index`` via the ES ``_bulk`` REST
     API, executed ``foreachPartition`` (each executor task ships its own
@@ -195,6 +254,8 @@ def write_deletes(
         node = f"http://{node}"
     url = f"{node}/_bulk"
     id_col, chunk, timeout_s = cfg.id_column, cfg.batch_entries, cfg.timeout_s
+    # in-place 429 retry with the reference's 30->200s exponential backoff
+    post = make_retrying_post(cfg, post=post, sleep=sleep)
 
     def _partition(rows) -> None:
         import json as _json

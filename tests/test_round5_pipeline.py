@@ -118,8 +118,11 @@ def test_rest_path_raises_on_item_rejections_over_http(spark):
     srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Rejecting)
     threading.Thread(target=srv.serve_forever, daemon=True).start()
     try:
+        # retries=0: this test asserts the FAILURE surface; the in-place
+        # 429 retry schedule has its own tests (test_round6_pipeline)
         cfg = EsSinkConfig(
-            nodes=f"127.0.0.1:{srv.server_address[1]}", id_column="_id"
+            nodes=f"127.0.0.1:{srv.server_address[1]}", id_column="_id",
+            retries=0,
         )
         df = spark.createDataFrame([("d0",), ("d1",)], "_id string").coalesce(1)
         with pytest.raises(Exception, match="item failures"):

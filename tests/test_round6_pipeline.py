@@ -179,3 +179,163 @@ def test_one_pass_all_tombstone_bucketed_keeps_bucket_marker(spark, tmp_path):
     assert bucket_count(sink, manifest["ghost"]) == 4
     assert bucket_count(sink, manifest["alpha"]) == 4
     assert sink.read_alias(spark, "ghost").count() == 0
+
+
+# -- ES retry/backoff parity (VERDICT r5 task 4) -------------------------------
+
+
+def _reject_429(n_failures):
+    """A fake _post_bulk failing the first n_failures calls with 429 items."""
+    from prefect_flow_arc_indexer_spark.pipeline.es_sink import BulkItemError
+
+    calls = {"n": 0}
+
+    def post(url, body, timeout_s):
+        calls["n"] += 1
+        if calls["n"] <= n_failures:
+            raise BulkItemError("bulk response reported item failures", (429,))
+        return 200
+
+    post.calls = calls
+    return post
+
+
+def test_backoff_schedule_matches_reference():
+    """streaming_bulk(initial_backoff=30, max_backoff=200, max_retries=10)
+    -> 30, 60, 120 then 200 capped, ten delays (flows/main_flow.py:420-421)."""
+    from prefect_flow_arc_indexer_spark.pipeline.es_sink import (
+        EsSinkConfig,
+        backoff_schedule,
+    )
+
+    sched = backoff_schedule(EsSinkConfig(nodes="x"))
+    assert sched == [30.0, 60.0, 120.0] + [200.0] * 7
+    assert len(sched) == 10  # reference es_max_retries
+
+
+def test_retrying_post_sleeps_the_reference_schedule():
+    from prefect_flow_arc_indexer_spark.pipeline.es_sink import (
+        EsSinkConfig,
+        make_retrying_post,
+    )
+
+    slept: list[float] = []
+    post = _reject_429(3)
+    retrying = make_retrying_post(
+        EsSinkConfig(nodes="x"), post=post, sleep=slept.append
+    )
+    assert retrying("u", b"", 30) == 200
+    assert slept == [30.0, 60.0, 120.0]
+    assert post.calls["n"] == 4
+
+
+def test_retrying_post_exhausts_then_raises_and_nonretryable_is_immediate():
+    from prefect_flow_arc_indexer_spark.pipeline.es_sink import (
+        BulkItemError,
+        EsSinkConfig,
+        make_retrying_post,
+    )
+
+    slept: list[float] = []
+    retrying = make_retrying_post(
+        EsSinkConfig(nodes="x", retries=3), post=_reject_429(99),
+        sleep=slept.append,
+    )
+    with pytest.raises(BulkItemError):
+        retrying("u", b"", 30)
+    assert slept == [30.0, 60.0, 120.0]  # retries exhausted, then re-raise
+
+    # a mapping error (400) must NOT be retried
+    def post_400(url, body, timeout_s):
+        raise BulkItemError("bulk response reported item failures", (400,))
+
+    slept.clear()
+    retrying = make_retrying_post(
+        EsSinkConfig(nodes="x"), post=post_400, sleep=slept.append
+    )
+    with pytest.raises(BulkItemError):
+        retrying("u", b"", 30)
+    assert slept == []
+
+
+def test_429_retry_interplays_with_adaptive_shrink():
+    """The two loops compose exactly like the reference: the INNER 429
+    schedule (30->200s) exhausts first, then the OUTER write_adaptive
+    shrink (sleep 120, chunk -50) re-attempts the whole write."""
+    from prefect_flow_arc_indexer_spark.pipeline.es_sink import (
+        EsSinkConfig,
+        make_retrying_post,
+        write_adaptive,
+    )
+
+    inner_sleeps: list[float] = []
+    outer_sleeps: list[float] = []
+    attempts: list[int] = []
+    post = _reject_429(3)  # two full inner rounds of 2 retries fail; 4th ok
+
+    def write(df, cfg, index):
+        attempts.append(cfg.batch_entries)
+        make_retrying_post(cfg, post=post, sleep=inner_sleeps.append)(
+            "u", b"", cfg.timeout_s
+        )
+
+    cfg = EsSinkConfig(nodes="x", batch_entries=120, retries=1)
+    out = write_adaptive(
+        None, cfg, "idx", write=write, sleep=outer_sleeps.append
+    )
+    # attempt 1: post fails, 1 inner retry (30s) fails -> outer shrink;
+    # attempt 2: post fails (3rd failure), inner retry succeeds
+    assert attempts == [120, 70]
+    assert inner_sleeps == [30.0, 30.0]
+    assert outer_sleeps == [120.0]
+    assert out.batch_entries == 70
+
+
+def test_rest_429s_retry_over_real_http(spark, es_stub):
+    """End to end over a live listener: a server that 429-rejects the first
+    two bulk posts sees exactly three attempts and the docs land."""
+    import http.server
+    import threading
+
+    state = {"posts": 0}
+
+    class Flaky(http.server.BaseHTTPRequestHandler):
+        def do_POST(self):
+            self.rfile.read(int(self.headers["Content-Length"]))
+            state["posts"] += 1
+            if state["posts"] <= 2:
+                resp = json.dumps({
+                    "errors": True,
+                    "items": [{"index": {"_id": "d0", "status": 429,
+                                          "error": {"type": "es_rejected_execution_exception"}}}],
+                }).encode()
+            else:
+                resp = json.dumps({"errors": False, "items": []}).encode()
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(resp)))
+            self.end_headers()
+            self.wfile.write(resp)
+
+        def log_message(self, *a):
+            pass
+
+    from prefect_flow_arc_indexer_spark.pipeline.es_sink import (
+        EsSinkConfig,
+        write_upserts_rest,
+    )
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Flaky)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        cfg = EsSinkConfig(
+            nodes=f"127.0.0.1:{srv.server_address[1]}",
+            # compressed schedule: same shape, test-speed delays
+            initial_backoff_s=0.01, max_backoff_s=0.02,
+        )
+        df = spark.createDataFrame(
+            [("1", '{"v": 1}')], "id string, _source string"
+        ).coalesce(1)
+        write_upserts_rest(df, cfg, "idx_retry")
+        assert state["posts"] == 3
+    finally:
+        srv.shutdown()
