@@ -2,15 +2,20 @@
 ``binary`` columns with typed metadata, processed through Arrow-batched
 ``mapInPandas`` (training-data-pipeline extension surface).
 
-The container has no image/audio libraries, so the *decode* step is split:
+Decode is layered, real-first with a deterministic fallback (r6):
 
-- :func:`decode_image_real` — the production hook, gated behind an
-  import-try of PIL and raising ``NotImplementedError`` here (clearly-marked
-  stub, per the build contract);
-- :func:`_fake_decode_features` — a deterministic stand-in (pure arithmetic
-  on the payload bytes) so the Spark-side plumbing — schema, partitioning,
-  UDF signature, Arrow batch shape — is real and fully testable, and the
-  registered query keeps a DuckDB oracle.
+- :func:`decode_image_real` / :func:`_try_image_grid` / :func:`_real_resize`
+  — PIL-backed, gated behind an import-try; ``NotImplementedError`` /
+  stand-in fallback when pillow is absent;
+- :func:`decode_audio_real` / :func:`_try_audio_samples` — stdlib ``wave``
+  (always available): real RIFF/WAVE PCM decode for the energy/VAD/spectral
+  kernels;
+- :func:`_fake_decode_features` and the strided-byte kernels — the
+  deterministic stand-in every kernel falls back to when the payload isn't
+  a decodable container, keeping the Spark-side plumbing — schema,
+  partitioning, UDF signature, Arrow batch shape — real and fully testable,
+  and the registered queries on their DuckDB oracles (the demo corpus
+  payloads are ASCII text, never decodable, so oracles see the byte path).
 
 Scale notes: payloads stay opaque bytes end-to-end (no driver collect);
 ``mapInPandas`` processes whole Arrow batches, so per-item Python overhead
@@ -65,17 +70,91 @@ def media_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def decode_image_real(payload: bytes):  # pragma: no cover - env lacks libs
-    """Production decode hook. STUB: the container ships no imaging libs."""
-    try:
-        from PIL import Image  # noqa: F401
-    except ImportError as exc:
+# --------------------------------------------------------------------------
+# real decoders, gated behind import-tries (VERDICT r5 task 5): PIL for
+# images when installed, stdlib ``wave`` (always present) for RIFF/WAVE
+# audio. Every mapInPandas kernel TRIES the real decode first and falls back
+# to the deterministic byte stand-in when the library is absent or the
+# payload isn't a decodable container — which is also what keeps the DuckDB
+# oracles unchanged: the demo corpus payloads are ASCII text (never a valid
+# PNG — the PNG signature byte 0x89 cannot appear in ASCII — and never a
+# parseable RIFF/WAVE), so the registered queries always exercise the
+# byte path, while real PNG/WAV payloads (tests, production) take the real
+# decoder through the SAME plumbing.
+# --------------------------------------------------------------------------
+try:  # pragma: no cover - exercised via HAS_PIL branches
+    from PIL import Image as _PILImage
+
+    HAS_PIL = True
+except ImportError:
+    _PILImage = None
+    HAS_PIL = False
+
+
+def decode_image_real(payload: bytes):
+    """Decode an image payload with PIL: returns ``(width, height, mode)``.
+    Raises ``NotImplementedError`` when PIL is not installed (clearly-fenced
+    stand-in boundary, per the build contract)."""
+    if not HAS_PIL:
         raise NotImplementedError(
             "image decode requires PIL/pillow, which this environment does "
-            "not provide; wire decode_image_real into _decode_batches when "
-            "deploying with imaging libs installed"
-        ) from exc
-    raise NotImplementedError("real decode intentionally not implemented here")
+            "not provide; the mapInPandas kernels fall back to the "
+            "deterministic byte stand-in"
+        )
+    import io
+
+    with _PILImage.open(io.BytesIO(payload)) as im:
+        return im.width, im.height, im.mode
+
+
+def decode_audio_real(payload: bytes):
+    """Decode a RIFF/WAVE payload with stdlib ``wave``: returns a numpy
+    int array of PCM samples (first channel). Raises ``ValueError`` on a
+    non-WAV payload — callers fall back to the byte stand-in."""
+    import io
+    import wave
+
+    import numpy as np
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        n_ch, width = w.getnchannels(), w.getsampwidth()
+        raw = w.readframes(w.getnframes())
+    if width == 1:
+        samples = np.frombuffer(raw, dtype=np.uint8)
+    elif width == 2:
+        samples = np.frombuffer(raw, dtype="<i2")
+    else:
+        raise ValueError(f"unsupported sample width {width}")
+    return samples[::n_ch]  # first channel
+
+
+def _try_image_grid(payload: bytes, n: int):
+    """Real pHash front-end: decode with PIL, grayscale, downscale to an
+    ``n``-cell luma grid. None when PIL is absent or the payload isn't a
+    decodable image (callers use the strided-byte stand-in)."""
+    if not HAS_PIL or payload is None:
+        return None
+    import io
+
+    try:
+        with _PILImage.open(io.BytesIO(payload)) as im:
+            small = im.convert("L").resize((n, 1))
+            return list(small.getdata())
+    except Exception:
+        return None
+
+
+def _try_audio_samples(payload: bytes):
+    """Real WAV front-end for the energy/VAD/spectral kernels. None when
+    the payload isn't a parseable RIFF/WAVE container."""
+    if payload is None:
+        return None
+    try:
+        return decode_audio_real(bytes(payload))
+    except Exception:
+        return None
 
 
 def _fake_decode_features(payload: bytes) -> tuple[int, int, int, float]:
@@ -223,6 +302,25 @@ def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 RESIZE_STRIDE = 4
 
 
+def _real_resize(payload: bytes):
+    """Real image resize when PIL can decode the payload: halve both
+    dimensions (min 1px) and re-encode as PNG. None -> caller's byte
+    stand-in. The demo corpus (ASCII text payloads) can never decode, so
+    the q_media_resize oracle is untouched; real PNGs take this path."""
+    if not HAS_PIL or payload is None:
+        return None
+    import io
+
+    try:
+        with _PILImage.open(io.BytesIO(payload)) as im:
+            half = im.resize((max(1, im.width // 2), max(1, im.height // 2)))
+            buf = io.BytesIO()
+            half.save(buf, format="PNG")
+            return buf.getvalue()
+    except Exception:
+        return None
+
+
 def _resize_batches(
     batches: Iterator[pd.DataFrame],
 ) -> Iterator[pd.DataFrame]:
@@ -246,7 +344,9 @@ def _resize_batches(
         ):
             if payload is None:  # NULL-text docs: filtered Spark-side too —
                 continue  # keep exact parity with the oracle's NULL filter
-            small = bytes(payload[::RESIZE_STRIDE])
+            small = _real_resize(payload)
+            if small is None:  # stand-in: strided-byte downsample
+                small = bytes(payload[::RESIZE_STRIDE])
             out["doc_id"].append(doc_id)
             out["media_type"].append(mt)
             out["n_bytes"].append(len(payload))
@@ -310,7 +410,9 @@ def _audio_energy_batches(
     for pdf in batches:
         out: dict[str, list] = {"doc_id": [], "window_idx": [], "rms": [], "peak": []}
         for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-            samples = np.frombuffer(payload, dtype=np.uint8)
+            samples = _try_audio_samples(payload)  # real WAV decode first
+            if samples is None:  # stand-in: payload bytes as 8-bit PCM
+                samples = np.frombuffer(payload, dtype=np.uint8)
             n_full = len(samples) // AUDIO_WINDOW
             if n_full == 0:
                 continue
@@ -409,8 +511,10 @@ def _phash_batches(
         for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
             if payload is None or len(payload) == 0:
                 continue
-            n = len(payload)
-            vs = [payload[j * n // PHASH_BITS] for j in range(PHASH_BITS)]
+            vs = _try_image_grid(payload, PHASH_BITS)  # real decode first
+            if vs is None:  # stand-in: strided payload bytes play the grid
+                n = len(payload)
+                vs = [payload[j * n // PHASH_BITS] for j in range(PHASH_BITS)]
             s = sum(vs)
             phash = 0
             for j, v in enumerate(vs):
@@ -642,7 +746,9 @@ def _vad_batches(
     for pdf in batches:
         out: dict[str, list] = {"doc_id": [], "window_idx": [], "ss": []}
         for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-            samples = np.frombuffer(payload, dtype=np.uint8)
+            samples = _try_audio_samples(payload)  # real WAV decode first
+            if samples is None:  # stand-in: payload bytes as 8-bit PCM
+                samples = np.frombuffer(payload, dtype=np.uint8)
             n_full = len(samples) // AUDIO_WINDOW
             if n_full == 0:
                 continue
@@ -777,9 +883,10 @@ def _audio_spectral_batches(
         for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
             if payload is None or len(payload) < AUDIO_WINDOW:
                 continue
-            samples = np.frombuffer(bytes(payload), dtype=np.uint8).astype(
-                np.float64
-            )
+            decoded = _try_audio_samples(payload)  # real WAV decode first
+            if decoded is None:  # stand-in: payload bytes as 8-bit PCM
+                decoded = np.frombuffer(bytes(payload), dtype=np.uint8)
+            samples = decoded.astype(np.float64)
             n_full = len(samples) // AUDIO_WINDOW
             wins = samples[: n_full * AUDIO_WINDOW].reshape(
                 n_full, AUDIO_WINDOW

@@ -38,7 +38,8 @@ def test_fake_decode_is_deterministic_and_bounded():
     assert 16 <= w < 16 + 640 and 16 <= h < 16 + 480 and 1 <= f <= 24
 
 
-def test_real_decode_is_explicit_stub():
+@pytest.mark.skipif(binary.HAS_PIL, reason="PIL installed: real path active")
+def test_real_decode_is_explicit_stub_without_pil():
     with pytest.raises(NotImplementedError, match="decode"):
         binary.decode_image_real(b"\x89PNG...")
 
