@@ -64,3 +64,26 @@ def test_driver_window_prefix_is_exact_oracle_gated():
     oracles = oracle_map()
     missing = [n for n in _DRIVER_WINDOW if n not in oracles]
     assert not missing, f"window entries without oracle: {missing}"
+
+
+def test_driver_window_extension_slots_are_first_exposure():
+    """Rotation tripwire (VERDICT r5 task 1): every NON-reference slot in
+    the driver window must be a query with no prior driver-green round in
+    the committed COVERAGE_LEDGER.json. When a new round's CORRECTNESS file
+    lands and the ledger is regenerated, this test FAILS until the window
+    is rotated to the next 30 never-checked queries — the forcing function
+    that burns down the backlog instead of re-spending gate slots."""
+    import json
+
+    from prefect_flow_arc_indexer_spark.plans.registry import _DRIVER_WINDOW
+
+    ledger = json.load(open("/root/repo/COVERAGE_LEDGER.json"))
+    reference_surface = set(_DRIVER_WINDOW[:20])
+    stale = [
+        q
+        for q in _DRIVER_WINDOW
+        if q not in reference_surface and q in ledger["last_green_round"]
+    ]
+    assert not stale, (
+        f"driver-window slots already driver-green (rotate them out): {stale}"
+    )
