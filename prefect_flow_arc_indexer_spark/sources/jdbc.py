@@ -12,9 +12,14 @@ Spark's JDBC source gives the same properties declaratively:
   splits the table across executors — the piece the single-cursor reference
   fundamentally lacks and the main reason this scales past one node.
 
-There is no Postgres in the test environment, so this module is exercised by
-unit tests only at the option-construction level; the parquet loaders in
-``sources.parquet`` are the test-harness stand-in (SURVEY §1.4).
+There is no Postgres in the test environment, but the module is exercised
+END-TO-END against a real database anyway: ``tests/test_jdbc_live.py``
+drives it through Spark's bundled embedded Derby — live connections,
+fetchsize cursors, an 8-way partitioned parallel scan, and predicate
+pushdown verified both in the plan (PushedFilters) and by the rows the
+remote WHERE returns. Production swaps only the URL and driver class; the
+parquet loaders in ``sources.parquet`` remain the oracle-gate stand-in
+(SURVEY §1.4).
 """
 
 from __future__ import annotations
