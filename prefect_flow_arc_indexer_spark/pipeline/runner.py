@@ -158,6 +158,27 @@ def _probe_schema_name(frame: DataFrame, path: str):
     return row["schema_name"] if row else None
 
 
+def _unescape_partition_value(s: str) -> str:
+    """Decode Spark's partition-dir escaping (ExternalCatalogUtils.
+    escapePathName: unsafe chars written as %XX, uppercase hex). Only %XX
+    triples are decoded; a bare '%' that isn't a valid escape is kept
+    literal, matching Spark's own unescapePathName."""
+    out: list[str] = []
+    i = 0
+    while i < len(s):
+        c = s[i]
+        if c == "%" and i + 3 <= len(s):
+            try:
+                out.append(chr(int(s[i + 1 : i + 3], 16)))
+                i += 3
+                continue
+            except ValueError:
+                pass
+        out.append(c)
+        i += 1
+    return "".join(out)
+
+
 def one_pass_live(docs: DataFrame, indexes: list[str]) -> DataFrame:
     """The fused full-sync data plane: ONE frame holding every index's live
     documents, pre-shuffled on ``index`` so the ``partitionBy`` write emits
@@ -228,9 +249,23 @@ def _full_sync_one_pass(
     expected = {
         idx: counts[f"c_{n}"] or 0 for n, idx in enumerate(report.indexes)
     }
+    # Resolve each index's staged dir by DECODING Spark's partition-value
+    # escaping (escapePathName writes %XX for chars that are unsafe in a
+    # path, e.g. 'a:b' stages as 'index=a%3Ab'): building 'index={value}'
+    # by hand would miss every escaped name and the guard below would abort
+    # a perfectly good sync. Unknown dirs are left unmapped and the audit
+    # abort still protects against a genuinely missing stage.
+    staged_dirs: dict[str, str] = {}
+    for entry in os.listdir(stage) if os.path.isdir(stage) else []:
+        if entry.startswith("index="):
+            staged_dirs[_unescape_partition_value(entry[len("index="):])] = (
+                os.path.join(stage, entry)
+            )
     try:
         for index in report.indexes:
-            part_dir = os.path.join(stage, f"index={index}")
+            part_dir = staged_dirs.get(
+                index, os.path.join(stage, f"index={index}")
+            )
             gen = sink.generation_name(index, ts)
             gen_path = sink.generation_path(gen)
 

@@ -138,21 +138,45 @@ def _docs(spark, rows):
     )
 
 
-def test_one_pass_missing_stage_aborts_instead_of_empty_publish(spark, tmp_path):
+def test_one_pass_handles_partition_escaped_index_names(spark, tmp_path):
     """An index name Spark partition-escapes ('a:b' stages as index=a%3Ab)
-    makes the literal staged dir lookup miss; publishing anyway would commit
-    an EMPTY generation over live data. The guard must raise and roll back
-    (previously: published with reconcile_ok=False, silently)."""
+    must still sync: the staged dir is resolved by DECODING the escaping,
+    not by string-building 'index={value}' (which would miss it and either
+    publish an empty generation — the pre-r6 bug — or abort a good run)."""
     from prefect_flow_arc_indexer_spark.pipeline.runner import full_sync
 
     sink = VersionedSink(str(tmp_path / "sink"))
-    docs = _docs(spark, [("a:b", "1", '{"v": 1}', False, "2024-01-01 00:00:00")])
+    docs = _docs(
+        spark,
+        [
+            ("a:b", "1", '{"v": 1}', False, "2024-01-01 00:00:00"),
+            ("a:b", "2", '{"v": 2}', False, "2024-01-01 00:00:00"),
+        ],
+    )
+    report = full_sync(spark, docs, sink, now=datetime(2024, 2, 1), one_pass=True)
+    assert report.written == {"a:b": 2}
+    assert report.reconcile_ok == {"a:b": True}
+    assert {r.id for r in sink.read_alias(spark, "a:b").collect()} == {"1", "2"}
+
+
+def test_one_pass_missing_stage_aborts_instead_of_empty_publish(
+    spark, tmp_path, monkeypatch
+):
+    """A genuinely lost staged partition (prior partial failure) must abort
+    before publish — committing would put an EMPTY generation over live
+    data (previously: published with reconcile_ok=False, silently)."""
+    import prefect_flow_arc_indexer_spark.pipeline.runner as runner_mod
+
+    sink = VersionedSink(str(tmp_path / "sink"))
+    docs = _docs(spark, [("alpha", "1", '{"v": 1}', False, "2024-01-01 00:00:00")])
+    # the stage->generation promotion silently does nothing: the generation
+    # dir never appears while the observed count says 1 doc exists
+    monkeypatch.setattr(runner_mod.shutil, "move", lambda src, dst: None)
     with pytest.raises(RuntimeError, match="one-pass (stage|audit)"):
-        full_sync(
+        runner_mod.full_sync(
             spark, docs, sink, now=datetime(2024, 2, 1), one_pass=True
         )
-    # nothing was published for the index
-    assert "a:b" not in sink.read_manifest()
+    assert "alpha" not in sink.read_manifest()
 
 
 def test_one_pass_all_tombstone_bucketed_keeps_bucket_marker(spark, tmp_path):
@@ -339,3 +363,15 @@ def test_rest_429s_retry_over_real_http(spark, es_stub):
         assert state["posts"] == 3
     finally:
         srv.shutdown()
+
+
+def test_unescape_partition_value():
+    from prefect_flow_arc_indexer_spark.pipeline.runner import (
+        _unescape_partition_value as un,
+    )
+
+    assert un("a%3Ab") == "a:b"
+    assert un("plain") == "plain"
+    assert un("sp%20ace%2Fslash") == "sp ace/slash"
+    assert un("50%") == "50%"          # trailing bare percent stays literal
+    assert un("%zz") == "%zz"          # invalid hex stays literal
