@@ -20,6 +20,8 @@ this module encodes:
 
 from __future__ import annotations
 
+import weakref
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.types import StructField, StructType
 
@@ -181,26 +183,31 @@ def read_with_quarantine(
     )
     if quarantine_path is not None:
         bad.select("raw_line").write.mode("append").text(quarantine_path)
-    _QUARANTINE_CACHE[id(good)] = df
-    _QUARANTINE_CACHE[id(bad)] = df
+    _QUARANTINE_CACHE[good] = df
+    _QUARANTINE_CACHE[bad] = df
     return good, bad
 
 
 # frame -> the persisted parse frame backing it, so callers can release the
-# cache without holding the internal frame themselves
-_QUARANTINE_CACHE: dict[int, DataFrame] = {}
+# cache without holding the internal frame themselves. Weak keys: a service
+# calling read_with_quarantine in a loop without releasing must not pin
+# every returned frame (and its plan) in driver memory forever — entries
+# vanish with the frames, and the JVM cache block is then reclaimable by
+# the ContextCleaner once the plan is unreachable.
+_QUARANTINE_CACHE: "weakref.WeakKeyDictionary[DataFrame, DataFrame]" = (
+    weakref.WeakKeyDictionary()
+)
 
 
 def release_quarantine(frame: DataFrame) -> bool:
     """Unpersist the cached parse behind a (good, bad) pair returned by
     :func:`read_with_quarantine`. Pass either frame of the pair; returns
     True when a cache entry was found and released."""
-    df = _QUARANTINE_CACHE.pop(id(frame), None)
+    df = _QUARANTINE_CACHE.pop(frame, None)
     if df is None:
         return False
     # drop the sibling alias pointing at the same cache
-    for k, v in list(_QUARANTINE_CACHE.items()):
-        if v is df:
-            _QUARANTINE_CACHE.pop(k, None)
+    for k in [k for k, v in _QUARANTINE_CACHE.items() if v is df]:
+        _QUARANTINE_CACHE.pop(k, None)
     df.unpersist()
     return True
