@@ -459,3 +459,144 @@ SELECT b.doc_id,
 
 
 _register_dsir()
+
+
+# --------------------------------------------------------------------------
+# skyline (Pareto frontier) doc selection: multi-objective keep set
+# --------------------------------------------------------------------------
+@register(
+    "q_skyline_docs",
+    oracle=f"""WITH toks AS (
+  SELECT doc_id, {dd_tokens("text")} AS tok
+    FROM documents WHERE text IS NOT NULL
+),
+feat AS (
+  SELECT doc_id,
+         CAST(len(tok) AS BIGINT) AS n_tok,
+         CAST((1000000 * len(list_distinct(tok))) // len(tok) AS BIGINT)
+           AS div_micro
+    FROM toks WHERE len(tok) > 0
+)
+SELECT f.doc_id, f.n_tok, f.div_micro
+  FROM feat f
+ WHERE NOT EXISTS (
+         SELECT 1 FROM feat g
+          WHERE g.n_tok >= f.n_tok AND g.div_micro >= f.div_micro
+            AND (g.n_tok > f.n_tok OR g.div_micro > f.div_micro)
+       )
+""",
+    doc="skyline (Pareto-frontier) document selection over two objectives "
+    "— token count and integer-exact lexical diversity: the classic "
+    "multi-objective keep set ('no other doc is at least as long AND at "
+    "least as diverse, strictly better in one'). The oracle is the "
+    "textbook NOT-EXISTS dominance self-join (O(n^2), fine at gate SF); "
+    "the Spark plan is the scale form: reduce to the per-token-count "
+    "maximum diversity (one value-bounded shuffle: the n_tok HISTOGRAM "
+    "axis), scan that frontier once with a running max ordered by n_tok "
+    "descending (window over the bounded histogram, allowlisted), and "
+    "broadcast the surviving (n_tok, div) frontier back over the corpus "
+    "as an equi-join. No corpus x corpus comparison anywhere — dominance "
+    "collapses onto the histogram because the objectives are the axis "
+    "itself plus a per-axis max.",
+)
+def q_skyline_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents", fan_out=True).where(
+        F.col("text").isNotNull()
+    )
+    tok = tokens(F.col("text"))
+    scaled = (F.lit(1_000_000) * F.size(F.array_distinct(tok))).cast("bigint")
+    n_tok = F.size(tok).cast("bigint")
+    # exact integer floor division via the remainder identity: (a - a%b)/b
+    # is an integer < 2^53, so the double division cannot round (the bare
+    # floor(a/b) CAN misround when FP lands just below an exact quotient)
+    div_micro = ((scaled - scaled % n_tok) / n_tok).cast("bigint")
+    feat = (
+        docs.select(
+            "doc_id",
+            n_tok.alias("n_tok"),
+            div_micro.alias("div_micro"),
+        )
+        .where(F.col("n_tok") > 0)
+    )
+    # per-x maximum y: ONE shuffle, output bounded by distinct token counts
+    gmax = feat.groupBy("n_tok").agg(F.max("div_micro").alias("gmax"))
+    # frontier scan over the bounded histogram (allowlisted global window):
+    # a token count survives iff its best diversity beats every longer doc
+    w = (
+        Window.orderBy(F.col("n_tok").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    frontier = gmax.withColumn("_prev", F.max("gmax").over(w)).where(
+        F.col("_prev").isNull() | (F.col("gmax") > F.col("_prev"))
+    )
+    # broadcast the (tiny) frontier back: a doc is skyline iff it SITS on it
+    return feat.join(
+        F.broadcast(
+            frontier.select("n_tok", F.col("gmax").alias("div_micro"))
+        ),
+        ["n_tok", "div_micro"],
+    ).select("doc_id", "n_tok", "div_micro")
+
+
+# --------------------------------------------------------------------------
+# top-p (nucleus) corpus trim: per-source token-mass budget
+# --------------------------------------------------------------------------
+TOP_P_NUM = 4  # keep the doc prefix holding < 4/5 (80%) of the source's
+TOP_P_DEN = 5  # token mass, plus the boundary doc that crosses it
+
+
+@register(
+    "q_top_p_corpus",
+    oracle=f"""WITH feat AS (
+  SELECT doc_id, source,
+         CAST(len({dd_tokens("text")}) AS BIGINT) AS n_tok
+    FROM documents WHERE text IS NOT NULL
+),
+cum AS (
+  SELECT doc_id, source, n_tok,
+         sum(n_tok) OVER (PARTITION BY source
+                          ORDER BY n_tok DESC, doc_id ASC) AS cum_tok,
+         sum(n_tok) OVER (PARTITION BY source) AS total_tok
+    FROM feat
+)
+SELECT doc_id, source, n_tok, CAST(cum_tok AS BIGINT) AS cum_tok
+  FROM cum
+ WHERE {TOP_P_DEN} * (cum_tok - n_tok) < {TOP_P_NUM} * total_tok
+""",
+    doc=f"top-p (nucleus) corpus trim: per source, keep the largest docs "
+    f"until {TOP_P_NUM}/{TOP_P_DEN} of the source's total token mass is "
+    "covered (boundary doc included) — the budgeted mixture-trim shape a "
+    "training pipeline uses to cap a source's contribution without a "
+    "fixed doc count. The inclusion test is exact integer arithmetic "
+    f"({TOP_P_DEN}*(cum-n) < {TOP_P_NUM}*total), so the cut cannot drift "
+    "between engines. Both windows are PARTITIONED by source (parallel, "
+    "bounded state); one corpus shuffle on the source key. Distinct from "
+    "q_length_trim (percentile bounds) and q_ccnet_buckets (global "
+    "terciles): this is a cumulative-share budget per group.",
+)
+def q_top_p_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents", fan_out=True).where(
+        F.col("text").isNotNull()
+    )
+    feat = docs.select(
+        "doc_id",
+        "source",
+        F.size(tokens(F.col("text"))).cast("bigint").alias("n_tok"),
+    )
+    w_ord = (
+        Window.partitionBy("source")
+        .orderBy(F.col("n_tok").desc(), F.col("doc_id").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy("source")
+    cum = feat.select(
+        "doc_id",
+        "source",
+        "n_tok",
+        F.sum("n_tok").over(w_ord).cast("bigint").alias("cum_tok"),
+        F.sum("n_tok").over(w_all).alias("total_tok"),
+    )
+    return cum.where(
+        F.lit(TOP_P_DEN) * (F.col("cum_tok") - F.col("n_tok"))
+        < F.lit(TOP_P_NUM) * F.col("total_tok")
+    ).select("doc_id", "source", "n_tok", "cum_tok")

@@ -46,6 +46,8 @@ BOUNDED_GLOBAL_WINDOWS: dict[str, str] = {
     "q_returned_top_customers": "row_number over the LIMIT-20 survivors",
     "q_revenue_acf": "lag windows over the DAILY revenue series",
     "q_rolling_revenue": "rolling sum over the DAILY revenue rollup",
+    "q_skyline_docs": "frontier running-max over the token-count HISTOGRAM "
+    "(distinct lengths)",
     "q_source_keywords": "scalar total over the LIMIT-k vocab x sources "
     "table",
     "q_topk_tail": "rank over per-INDEX doc counts (catalog-bounded)",
