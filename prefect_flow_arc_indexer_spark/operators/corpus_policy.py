@@ -197,3 +197,87 @@ def q_toxicity_lexicon(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("flag_rate_micro"),
     )
+
+
+# --------------------------------------------------------------------------
+# epoch/repeat plan: the data recipe a mixture actually executes
+# --------------------------------------------------------------------------
+TARGET_TOKENS = 1_000_000  # training token budget the mixture must fill
+MAX_EPOCHS_MICRO = 4_000_000  # 4-epoch repeat ceiling (data-constrained LM
+# scaling: value of repeated data decays fast past ~4 epochs)
+
+
+@register(
+    "q_epoch_plan",
+    oracle=f"""WITH toks AS (
+  SELECT source, len({dd_tokens("text")}) AS n_tok
+    FROM documents WHERE text IS NOT NULL
+),
+per AS (
+  SELECT source, CAST(sum(n_tok) AS BIGINT) AS tok_s
+    FROM toks GROUP BY source
+),
+w AS (
+  SELECT *, CAST(round(pow(tok_s, {MIX_ALPHA}) * 1000000) AS BIGINT)
+              AS w_micro
+    FROM per
+),
+tot AS (SELECT CAST(sum(w_micro) AS BIGINT) AS tot_micro FROM w),
+plan AS (
+  SELECT w.source, w.tok_s,
+         CAST(({TARGET_TOKENS} * w.w_micro) // t.tot_micro AS BIGINT)
+           AS target_tok
+    FROM w, tot t
+)
+SELECT source, tok_s, target_tok,
+       CAST((1000000 * target_tok) // tok_s AS BIGINT) AS epochs_micro,
+       CAST((1000000 * target_tok) // tok_s > {MAX_EPOCHS_MICRO} AS BOOLEAN)
+         AS over_cap,
+       CAST(least(target_tok,
+                  ({MAX_EPOCHS_MICRO} * tok_s) // 1000000) AS BIGINT)
+         AS effective_tok
+  FROM plan
+""",
+    doc=f"epoch/repeat plan — the data recipe the temperature mixture "
+    f"(alpha={MIX_ALPHA}) actually executes against a "
+    f"{TARGET_TOKENS:,}-token budget: per source, its target token "
+    "allotment, the implied epoch count (integer micro-epochs: how many "
+    "times the source must repeat), an over-cap flag at the 4-epoch "
+    "repeat ceiling (repeated data decays fast past ~4 epochs — the "
+    "data-constrained scaling rule), and the capped effective tokens the "
+    "run will really draw. All integer floor arithmetic after one "
+    "rounded pow, so the plan is engine-exact; same scale shape as "
+    "q_mixture_temperature — one corpus-token scan, a source-keyed "
+    "values-bounded rollup, scalar-broadcast renormalization.",
+)
+def q_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents", fan_out=True).where(
+        F.col("text").isNotNull()
+    )
+    per = docs.select(
+        "source", F.size(tokens(F.col("text"))).alias("n_tok")
+    ).groupBy("source").agg(F.sum("n_tok").cast("bigint").alias("tok_s"))
+    w = per.withColumn(
+        "w_micro",
+        F.round(F.pow(F.col("tok_s"), F.lit(MIX_ALPHA)) * 1_000_000)
+        .cast("bigint"),
+    )
+    tot = w.agg(F.sum("w_micro").cast("bigint").alias("tot_micro"))
+    plan = w.crossJoin(F.broadcast(tot)).withColumn(
+        "target_tok",
+        F.expr(f"({TARGET_TOKENS} * w_micro) div tot_micro").cast("bigint"),
+    )
+    epochs = F.expr("(1000000 * target_tok) div tok_s").cast("bigint")
+    return plan.select(
+        "source",
+        "tok_s",
+        "target_tok",
+        epochs.alias("epochs_micro"),
+        (epochs > MAX_EPOCHS_MICRO).alias("over_cap"),
+        F.least(
+            F.col("target_tok"),
+            F.expr(f"({MAX_EPOCHS_MICRO} * tok_s) div 1000000").cast(
+                "bigint"
+            ),
+        ).alias("effective_tok"),
+    )
