@@ -183,10 +183,44 @@ def _hilbert_batches(batches):
 
 @register(
     "q_hilbert_key",
-    oracle=None,  # the rotate-and-fold walk is a data-dependent loop SQL
-    # can't express compactly; tests assert equality to the scalar
-    # reference, bijectivity on a full grid, and the unit-step adjacency
-    # property that distinguishes Hilbert from Morton
+    # exact oracle since r6: the rotate-and-fold walk is a FIXED 16-step
+    # loop, so a recursive CTE carrying (x0, y0, x, y, d, s) unrolls it
+    # exactly — every branch is integer CASE arithmetic, xor() included,
+    # so the key matches the numpy kernel bit-for-bit. (Previously
+    # rows-only; tests additionally pin bijectivity and unit-step
+    # adjacency, which the oracle alone wouldn't prove.)
+    oracle=f"""WITH RECURSIVE dims AS (
+  SELECT o_orderkey,
+         CAST(datediff('day', DATE '{ZORDER_EPOCH}', CAST(o_orderdate AS DATE))
+              AS BIGINT) & {(1 << HILBERT_BITS) - 1} AS x,
+         CAST(o_custkey AS BIGINT) & {(1 << HILBERT_BITS) - 1} AS y
+    FROM orders
+),
+walk AS (
+  SELECT o_orderkey, x AS x0, y AS y0, x, y,
+         CAST(0 AS BIGINT) AS d,
+         CAST({1 << (HILBERT_BITS - 1)} AS BIGINT) AS s
+    FROM dims
+  UNION ALL
+  SELECT o_orderkey, x0, y0,
+         CASE WHEN ry = 0 THEN y_f ELSE x_f END,
+         CASE WHEN ry = 0 THEN x_f ELSE y_f END,
+         d + s * s * xor(3 * rx, ry),
+         s // 2
+    FROM (
+      SELECT o_orderkey, x0, y0, d, s,
+             CASE WHEN (x & s) > 0 THEN 1 ELSE 0 END AS rx,
+             CASE WHEN (y & s) > 0 THEN 1 ELSE 0 END AS ry,
+             CASE WHEN (y & s) = 0 AND (x & s) > 0
+                  THEN s - 1 - x ELSE x END AS x_f,
+             CASE WHEN (y & s) = 0 AND (x & s) > 0
+                  THEN s - 1 - y ELSE y END AS y_f
+        FROM walk WHERE s > 0
+    )
+)
+SELECT o_orderkey, x0 AS x, y0 AS y, d AS hkey
+  FROM walk WHERE s = 0
+""",
     doc="Hilbert clustering key over the same two orders dimensions as "
     "q_zorder_key, via a vectorized numpy kernel in mapInPandas (Arrow "
     "batches; per-row Python never runs). Hilbert beats Z-order on range "

@@ -31,7 +31,10 @@ from typing import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from prefect_flow_arc_indexer_spark.functions.textfns import tokens
+from prefect_flow_arc_indexer_spark.functions.textfns import (
+    dd_tokens,
+    tokens,
+)
 from prefect_flow_arc_indexer_spark.plans.registry import register
 from prefect_flow_arc_indexer_spark.sources.parquet import load_table
 
@@ -197,12 +200,50 @@ def _cm_partition(batches):
     )
 
 
+_CM_PROBES_SQL = ", ".join(f"'{t}'" for t in CM_PROBES)
+
+
 @register(
     "q_countmin",
-    oracle=None,  # the estimate depends on md5-derived cell hashing that
-    # DuckDB SQL can't reproduce; rows-only check here, while
-    # tests/test_sketches.py asserts est >= exact (CM never undercounts),
-    # the CM width error bound, and partitioning-independence of the merge
+    # exact oracle since r6: the cell hash is md5-derived (md5 hex is
+    # engine-identical), so DuckDB can rebuild the WHOLE sketch — count
+    # every (depth, cell) exactly as the executors do — and read the same
+    # probe minima. tests/test_sketches.py additionally asserts
+    # est >= exact, the CM width error bound, and merge
+    # partitioning-independence, which a single-corpus oracle can't prove.
+    oracle=f"""WITH toks AS (
+  SELECT unnest({dd_tokens("text")}) AS token
+    FROM documents WHERE text IS NOT NULL
+),
+depths AS (SELECT unnest(generate_series(0, {CM_DEPTH - 1})) AS d),
+cells AS (
+  SELECT d,
+         CAST('0x' || substr(md5(d || ':' || token), 1, 8) AS BIGINT)
+           % {CM_WIDTH} AS w,
+         CAST(count(*) AS BIGINT) AS cnt
+    FROM toks, depths GROUP BY 1, 2
+),
+probes AS (SELECT unnest([{_CM_PROBES_SQL}]) AS token),
+probe_cells AS (
+  SELECT p.token, dd.d,
+         CAST('0x' || substr(md5(dd.d || ':' || p.token), 1, 8) AS BIGINT)
+           % {CM_WIDTH} AS w
+    FROM probes p, depths dd
+),
+est AS (
+  SELECT pc.token, CAST(min(coalesce(c.cnt, 0)) AS BIGINT) AS est_count
+    FROM probe_cells pc
+    LEFT JOIN cells c ON c.d = pc.d AND c.w = pc.w
+   GROUP BY pc.token
+),
+exact AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS exact_count FROM toks
+   WHERE token IN ({_CM_PROBES_SQL}) GROUP BY token
+)
+SELECT e.token, e.est_count,
+       coalesce(x.exact_count, 0) AS exact_count
+  FROM est e LEFT JOIN exact x USING (token)
+""",
     doc=f"Count-Min sketch ({CM_DEPTH}x{CM_WIDTH}): per-partition cell "
     "grids built in one mapInPandas pass (O(depth*width) memory each), "
     "merged by summing cells — unlike Misra-Gries the merge is exact and "
