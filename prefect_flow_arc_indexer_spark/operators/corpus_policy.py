@@ -216,6 +216,7 @@ MAX_EPOCHS_MICRO = 4_000_000  # 4-epoch repeat ceiling (data-constrained LM
 per AS (
   SELECT source, CAST(sum(n_tok) AS BIGINT) AS tok_s
     FROM toks GROUP BY source
+  HAVING sum(n_tok) > 0  -- a zero-mass source has nothing to schedule
 ),
 w AS (
   SELECT *, CAST(round(pow(tok_s, {MIX_ALPHA}) * 1000000) AS BIGINT)
@@ -254,9 +255,16 @@ def q_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents", fan_out=True).where(
         F.col("text").isNotNull()
     )
-    per = docs.select(
-        "source", F.size(tokens(F.col("text"))).alias("n_tok")
-    ).groupBy("source").agg(F.sum("n_tok").cast("bigint").alias("tok_s"))
+    per = (
+        docs.select(
+            "source", F.size(tokens(F.col("text"))).alias("n_tok")
+        )
+        .groupBy("source")
+        .agg(F.sum("n_tok").cast("bigint").alias("tok_s"))
+        # a zero-mass source has nothing to schedule — and would divide by
+        # zero in the epoch arithmetic (caught by the degenerate sweep)
+        .where(F.col("tok_s") > 0)
+    )
     w = per.withColumn(
         "w_micro",
         F.round(F.pow(F.col("tok_s"), F.lit(MIX_ALPHA)) * 1_000_000)

@@ -184,3 +184,60 @@ def test_semihard_negatives_single_label_corpus(spark, tmp_path_factory):
     assert _parity(spark, d, "q_semihard_negatives")[0] == 0
     # sanity: the sibling filtered query DOES return rows here (label%3==0)
     assert _parity(spark, d, "q_filtered_knn")[0] > 0
+
+
+# -- round-6 additions under the same degenerate shapes ------------------------
+
+
+def test_skyline_and_top_p_empty_vocab(spark, tmp_path_factory):
+    """All-NULL/empty/whitespace corpus: zero tokenizable docs -> skyline
+    and top-p emit zero rows on both engines; the epoch plan emits zero
+    sources (no token mass to plan)."""
+    docs = """
+      SELECT CAST(1 AS BIGINT) AS doc_id, CAST(NULL AS VARCHAR) AS text,
+             'en' AS lang, 's1' AS source, CAST(0 AS BIGINT) AS n_chars
+      UNION ALL SELECT 2, '', 'en', 's1', 0
+      UNION ALL SELECT 3, '   ', 'en', 's2', 3
+    """
+    d = _make_dir(tmp_path_factory, "r6_empty", {"documents": docs})
+    assert _parity(spark, d, "q_skyline_docs")[0] == 0
+    # whitespace-only docs still register with n_tok... no: tokens() drops
+    # empties, so n_tok=0 rows carry zero mass — cum==total==0 means the
+    # strict inclusion test (5*(cum-n) < 4*total -> 0 < 0) excludes them
+    assert _parity(spark, d, "q_top_p_corpus")[0] == 0
+    assert _parity(spark, d, "q_epoch_plan")[0] >= 0  # parity is the gate
+
+
+def test_skyline_single_doc_and_identical_docs(spark, tmp_path_factory):
+    """One doc is trivially the whole skyline; N identical docs are ALL
+    skyline members (none strictly dominates another)."""
+    one = """
+      SELECT CAST(1 AS BIGINT) AS doc_id, 'alpha beta gamma' AS text,
+             'en' AS lang, 's' AS source, CAST(16 AS BIGINT) AS n_chars
+    """
+    d1 = _make_dir(tmp_path_factory, "r6_one", {"documents": one})
+    assert _parity(spark, d1, "q_skyline_docs")[0] == 1
+
+    same = """
+      SELECT CAST(i AS BIGINT) AS doc_id, 'alpha beta alpha' AS text,
+             'en' AS lang, 's' AS source, CAST(16 AS BIGINT) AS n_chars
+        FROM generate_series(1, 7) s(i)
+    """
+    d2 = _make_dir(tmp_path_factory, "r6_same", {"documents": same})
+    assert _parity(spark, d2, "q_skyline_docs")[0] == 7
+
+
+def test_top_p_single_doc_per_source_keeps_it(spark, tmp_path_factory):
+    """A source with one doc: that doc IS the nucleus (cum-n=0 < 4/5 total),
+    so nothing is trimmed — the budget never empties a source."""
+    docs = """
+      SELECT CAST(1 AS BIGINT) AS doc_id, 'one tiny doc' AS text,
+             'en' AS lang, 'solo' AS source, CAST(12 AS BIGINT) AS n_chars
+      UNION ALL SELECT 2, 'another doc with rather more words inside it',
+                'en', 'duo', 45
+      UNION ALL SELECT 3, 'short', 'en', 'duo', 5
+    """
+    d = _make_dir(tmp_path_factory, "r6_solo", {"documents": docs})
+    got = _parity(spark, d, "q_top_p_corpus")
+    rows = all_queries()["q_top_p_corpus"].builder(spark, d).collect()
+    assert ("solo" in {r.source for r in rows}) and got[0] == len(rows)
