@@ -78,6 +78,11 @@ DOC_QUERIES = [
     "q_mixture_temperature",
     "q_lang_confusion",
     "q_toxicity_lexicon",
+    # round-6 additions
+    "q_skyline_docs",
+    "q_top_p_corpus",
+    "q_epoch_plan",
+    "q_countmin",
 ]
 
 
