@@ -825,6 +825,41 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _register_neardup_capped():
+    """Driver-gate exposure for the PRODUCTION capped near-dedup path
+    (``near_dedup_keepers``, degenerate-bucket cap DEFAULT-ON): on an
+    honest corpus no bucket approaches the cap (measured max bucket size
+    3-4 at sf0.01/sf0.1 vs cap 1000), so the capped keeper set is exactly
+    the uncapped one and the q_dedup_components keeper restriction is its
+    exact oracle — proving the cap is surgical, not lossy, wherever LSH's
+    contract (small buckets) holds. The binding-cap behavior is pinned
+    separately by tests/test_lsh_cap.py on an all-identical-docs corpus."""
+    from prefect_flow_arc_indexer_spark.plans.registry import _REGISTRY
+
+    cc_sql = _REGISTRY["q_dedup_components"].oracle
+
+    @register(
+        "q_neardup_capped",
+        oracle=f"""SELECT doc_id, component_id, component_size
+  FROM ({cc_sql}) c
+ WHERE c.doc_id = c.component_id
+""",
+        doc="production near-dedup keepers through the CAPPED LSH path "
+        "(near_dedup_keepers, max_bucket_size=1000 default-on): keeper "
+        "rows (doc_id == component_id) with cluster sizes. Identical to "
+        "the uncapped clustering wherever buckets stay honest — the "
+        "oracle asserts exactly that equivalence; the census is empty "
+        "here and returned/logged in production when it is not.",
+    )
+    def q_neardup_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        docs = load_table(spark, sf_dir, "documents", fan_out=True)
+        keepers, _census = near_dedup_keepers(docs)
+        return keepers
+
+
+_register_neardup_capped()
+
+
 @register(
     "q_dedup_apply",
     oracle="""WITH keepers AS (
