@@ -98,7 +98,10 @@ class VersionedSink:
         manifest = self.read_manifest()
         if alias not in manifest:
             raise KeyError(f"alias {alias!r} not published")
-        df = spark.read.parquet(self.generation_path(manifest[alias]))
+        return self._read_generation(spark, manifest[alias])
+
+    def _read_generation(self, spark: SparkSession, generation: str) -> DataFrame:
+        df = spark.read.parquet(self.generation_path(generation))
         # hash-bucketed generations (pipeline.bucketed) carry a physical
         # `bucket` partition column; readers see the logical document schema
         if "bucket" in df.columns:
@@ -107,6 +110,61 @@ class VersionedSink:
 
     def alias_exists(self, alias: str) -> bool:
         return alias in self.read_manifest()
+
+    # -- time travel ---------------------------------------------------------
+    def generations_of(self, alias: str) -> list[str]:
+        """This alias's on-disk generations, oldest first (by the timestamp
+        embedded in the generation name). Only meaningful history exists
+        when publishes used ``drop_old=False`` (retention mode) — the
+        default mirrors the reference and drops the superseded one."""
+        prefix = f"{alias}_"
+        out = []
+        for gen in self.list_generations():
+            if not gen.startswith(prefix):
+                continue
+            try:
+                ts = datetime.strptime(gen[len(prefix):], TS_FORMAT)
+            except ValueError:
+                continue  # another alias sharing the prefix (a_b vs a)
+            out.append((ts, gen))
+        return [g for _, g in sorted(out)]
+
+    def read_as_of(
+        self, spark: SparkSession, alias: str, as_of: datetime | str
+    ) -> DataFrame:
+        """Time-travel read: the newest retained generation of ``alias``
+        whose embedded timestamp is <= ``as_of`` (the lake-table AS OF
+        semantics, mapped onto the sink's generation directories). The
+        as-of axis is the GENERATION timestamp — deterministic and
+        embedded in the name, so no commit-log wall clock is involved.
+        Raises ``KeyError`` when no generation that old survives
+        (pre-history, or retention already dropped it)."""
+        if isinstance(as_of, str):
+            as_of = datetime.strptime(as_of, TS_FORMAT)
+        candidates = [
+            gen
+            for gen in self.generations_of(alias)
+            if datetime.strptime(gen[len(alias) + 1 :], TS_FORMAT) <= as_of
+        ]
+        if not candidates:
+            raise KeyError(
+                f"no generation of {alias!r} at or before "
+                f"{as_of.strftime(TS_FORMAT)} (retention may have dropped it)"
+            )
+        return self._read_generation(spark, candidates[-1])
+
+    def retain(self, alias: str, keep: int) -> list[str]:
+        """Retention maintenance for time travel: keep the newest ``keep``
+        generations of ``alias`` (the published one is always kept, even
+        if older than the cut), drop the rest. Returns dropped names."""
+        if keep < 1:
+            raise ValueError("keep must be >= 1")
+        published = self.read_manifest().get(alias)
+        gens = self.generations_of(alias)
+        drop = [g for g in gens[:-keep] if g != published]
+        for gen in drop:
+            self.drop_generation(gen)
+        return drop
 
     def compact(
         self,

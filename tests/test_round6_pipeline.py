@@ -375,3 +375,50 @@ def test_unescape_partition_value():
     assert un("sp%20ace%2Fslash") == "sp ace/slash"
     assert un("50%") == "50%"          # trailing bare percent stays literal
     assert un("%zz") == "%zz"          # invalid hex stays literal
+
+
+# -- time travel (retained generations) ----------------------------------------
+
+
+def test_time_travel_read_as_of_and_retention(spark, tmp_path):
+    sink = VersionedSink(str(tmp_path / "tsink"))
+    for day, val in (("01", 1), ("02", 2), ("03", 3)):
+        df = spark.createDataFrame(
+            [(str(i), f'{{"v": {val}}}') for i in range(val)],
+            "id string, document string",
+        )
+        ts = f"2024-01-{day}t00.00.00"
+        gen = sink.write_generation(df, "alpha", ts)
+        sink.publish("alpha", gen, drop_old=False)  # retention mode
+
+    # current read = newest generation
+    assert sink.read_alias(spark, "alpha").count() == 3
+    # AS OF the middle day -> the 2-row generation
+    mid = sink.read_as_of(spark, "alpha", "2024-01-02t12.00.00")
+    assert mid.count() == 2
+    # AS OF exactly a generation timestamp includes it
+    assert sink.read_as_of(spark, "alpha", "2024-01-01t00.00.00").count() == 1
+    # pre-history raises
+    with pytest.raises(KeyError, match="no generation"):
+        sink.read_as_of(spark, "alpha", "2023-12-31t23.59.59")
+
+    # retention keeps the newest 2; the oldest becomes unreadable
+    dropped = sink.retain("alpha", keep=2)
+    assert dropped == ["alpha_2024-01-01t00.00.00"]
+    with pytest.raises(KeyError):
+        sink.read_as_of(spark, "alpha", "2024-01-01t12.00.00")
+    assert sink.read_as_of(spark, "alpha", "2024-01-02t12.00.00").count() == 2
+    assert sink.read_alias(spark, "alpha").count() == 3
+
+
+def test_time_travel_prefix_alias_isolation(spark, tmp_path):
+    """Generations of alias 'a_b' must not leak into alias 'a' history
+    (the name format is alias_{ts}; the parse-validate guard filters)."""
+    sink = VersionedSink(str(tmp_path / "psink"))
+    df = spark.createDataFrame([("1", "{}")], "id string, document string")
+    sink.publish("a", sink.write_generation(df, "a", "2024-01-01t00.00.00"),
+                 drop_old=False)
+    sink.publish("a_b", sink.write_generation(df, "a_b", "2024-01-02t00.00.00"),
+                 drop_old=False)
+    assert sink.generations_of("a") == ["a_2024-01-01t00.00.00"]
+    assert sink.generations_of("a_b") == ["a_b_2024-01-02t00.00.00"]
