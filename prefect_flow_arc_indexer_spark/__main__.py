@@ -83,6 +83,15 @@ def build_parser() -> argparse.ArgumentParser:
         "rewrite only touched buckets",
     )
     run.add_argument("--n-buckets", type=int, default=16)
+    run.add_argument(
+        "--keep-generations",
+        type=int,
+        default=None,
+        metavar="N",
+        help="retain the newest N generations per index instead of "
+        "dropping the superseded one at publish — enables time-travel "
+        "reads (VersionedSink.read_as_of) over the retained history",
+    )
     return p
 
 
@@ -143,7 +152,9 @@ def main(argv: list[str] | None = None) -> int:
     # allocation file are build-time confs, so they go in here
     spark = get_spark("arc-indexer-cli", fair_pools=args.parallel_large)
     docs = load_docs(spark, args)
-    sink = VersionedSink(args.sink_dir)
+    sink = VersionedSink(
+        args.sink_dir, keep_history=args.keep_generations is not None
+    )
     or_ids = args.or_ids.split(",") if args.or_ids else None
 
     wm_path = args.watermark_store or f"{args.sink_dir}/watermarks.json"
@@ -251,6 +262,12 @@ def main(argv: list[str] | None = None) -> int:
                     es_cfg,
                     index,
                 )
+
+    if args.keep_generations is not None:
+        # bound the time-travel history AFTER a successful run (the
+        # published generation is always preserved by retain())
+        for index in report.written:
+            sink.retain(index, args.keep_generations)
 
     print(json.dumps(dataclasses.asdict(report), sort_keys=True))
     return 0

@@ -34,6 +34,10 @@ def generation_timestamp(now: datetime | None = None) -> str:
 @dataclass
 class VersionedSink:
     base_dir: str
+    # History mode: when True, publish() keeps the superseded generation on
+    # disk (enabling read_as_of time travel; bound it with retain()). The
+    # default mirrors the reference, which deletes the old index on swap.
+    keep_history: bool = False
 
     # -- paths ------------------------------------------------------------
     def _manifest_path(self) -> str:
@@ -69,9 +73,14 @@ class VersionedSink:
         df.write.mode("overwrite").parquet(self.generation_path(gen))
         return gen
 
-    def publish(self, alias: str, generation: str, drop_old: bool = True) -> None:
+    def publish(
+        self, alias: str, generation: str, drop_old: bool | None = None
+    ) -> None:
         """Flip the alias to ``generation`` (the reference's put_alias +
-        delete-old-generations, flows/main_flow.py:534-555)."""
+        delete-old-generations, flows/main_flow.py:534-555). ``drop_old``
+        defaults to the sink's history mode (``not keep_history``)."""
+        if drop_old is None:
+            drop_old = not self.keep_history
         manifest = self.read_manifest()
         old = manifest.get(alias)
         manifest[alias] = generation

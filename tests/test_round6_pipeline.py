@@ -422,3 +422,41 @@ def test_time_travel_prefix_alias_isolation(spark, tmp_path):
                  drop_old=False)
     assert sink.generations_of("a") == ["a_2024-01-01t00.00.00"]
     assert sink.generations_of("a_b") == ["a_b_2024-01-02t00.00.00"]
+
+
+def test_cli_keep_generations_enables_time_travel(spark, tmp_path, capsys):
+    """--keep-generations N: publishes retain the superseded generation and
+    the post-run retention bounds history — after a full sync plus one
+    incremental merge, the pre-merge state is still readable AS OF its
+    generation timestamp."""
+    from datetime import datetime as dt
+
+    from prefect_flow_arc_indexer_spark.__main__ import main
+    from prefect_flow_arc_indexer_spark.pipeline.sinks import TS_FORMAT
+
+    src = str(tmp_path / "src")
+    t0 = datetime(2024, 1, 1, 12, 0, 0)
+    base = [("alpha", i, f'{{"v": {i}}}', t0) for i in (1, 2, 3)]
+    _write_events(spark, f"{src}/events.parquet", base)
+    argv = [
+        "--source", src,
+        "--sink-dir", str(tmp_path / "sink"),
+        "--or-ids", "alpha",
+        "--keep-generations", "5",
+    ]
+    assert main([*argv, "--full-sync"]) == 0
+    capsys.readouterr()
+    _write_events(
+        spark,
+        f"{src}/events.parquet",
+        base + [("alpha", 4, '{"v": 4}', datetime(2030, 1, 1))],
+    )
+    assert main(argv) == 0
+    capsys.readouterr()
+
+    sink = VersionedSink(str(tmp_path / "sink"))
+    gens = sink.generations_of("alpha")
+    assert len(gens) == 2  # both survived (keep 5)
+    assert sink.read_alias(spark, "alpha").count() == 4
+    first_ts = dt.strptime(gens[0][len("alpha_"):], TS_FORMAT)
+    assert sink.read_as_of(spark, "alpha", first_ts).count() == 3
