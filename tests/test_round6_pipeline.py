@@ -460,3 +460,26 @@ def test_cli_keep_generations_enables_time_travel(spark, tmp_path, capsys):
     assert sink.read_alias(spark, "alpha").count() == 4
     first_ts = dt.strptime(gens[0][len("alpha_"):], TS_FORMAT)
     assert sink.read_as_of(spark, "alpha", first_ts).count() == 3
+
+
+def test_unescape_roundtrips_sparks_own_partition_escaping(spark, tmp_path):
+    """Write a partitioned frame with hostile index values and decode the
+    directory names Spark actually produced — parity with escapePathName
+    itself, not with our mental model of it."""
+    import os
+
+    from prefect_flow_arc_indexer_spark.pipeline.runner import (
+        _unescape_partition_value as un,
+    )
+
+    vals = ["plain", "a:b", "sp ace", "a/b", "a%b", "a=b", "100%", "q?m",
+            "a%3Ab"]  # the last: a value that LOOKS pre-escaped
+    df = spark.createDataFrame([(v, 1) for v in vals], "index string, v int")
+    out = str(tmp_path / "p")
+    df.write.partitionBy("index").parquet(out)
+    decoded = {
+        un(e[len("index="):])
+        for e in os.listdir(out)
+        if e.startswith("index=")
+    }
+    assert decoded == set(vals)
