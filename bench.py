@@ -122,11 +122,19 @@ def main() -> None:
     # sweep of 165+ queries would add ~2.5 min of wall-clock to sharpen
     # numbers that only land in bench_full.json.
     timings: dict[str, float] = {}
+    # Uniform single-pass readings kept separately: the selective min()
+    # below is one-sided (only slow/headline queries get a second chance),
+    # which systematically lowers the min-based total relative to rounds
+    # that timed everything once. Reporting BOTH totals keeps
+    # all-inventory numbers comparable across methodologies (ADVICE r6).
+    first_pass: dict[str, float] = {}
 
     def _timed(name, rq):
         t0 = time.perf_counter()
         rq.builder(spark, sf_dir).write.format("noop").mode("overwrite").save()
         el = round(time.perf_counter() - t0, 3)
+        if name not in first_pass:
+            first_pass[name] = el
         if name not in timings or el < timings[name]:
             timings[name] = el
 
@@ -160,6 +168,7 @@ def main() -> None:
         sum(t for n, t in timings.items() if n in set(_HEADLINE)), 3
     )
     all_total = round(sum(timings.values()), 3)
+    all_total_single = round(sum(first_pass.values()), 3)
     sf = os.path.basename(sf_dir.rstrip("/"))
     payload = {
         "metric": "headline_total_wall_sec",
@@ -169,13 +178,16 @@ def main() -> None:
         "sf": sf,
         "n_headline": sum(1 for n in timings if n in set(_HEADLINE)),
         "all_total_sec": all_total,
+        "all_total_single_sec": all_total_single,
         "n_queries": len(timings),
         "full": "bench_full.json",
     }
     Path(__file__).resolve().parent.joinpath("bench_full.json").write_text(
         json.dumps(
             {"metric": "total_wall_sec", "value": all_total, "unit": "sec",
-             "headline_total_sec": headline_total, "queries": timings,
+             "headline_total_sec": headline_total,
+             "all_total_single_sec": all_total_single,
+             "queries": timings, "queries_single_pass": first_pass,
              "sf": sf},
             indent=1, sort_keys=True,
         )

@@ -5,8 +5,10 @@
 Decode is layered, real-first with a deterministic fallback (r6):
 
 - :func:`decode_image_real` / :func:`_try_image_grid` / :func:`_real_resize`
-  — PIL-backed, gated behind an import-try; ``NotImplementedError`` /
-  stand-in fallback when pillow is absent;
+  — PIL-backed when pillow imports; otherwise the vendored pure-stdlib PNG
+  codec (:mod:`png_mini`) keeps the real-decode branch live for 8-bit
+  gray/RGB/RGBA PNGs, and only non-PNG formats fall to
+  ``NotImplementedError`` / the byte stand-in;
 - :func:`decode_audio_real` / :func:`_try_audio_samples` — stdlib ``wave``
   (always available): real RIFF/WAVE PCM decode for the energy/VAD/spectral
   kernels;
@@ -90,21 +92,32 @@ except ImportError:
     _PILImage = None
     HAS_PIL = False
 
+# Vendored pure-stdlib PNG codec (VERDICT r6 task 4): the real-decode
+# branch must run in CI even without pillow, so PNG payloads always have a
+# real decoder — PIL stays the preferred backend (every format, fast C
+# paths) and png_mini covers 8-bit gray/RGB/RGBA PNGs when it is absent.
+from prefect_flow_arc_indexer_spark.multimodal import png_mini
+
 
 def decode_image_real(payload: bytes):
-    """Decode an image payload with PIL: returns ``(width, height, mode)``.
-    Raises ``NotImplementedError`` when PIL is not installed (clearly-fenced
-    stand-in boundary, per the build contract)."""
-    if not HAS_PIL:
-        raise NotImplementedError(
-            "image decode requires PIL/pillow, which this environment does "
-            "not provide; the mapInPandas kernels fall back to the "
-            "deterministic byte stand-in"
-        )
-    import io
+    """Decode an image payload: returns ``(width, height, mode)``. Backend
+    is PIL when installed (any format), else the vendored pure-Python PNG
+    codec (:mod:`png_mini`). Raises ``NotImplementedError`` only for
+    non-PNG formats with PIL absent (clearly-fenced stand-in boundary)."""
+    if HAS_PIL:
+        import io
 
-    with _PILImage.open(io.BytesIO(payload)) as im:
-        return im.width, im.height, im.mode
+        with _PILImage.open(io.BytesIO(payload)) as im:
+            return im.width, im.height, im.mode
+    try:
+        width, height, mode, _ = png_mini.decode_png(bytes(payload))
+    except ValueError as exc:
+        raise NotImplementedError(
+            "non-PNG image decode requires PIL/pillow, which this "
+            "environment does not provide; the mapInPandas kernels fall "
+            f"back to the deterministic byte stand-in ({exc})"
+        ) from exc
+    return width, height, mode
 
 
 def decode_audio_real(payload: bytes):
@@ -131,19 +144,37 @@ def decode_audio_real(payload: bytes):
 
 
 def _try_image_grid(payload: bytes, n: int):
-    """Real pHash front-end: decode with PIL, grayscale, downscale to an
-    ``n``-cell luma grid. None when PIL is absent or the payload isn't a
-    decodable image (callers use the strided-byte stand-in)."""
-    if not HAS_PIL or payload is None:
+    """Real pHash front-end: decode, grayscale, downscale to an ``n``-cell
+    luma grid. None when the payload isn't a decodable image (callers use
+    the strided-byte stand-in). Backend-dependent cell values (PIL
+    resamples, png_mini box-averages) — fingerprints are only compared
+    within one deployment, never across backends."""
+    if payload is None:
         return None
-    import io
+    if HAS_PIL:
+        import io
 
+        try:
+            with _PILImage.open(io.BytesIO(payload)) as im:
+                small = im.convert("L").resize((n, 1))
+                return list(small.getdata())
+        except Exception:
+            return None
     try:
-        with _PILImage.open(io.BytesIO(payload)) as im:
-            small = im.convert("L").resize((n, 1))
-            return list(small.getdata())
-    except Exception:
+        w, h, mode, px = png_mini.decode_png(bytes(payload))
+    except ValueError:
         return None
+    lum = png_mini.luma(w, h, mode, px)
+    total = len(lum)
+    if total < n:
+        lum = lum * ((n + total - 1) // total)
+        total = len(lum)
+    # box-average n equal row-major chunks: each cell sees total//n pixels
+    return [
+        sum(lum[j * total // n:(j + 1) * total // n])
+        // max(1, (j + 1) * total // n - j * total // n)
+        for j in range(n)
+    ]
 
 
 def _try_audio_samples(payload: bytes):
@@ -303,21 +334,31 @@ RESIZE_STRIDE = 4
 
 
 def _real_resize(payload: bytes):
-    """Real image resize when PIL can decode the payload: halve both
-    dimensions (min 1px) and re-encode as PNG. None -> caller's byte
-    stand-in. The demo corpus (ASCII text payloads) can never decode, so
-    the q_media_resize oracle is untouched; real PNGs take this path."""
-    if not HAS_PIL or payload is None:
+    """Real image resize when the payload decodes: halve both dimensions
+    (min 1px) and re-encode as PNG — PIL resample when installed, png_mini
+    point-sampling otherwise. None -> caller's byte stand-in. The demo
+    corpus (ASCII text payloads) can never decode, so the q_media_resize
+    oracle is untouched; real PNGs take this path."""
+    if payload is None:
         return None
-    import io
+    if HAS_PIL:
+        import io
 
+        try:
+            with _PILImage.open(io.BytesIO(payload)) as im:
+                half = im.resize(
+                    (max(1, im.width // 2), max(1, im.height // 2))
+                )
+                buf = io.BytesIO()
+                half.save(buf, format="PNG")
+                return buf.getvalue()
+        except Exception:
+            return None
     try:
-        with _PILImage.open(io.BytesIO(payload)) as im:
-            half = im.resize((max(1, im.width // 2), max(1, im.height // 2)))
-            buf = io.BytesIO()
-            half.save(buf, format="PNG")
-            return buf.getvalue()
-    except Exception:
+        w, h, mode, px = png_mini.decode_png(bytes(payload))
+        nw, nh, npx = png_mini.halve(w, h, mode, px)
+        return png_mini.encode_png(nw, nh, npx, mode)
+    except ValueError:
         return None
 
 

@@ -549,7 +549,9 @@ SELECT p.part_a, p.part_b, p.support,
     "order-local pair combinatorics (the LSH-bucket pair trick — sorted "
     "collect_set + array slicing, so pair explosion never crosses a "
     "partition), then support / directional confidence / lift against "
-    "the per-item order counts (broadcast) and the scalar basket total. "
+    "the per-item order counts (AQE-chosen join strategy — the part-key "
+    "domain is unbounded, so no broadcast hint) and the scalar basket "
+    "total. "
     "Baskets are short by domain contract, so pair volume is "
     "sum(|basket|^2) — linear in orders; the classic co-occurrence "
     "recommender primitive at retail scale.",
@@ -585,9 +587,15 @@ def q_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_partkey").alias("part_b"), F.col("c").alias("cb")
     )
     sup = F.col("support").cast("double")
+    # No broadcast hints here: item_counts is keyed on l_partkey, an
+    # unbounded key domain (hundreds of millions of parts at 100x TPC-H),
+    # so a forced broadcast would blow past any sane
+    # autoBroadcastJoinThreshold at scale.  The pairs side is already
+    # shuffled on the part key, so AQE picks broadcast when the count
+    # table is actually small and a shuffle join when it isn't.
     return (
-        pairs.join(F.broadcast(ca), "part_a")
-        .join(F.broadcast(cb), "part_b")
+        pairs.join(ca, "part_a")
+        .join(cb, "part_b")
         .select(
             "part_a",
             "part_b",

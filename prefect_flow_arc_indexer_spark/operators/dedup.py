@@ -28,6 +28,7 @@ DuckDB oracles replicate values bit-for-bit.
 
 from __future__ import annotations
 
+import weakref
 from functools import reduce
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
@@ -185,6 +186,37 @@ def lsh_candidate_pairs(sig: DataFrame) -> DataFrame:
 MAX_BUCKET_DEFAULT = 1000
 
 
+class _CacheRelease:
+    """Release handle for a persisted upstream frame.
+
+    ``lsh_candidate_pairs_capped`` persists the MinHash signature frame so
+    its two passes (bucket-size census, honest-bucket pair generation)
+    share one signature computation.  Spark's CacheManager holds a strong
+    reference to a cached plan until ``unpersist()`` — dropping the Python
+    frames alone leaks one MEMORY_AND_DISK entry per call in a long-lived
+    session (ADVICE r6).  Callers release explicitly once the pairs/census
+    are materialized; a ``weakref.finalize`` backstop fires when the last
+    returned frame is garbage-collected.
+    """
+
+    def __init__(self, frame: DataFrame) -> None:
+        self._frame: DataFrame | None = frame
+        self._finalizer = weakref.finalize(self, _unpersist_quiet, frame)
+
+    def release(self) -> None:
+        frame, self._frame = self._frame, None
+        if frame is not None:
+            self._finalizer.detach()
+            _unpersist_quiet(frame)
+
+
+def _unpersist_quiet(frame: DataFrame) -> None:
+    try:
+        frame.unpersist()
+    except Exception:  # session already stopped / interpreter shutdown
+        pass
+
+
 def lsh_candidate_pairs_capped(
     sig: DataFrame, max_bucket_size: int = MAX_BUCKET_DEFAULT
 ) -> tuple[DataFrame, DataFrame]:
@@ -204,11 +236,16 @@ def lsh_candidate_pairs_capped(
     broadcast anti-join BEFORE the ``collect_list`` shuffle, so no
     aggregation row ever materializes a degenerate bucket's id array — the
     exact failure mode the uncapped form has at 100 TB.  The signature
-    frame is persisted so the two passes share one MinHash computation.
+    frame is persisted so the two passes share one MinHash computation;
+    both returned frames carry a shared ``sig_release`` handle
+    (:class:`_CacheRelease`) — call ``pairs.sig_release.release()`` once
+    the results are materialized to free the cache entry deterministically
+    (a GC finalizer backstops forgotten handles).
     """
     from pyspark import StorageLevel
 
     sig = sig.persist(StorageLevel.MEMORY_AND_DISK)
+    release = _CacheRelease(sig)
     band_structs = [
         F.struct(
             F.lit(b).alias("band_id"),
@@ -246,6 +283,8 @@ def lsh_candidate_pairs_capped(
         .select("p.doc_a", "p.doc_b")
         .distinct()
     )
+    pairs.sig_release = release
+    census.sig_release = release
     return pairs, census
 
 
@@ -266,6 +305,10 @@ def near_dedup_keepers(
     pairs, census = lsh_candidate_pairs_capped(
         minhash_signature(docs), max_bucket_size
     )
+    # Checkpoint the (tiny: one row per over-cap bucket) census so the
+    # returned frame survives the signature-cache release below without
+    # recomputing MinHash from scratch.
+    census = census.localCheckpoint(eager=True)
     dropped = census.count()
     if dropped:
         logging.getLogger(__name__).warning(
@@ -278,6 +321,10 @@ def near_dedup_keepers(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     )
     comp = connected_components(edges).withColumnRenamed("id", "doc_id")
+    # connected_components returns an eager localCheckpoint, so nothing
+    # downstream re-reads the signature frame — free its cache entry now
+    # instead of leaking one per call in a long-lived session (ADVICE r6).
+    pairs.sig_release.release()
     assigned = docs.select("doc_id").join(comp, "doc_id", "left").select(
         "doc_id", F.coalesce("comp", "doc_id").alias("component_id")
     )

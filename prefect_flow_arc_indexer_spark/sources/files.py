@@ -185,15 +185,43 @@ def read_with_quarantine(
         bad.select("raw_line").write.mode("append").text(quarantine_path)
     _QUARANTINE_CACHE[good] = df
     _QUARANTINE_CACHE[bad] = df
+    # GC backstop: Spark's CacheManager holds a STRONG reference to the
+    # cached plan until unpersist() is called — dropping the returned
+    # frames only clears the Python-side dict entries above, so without
+    # this a service loop that never calls release_quarantine would
+    # accumulate JVM cache blocks for the session's lifetime (ADVICE r6).
+    # The shared holder unpersists only once BOTH frames are collected:
+    # an early unpersist would break the bad frame outright (filtering raw
+    # files on _corrupt_record without a cache is a query error, see
+    # above), so per-frame finalizers must not fire independently.
+    holder = _SharedUnpersist(df, 2)
+    weakref.finalize(good, holder.dec)
+    weakref.finalize(bad, holder.dec)
     return good, bad
 
 
+class _SharedUnpersist:
+    """Refcounted unpersist: ``dec()`` n times -> unpersist the frame."""
+
+    def __init__(self, df: DataFrame, n: int) -> None:
+        self._df: DataFrame | None = df
+        self._n = n
+
+    def dec(self) -> None:
+        self._n -= 1
+        if self._n <= 0 and self._df is not None:
+            df, self._df = self._df, None
+            try:
+                df.unpersist()
+            except Exception:  # session already stopped
+                pass
+
+
 # frame -> the persisted parse frame backing it, so callers can release the
-# cache without holding the internal frame themselves. Weak keys: a service
-# calling read_with_quarantine in a loop without releasing must not pin
-# every returned frame (and its plan) in driver memory forever — entries
-# vanish with the frames, and the JVM cache block is then reclaimable by
-# the ContextCleaner once the plan is unreachable.
+# cache without holding the internal frame themselves (explicit release is
+# still the right call in a loop — the GC backstop above only helps once
+# the collector actually runs). Weak keys keep the driver-side dict from
+# pinning every returned frame's plan forever.
 _QUARANTINE_CACHE: "weakref.WeakKeyDictionary[DataFrame, DataFrame]" = (
     weakref.WeakKeyDictionary()
 )

@@ -88,6 +88,36 @@ def test_near_dedup_keepers_caps_and_reports(spark):
     assert census.count() == N_BANDS
 
 
+def test_capped_pairs_release_frees_signature_cache(spark):
+    """ADVICE r6: the persisted signature frame must be releasable — the
+    returned frames carry a shared release handle, and the production path
+    (near_dedup_keepers) releases it itself, so repeated calls in a
+    long-lived session don't accumulate one cache entry per invocation."""
+    # the CacheManager tracks persist() entries only (localCheckpoint
+    # blocks live RDD-side and are ContextCleaner-reclaimed), so an empty
+    # manager is exactly "no leaked persist"
+    cache_mgr = spark._jsparkSession.sharedState().cacheManager()
+    cache_mgr.clearCache()
+
+    sig = minhash_signature(_docs(spark, _boilerplate(8)))
+    pairs, census = lsh_candidate_pairs_capped(sig, max_bucket_size=5)
+    assert pairs.sig_release is census.sig_release
+    pairs.count()
+    assert not cache_mgr.isEmpty()  # signature frame is cached during use
+    pairs.sig_release.release()
+    assert cache_mgr.isEmpty()  # and gone after release
+    pairs.sig_release.release()  # idempotent
+
+    # production path releases internally: no persist entry remains
+    rows = _boilerplate(8) + [
+        ("101", "the quick brown fox jumps over the lazy dog tonight"),
+        ("102", "the quick brown fox jumps over the lazy dog today"),
+    ]
+    keepers, cen = near_dedup_keepers(_docs(spark, rows), max_bucket_size=5)
+    keepers.count(), cen.count()
+    assert cache_mgr.isEmpty()
+
+
 def test_capped_plan_counts_before_collecting(spark):
     """Plan shape: the over-cap filter must act BEFORE the collect_list
     aggregation — the physical plan joins against the broadcast census

@@ -12,7 +12,7 @@ import wave
 import numpy as np
 import pytest
 
-from prefect_flow_arc_indexer_spark.multimodal import binary
+from prefect_flow_arc_indexer_spark.multimodal import binary, png_mini
 
 
 def _wav_bytes(samples: list[int], sampwidth: int = 1, n_ch: int = 1) -> bytes:
@@ -87,14 +87,24 @@ def test_speech_vad_and_spectral_accept_real_wav(spark):
     assert spec.dominant_bin >= 1  # a real sinusoid has a spectral peak
 
 
-@pytest.mark.skipif(not binary.HAS_PIL, reason="pillow not installed")
-def test_image_real_paths_with_pil(spark):
-    """With pillow present: decode_image_real reads true dimensions, resize
-    halves them, and the pHash grid comes from decoded luma."""
-    img = binary._PILImage.new("RGB", (64, 32), color=(200, 10, 10))
-    buf = io.BytesIO()
-    img.save(buf, format="PNG")
-    payload = buf.getvalue()
+def _png_fixture(width: int = 64, height: int = 32) -> bytes:
+    """A real PNG payload, built without pillow: a top-dark/bottom-bright
+    RGB gradient (luma varies along y, so the row-chunked grid cells see
+    different averages and the fingerprint has structure)."""
+    px = bytearray()
+    for y in range(height):
+        v = (y * 255) // max(1, height - 1)
+        px += bytes((v, v // 2, 255 - v)) * width
+    return png_mini.encode_png(width, height, bytes(px), "RGB")
+
+
+def test_image_real_paths(spark):
+    """The real-image branch runs regardless of pillow (VERDICT r6 task 4):
+    decode_image_real reads true dimensions, resize halves them and
+    re-encodes a decodable PNG, and the pHash grid comes from decoded
+    luma — the fixture is built with the vendored encoder, so this test
+    never skips."""
+    payload = _png_fixture()
     assert binary.decode_image_real(payload)[:2] == (64, 32)
     media = spark.createDataFrame(
         [(3, "image/png", bytearray(payload), len(payload))],
@@ -103,7 +113,48 @@ def test_image_real_paths_with_pil(spark):
     [rz] = binary.resize_media(media).collect()
     assert binary.decode_image_real(bytes(rz.resized_payload))[:2] == (32, 16)
     [ph] = binary.image_phash(media).collect()
-    assert 0 <= ph.phash < (1 << binary.PHASH_BITS)
+    assert 0 < ph.phash < (1 << binary.PHASH_BITS)
+    # the gradient's bright half sets high-index grid cells above the mean:
+    # the fingerprint must come from decoded luma, not strided payload bytes
+    n = len(payload)
+    byte_standin = [
+        payload[j * n // binary.PHASH_BITS] for j in range(binary.PHASH_BITS)
+    ]
+    s = sum(byte_standin)
+    standin_hash = sum(
+        1 << j
+        for j, v in enumerate(byte_standin)
+        if binary.PHASH_BITS * v > s
+    )
+    assert ph.phash != standin_hash
+
+
+def test_png_mini_roundtrip_all_filters_and_modes():
+    """The vendored codec reconstructs every scanline filter and mode."""
+    w, h = 9, 5
+    for mode, ch in (("L", 1), ("RGB", 3), ("RGBA", 4)):
+        px = bytes(((x * 37 + c * 11) % 256) for x in range(w * h) for c in range(ch))
+        for ft in range(5):
+            enc = png_mini.encode_png(w, h, px, mode, filter_type=ft)
+            assert png_mini.decode_png(enc) == (w, h, mode, px)
+
+
+def test_png_mini_rejects_non_png_and_bad_shapes():
+    with pytest.raises(ValueError, match="not a PNG"):
+        png_mini.decode_png(b"just ascii text payload")
+    with pytest.raises(ValueError, match="pixel buffer"):
+        png_mini.encode_png(2, 2, b"\x00" * 3, "L")
+    # halve: point-samples every other pixel, min 1px
+    w, h, px = png_mini.halve(4, 1, "L", bytes([10, 20, 30, 40]))
+    assert (w, h, px) == (2, 1, bytes([10, 30]))
+
+
+@pytest.mark.skipif(binary.HAS_PIL, reason="pins the png_mini-only branch")
+def test_decode_image_real_non_png_raises_without_pil():
+    """Without pillow, only PNG has a real decoder — a JPEG-ish payload hits
+    the clearly-fenced NotImplementedError boundary."""
+    with pytest.raises(NotImplementedError, match="non-PNG"):
+        binary.decode_image_real(b"\xff\xd8\xff\xe0 not a png")
 
 
 def test_image_fallback_without_decodable_payload(spark):
