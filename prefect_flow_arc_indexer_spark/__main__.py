@@ -34,6 +34,7 @@ from __future__ import annotations
 import argparse
 import dataclasses
 import json
+import logging
 import sys
 from datetime import datetime
 
@@ -261,6 +262,32 @@ def main(argv: list[str] | None = None) -> int:
                     batch.where(F.col("is_deleted")).select("id"),
                     es_cfg,
                     index,
+                )
+        # post-mirror count reconcile (VERDICT r6 task 6): the reference's
+        # X7 gate applied to the mirror — the published alias is the source
+        # of truth, ES must hold exactly its live doc count. Warn-only,
+        # like the reference (flows/main_flow.py:560-575 logs and proceeds).
+        from prefect_flow_arc_indexer_spark.pipeline.es_sink import (
+            count_index,
+        )
+
+        for index in report.written:
+            expected = sink.read_alias(spark, index).count()
+            try:
+                actual = count_index(es_cfg, index)
+            except Exception as exc:
+                logging.getLogger(__name__).warning(
+                    "mirror reconcile for %r skipped: _count failed (%s)",
+                    index, exc,
+                )
+                report.mirror_reconcile[index] = False
+                continue
+            report.mirror_reconcile[index] = expected == actual
+            if expected != actual:
+                logging.getLogger(__name__).warning(
+                    "mirror reconcile MISMATCH for %r: alias holds %d live "
+                    "docs, ES _count returned %d",
+                    index, expected, actual,
                 )
 
     if args.keep_generations is not None:

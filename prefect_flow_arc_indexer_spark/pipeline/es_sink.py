@@ -273,6 +273,35 @@ def write_deletes(
     df.select(F.col(id_col)).foreachPartition(_partition)
 
 
+def count_index(cfg: EsSinkConfig, index: str, refresh: bool = True) -> int:
+    """``GET /{index}/_count`` — the mirror half of the reference's
+    count-reconciliation gate (X7: the flow compares the source row count
+    against ``es.count()`` after indexing, flows/main_flow.py:560-575).
+    ``refresh`` first POSTs ``/{index}/_refresh`` (best-effort) because the
+    bulk writers run with ``refresh=false`` and an unrefreshed ``_count``
+    undercounts the docs this very run just shipped."""
+    import json as _json
+    import urllib.request
+
+    node = cfg.nodes.split(",")[0].strip()
+    if "://" not in node:
+        node = f"http://{node}"
+    if refresh:
+        try:
+            urllib.request.urlopen(
+                urllib.request.Request(
+                    f"{node}/{index}/_refresh", data=b"", method="POST"
+                ),
+                timeout=cfg.timeout_s,
+            ).close()
+        except Exception:
+            pass  # warn-only gate; the count below still answers
+    with urllib.request.urlopen(
+        f"{node}/{index}/_count", timeout=cfg.timeout_s
+    ) as resp:
+        return int(_json.loads(resp.read())["count"])
+
+
 def shrink_chunk(entries: int) -> int:
     """T6: the reference's backpressure step-down (flows/main_flow.py:
     443-451): -50 while >50, then -10 while >10, then -1, floor 1."""

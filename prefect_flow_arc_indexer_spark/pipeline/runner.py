@@ -75,6 +75,9 @@ class SyncReport:
     rebuilt: list[str] = field(default_factory=list)  # T7 forced rebuilds
     retried: dict[str, int] = field(default_factory=dict)  # X4 retries used
     pools: dict[str, str] = field(default_factory=dict)  # X3 pool per index
+    # X7 applied to the ES mirror: alias count == ES _count after the
+    # mirror writes (warn-only, like the reference's reconcile)
+    mirror_reconcile: dict[str, bool] = field(default_factory=dict)
 
 
 def _enumerate_indexes(docs: DataFrame) -> list[str]:

@@ -327,3 +327,71 @@ def test_merge_crash_before_publish_leaves_published_gen_intact(spark, sink):
     sink.publish("alpha", gen2)
     rows = {r.id: r.document for r in sink.read_alias(spark, "alpha").collect()}
     assert rows["doc0"] == '{"v": 100}' and len(rows) == 20
+
+
+def test_time_travel_survives_retention_over_bucketed_merges(spark, tmp_path):
+    """Time-travel x bucketed-layout interaction (VERDICT r6 task 7): a
+    retention + merge sequence must keep as-of reads resolving for every
+    SURVIVING generation. The sharp edge is the hard-link optimization:
+    a merged generation's untouched buckets are links into the PREVIOUS
+    generation's files, so retain()'s rmtree of the old generation must
+    not hollow out the newer ones (inodes survive the directory drop)."""
+    sink = VersionedSink(str(tmp_path / "tsink"), keep_history=True)
+    t1, t2, t3 = (
+        "2024-01-01t00.00.00", "2024-01-02t00.00.00", "2024-01-03t00.00.00"
+    )
+    gen0 = write_generation_bucketed(sink, _live(spark), "alpha", t1, N_BUCKETS)
+    sink.publish("alpha", gen0)
+
+    def _batch(doc_id, v):
+        return spark.createDataFrame(
+            [(doc_id, '{"v": %d}' % v, False)],
+            "id string, document string, is_deleted boolean",
+        )
+
+    gen1 = merge_bucketed(spark, sink, "alpha", _batch("doc0", 100), t2)
+    sink.publish("alpha", gen1)
+    gen2 = merge_bucketed(spark, sink, "alpha", _batch("doc1", 200), t3)
+    sink.publish("alpha", gen2)
+    assert sink.generations_of("alpha") == [gen0, gen1, gen2]
+
+    # as-of reads resolve each generation; the bucket column stays hidden
+    as_of_t2 = sink.read_as_of(spark, "alpha", t2)
+    assert "bucket" not in as_of_t2.columns
+    rows_t2 = {r.id: r.document for r in as_of_t2.collect()}
+    assert rows_t2["doc0"] == '{"v": 100}' and rows_t2["doc1"] == '{"v": 1}'
+
+    # retention drops gen0 (the hard-link SOURCE of gen1/gen2's untouched
+    # buckets)...
+    assert sink.retain("alpha", keep=2) == [gen0]
+    assert sink.generations_of("alpha") == [gen1, gen2]
+
+    # ...and the surviving generations still read WHOLE: their linked
+    # bucket files kept the inodes alive through gen0's rmtree
+    rows_t2 = {
+        r.id: r.document
+        for r in sink.read_as_of(spark, "alpha", t2).collect()
+    }
+    assert len(rows_t2) == 20 and rows_t2["doc0"] == '{"v": 100}'
+    rows_now = {
+        r.id: r.document
+        for r in sink.read_as_of(spark, "alpha", t3).collect()
+    }
+    assert rows_now["doc1"] == '{"v": 200}'
+    assert sink.read_alias(spark, "alpha").count() == 20
+
+    # pre-history as-of is an explicit KeyError, not a silent wrong answer
+    with pytest.raises(KeyError, match="retention"):
+        sink.read_as_of(spark, "alpha", t1)
+
+    # merging ON TOP of a retained history still works: the published
+    # generation is the merge base regardless of what retention dropped
+    gen3 = merge_bucketed(
+        spark, sink, "alpha", _batch("doc2", 300), "2024-01-04t00.00.00"
+    )
+    sink.publish("alpha", gen3)
+    rows = {r.id: r.document for r in sink.read_alias(spark, "alpha").collect()}
+    assert rows["doc2"] == '{"v": 300}' and len(rows) == 20
+    # published generation is always kept, even when older than the cut
+    assert sink.retain("alpha", keep=1) == [gen1, gen2]
+    assert sink.read_alias(spark, "alpha").count() == 20

@@ -18,22 +18,43 @@ from prefect_flow_arc_indexer_spark.streaming.watermark import WatermarkStore
 
 
 class _RecordingEs(http.server.BaseHTTPRequestHandler):
-    """Minimal ES _bulk stand-in: records every NDJSON action it receives."""
+    """Minimal ES stand-in: records every NDJSON _bulk action, maintains a
+    per-index doc store, and answers GET /{index}/_count + POST /_refresh —
+    enough surface for the post-mirror count reconcile gate."""
 
     ops: list[tuple[str, str, str]] = []  # (op, index, id) — class-level
+    docs: dict[str, set[str]] = {}  # index -> live ids — class-level
 
     def do_POST(self):
+        if self.path.endswith("/_refresh"):
+            return self._reply({"_shards": {"failed": 0}})
         body = self.rfile.read(int(self.headers["Content-Length"]))
         lines = [ln for ln in body.decode().splitlines() if ln.strip()]
         i = 0
         while i < len(lines):
             meta = json.loads(lines[i])
             op = next(iter(meta))
-            type(self).ops.append(
-                (op, meta[op]["_index"], meta[op]["_id"])
-            )
+            index, _id = meta[op]["_index"], meta[op]["_id"]
+            type(self).ops.append((op, index, _id))
+            store = type(self).docs.setdefault(index, set())
+            if op == "delete":
+                store.discard(_id)
+            else:
+                store.add(_id)
             i += 2 if op == "index" else 1  # index meta is followed by a doc
-        resp = json.dumps({"errors": False, "items": []}).encode()
+        self._reply({"errors": False, "items": []})
+
+    def do_GET(self):
+        if self.path.endswith("/_count"):
+            index = self.path.strip("/").split("/")[0]
+            return self._reply(
+                {"count": len(type(self).docs.get(index, set()))}
+            )
+        self.send_response(404)
+        self.end_headers()
+
+    def _reply(self, payload: dict):
+        resp = json.dumps(payload).encode()
         self.send_response(200)
         self.send_header("Content-Type", "application/json")
         self.send_header("Content-Length", str(len(resp)))
@@ -47,6 +68,7 @@ class _RecordingEs(http.server.BaseHTTPRequestHandler):
 @pytest.fixture()
 def es_stub():
     _RecordingEs.ops = []
+    _RecordingEs.docs = {}
     srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), _RecordingEs)
     threading.Thread(target=srv.serve_forever, daemon=True).start()
     yield f"127.0.0.1:{srv.server_address[1]}", _RecordingEs.ops
@@ -96,6 +118,8 @@ def test_cli_es_mirror_e2e_full_then_incremental(spark, tmp_path, capsys, es_stu
         ("index", "alpha", "3"),
     ]
     assert ("delete", "alpha", "13") in ops
+    # post-mirror reconcile (VERDICT r6 task 6): alias count == ES _count
+    assert report["mirror_reconcile"] == {"alpha": True}
 
     # --- incremental: only the delta crosses the wire -----------------------
     ops.clear()
@@ -117,11 +141,55 @@ def test_cli_es_mirror_e2e_full_then_incremental(spark, tmp_path, capsys, es_stu
     deleted = sorted(o[2] for o in ops if o[0] == "delete")
     assert upserted == ["4"]       # ids 1-3 were NOT re-shipped
     assert deleted == ["26"]       # the tombstone reached ES
+    # the incremental mirror converged too: ES holds exactly {1,2,3,4}
+    assert report["mirror_reconcile"] == {"alpha": True}
     # and the local alias agrees with what ES now holds
     sink = VersionedSink(str(tmp_path / "sink"))
     assert {r.id for r in sink.read_alias(spark, "alpha").collect()} == {
         "1", "2", "3", "4",
     }
+
+
+def test_mirror_reconcile_mismatch_warns_only(spark, tmp_path, capsys, es_stub):
+    """A drifted mirror (stray doc in ES the alias never wrote) flips the
+    reconcile flag to False and logs a warning — but the run still succeeds,
+    matching the reference's warn-only count gate."""
+    from prefect_flow_arc_indexer_spark.__main__ import main
+
+    nodes, _ops = es_stub
+    _RecordingEs.docs["alpha"] = {"999"}  # pre-existing drift
+    src = str(tmp_path / "src")
+    t0 = datetime(2024, 1, 1, 12, 0, 0)
+    _write_events(
+        spark,
+        f"{src}/events.parquet",
+        [("alpha", 1, '{"v": 1}', t0), ("alpha", 2, '{"v": 2}', t0)],
+    )
+    assert main([
+        "--source", src,
+        "--sink-dir", str(tmp_path / "sink"),
+        "--es-nodes", nodes,
+        "--or-ids", "alpha",
+        "--full-sync",
+    ]) == 0  # warn-only: the mismatch does NOT fail the run
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert report["written"]["alpha"] == 2
+    assert report["mirror_reconcile"] == {"alpha": False}  # ES holds 3
+
+
+def test_count_index_refresh_then_count(es_stub):
+    """count_index refreshes first (the bulk writers run refresh=false) and
+    parses the _count body."""
+    from prefect_flow_arc_indexer_spark.pipeline.es_sink import (
+        EsSinkConfig,
+        count_index,
+    )
+
+    nodes, _ops = es_stub
+    _RecordingEs.docs["idx"] = {"1", "2", "3"}
+    cfg = EsSinkConfig(nodes=nodes)
+    assert count_index(cfg, "idx") == 3
+    assert count_index(cfg, "absent") == 0
 
 
 # -- one-pass publish guards (ADVICE r5) --------------------------------------
