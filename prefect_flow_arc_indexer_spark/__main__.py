@@ -272,6 +272,9 @@ def main(argv: list[str] | None = None) -> int:
         )
 
         for index in report.written:
+            # footer-only at any scale: the session enables parquet
+            # aggregate pushdown, so count() over a generation reads row
+            # counts from file footers, never the data pages
             expected = sink.read_alias(spark, index).count()
             try:
                 actual = count_index(es_cfg, index)

@@ -349,6 +349,17 @@ def test_basket_rules_probability_identities(spark):
     )
 
 
+def test_basket_rules_carries_no_broadcast_hint(spark):
+    """VERDICT r6: the per-item count joins are keyed on l_partkey — an
+    unbounded domain at scale — so the plan must carry NO broadcast hint;
+    the join strategy is AQE's call (it may still pick broadcast at test
+    scale, which is fine — the hint was the bug, not the strategy)."""
+    df = _run("q_basket_rules", spark)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in analyzed
+    assert "UnresolvedHint" not in analyzed
+
+
 def test_bootstrap_ci_statistical_sanity(spark):
     """CI brackets the point estimate at both SFs and shrinks with 10x
     more data (root-n behavior) — the property that distinguishes a real
