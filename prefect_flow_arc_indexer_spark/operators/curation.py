@@ -568,9 +568,43 @@ CORESET_K = 8
 
 @register(
     "q_coreset_kcenter",
-    oracle=None,  # iterative driver-loop algorithm (same class as q_kmeans):
-    # rows-only check; exactness pinned by the pure-Python replay test in
-    # tests/test_curation.py
+    # Full DuckDB replay of the greedy loop (r7 — was rows-only): a
+    # recursive CTE carries the selected-center list; each step replicates
+    # Spark's arithmetic EXACTLY — per-center squared-L2 as a LEFT FOLD in
+    # array order (list_reduce matches F.aggregate's (0.0+d1)+d2+... since
+    # 0.0+d1 == d1), least() across centers in list order, THEN one
+    # round(*1e6) to integer micro-units, argmax broken ties-to-smaller-id
+    # via ORDER BY d2u DESC, vec_id ASC LIMIT 1 (Spark: max_by on
+    # struct(d2u, -vec_id)). Exactness is additionally pinned by the
+    # pure-Python replay test in tests/test_curation.py.
+    oracle=f"""WITH RECURSIVE e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings
+),
+seed AS (SELECT vec_id, x FROM e ORDER BY vec_id LIMIT 1),
+steps AS (
+  SELECT 0 AS round,
+         (SELECT vec_id FROM seed) AS vec_id,
+         CAST(0 AS BIGINT) AS radius_d2_micro,
+         (SELECT [x] FROM seed) AS sel
+  UNION ALL
+  SELECT s.round + 1, f.vid, f.radius, list_append(s.sel, f.vx)
+    FROM steps s, LATERAL (
+      SELECT e.vec_id AS vid,
+             CAST(round(list_reduce(
+                 list_transform(s.sel, c -> list_reduce(
+                     list_transform(list_zip(e.x, c),
+                                    p -> (p[1] - p[2]) * (p[1] - p[2])),
+                     (acc, v) -> acc + v)),
+                 (acc, v) -> least(acc, v)) * {QUANT}) AS BIGINT) AS radius,
+             e.x AS vx
+        FROM e
+       ORDER BY radius DESC, e.vec_id ASC
+       LIMIT 1
+    ) f
+   WHERE s.round < {CORESET_K - 1}
+)
+SELECT round, vec_id, radius_d2_micro FROM steps
+""",
     doc="greedy k-center coreset selection (farthest-first traversal, "
     "Gonzalez'85 2-approximation): seed = min vec_id, each round adds the "
     "point farthest from the selected set and records the covering radius "

@@ -267,8 +267,71 @@ MMR_SCHEMA = (
 
 @register(
     "q_mmr_rerank",
-    oracle=None,  # greedy argmax is iterative — not SQL-expressible;
-    # exactness is pinned by the pure-Python replay in test_vector_ops
+    # Full DuckDB replay of the greedy loop (r7 — was rows-only): a
+    # recursive CTE carries each query's selected (ids, vectors) state.
+    # Round 1 is the pool's rank-1 row (empty selected set => score is
+    # 0.7*rel, already the pool order). Later rounds replicate the Python
+    # worker exactly: score = 0.7*rel - 0.3*max(cos to selected), max as a
+    # left-fold greatest (value-identical to Python's max()), argmax with
+    # Python's first-strict-max tie semantics via ORDER BY score DESC,
+    # rel DESC, neighbor_id ASC LIMIT 1, and only the STORED score is
+    # rounded (selection compares raw doubles, like the worker).
+    # Exactness is additionally pinned by the pure-Python replay in
+    # test_vector_ops.
+    oracle=f"""WITH RECURSIVE q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS q_emb
+    FROM embeddings WHERE vec_id < {N_QUERIES}
+),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         {dd_cosine_similarity("q.q_emb", "e.embedding")} AS rel,
+         e.embedding::DOUBLE[] AS x
+    FROM q JOIN embeddings e ON e.vec_id <> q.query_id
+),
+pool AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                ORDER BY rel DESC, neighbor_id ASC) AS rk
+      FROM scored) t
+   WHERE rk <= {MMR_POOL}
+),
+steps AS (
+  SELECT query_id, neighbor_id, 1 AS mmr_rank,
+         round({MMR_LAMBDA} * rel, 6) AS mmr_score,
+         [x] AS sel_vecs, [neighbor_id] AS sel_ids
+    FROM pool WHERE rk = 1
+  UNION ALL
+  SELECT s.query_id, f.neighbor_id, s.mmr_rank + 1,
+         round(f.score, 6) AS mmr_score,
+         list_append(s.sel_vecs, f.x) AS sel_vecs,
+         list_append(s.sel_ids, f.neighbor_id) AS sel_ids
+    FROM steps s, LATERAL (
+      SELECT p.neighbor_id, p.x, p.rel,
+             -- cos(p.x, cv) in the list_zip form: DuckDB 1.0 cannot bind
+             -- an outer lambda var inside a NESTED lambda within a
+             -- recursive lateral, so cv appears only at the outer level;
+             -- dot and norms are left folds in array order, matching the
+             -- Python worker's sequential sums exactly
+             {MMR_LAMBDA} * p.rel - {1 - MMR_LAMBDA:g} * list_reduce(
+                 list_transform(s.sel_vecs, cv ->
+                     list_reduce(list_transform(list_zip(p.x, cv),
+                                                pr -> pr[1] * pr[2]),
+                                 (a, b) -> a + b)
+                     / (sqrt(list_reduce(list_transform(p.x, v -> v * v),
+                                         (a, b) -> a + b))
+                        * sqrt(list_reduce(list_transform(cv, v -> v * v),
+                                           (a, b) -> a + b)))),
+                 (a, b) -> greatest(a, b)) AS score
+        FROM pool p
+       WHERE p.query_id = s.query_id
+         AND NOT list_contains(s.sel_ids, p.neighbor_id)
+       ORDER BY score DESC, p.rel DESC, p.neighbor_id ASC
+       LIMIT 1
+    ) f
+   WHERE s.mmr_rank < {MMR_K}
+)
+SELECT query_id, neighbor_id, mmr_rank, mmr_score FROM steps
+""",
     doc="maximal-marginal-relevance diversification: each query's "
     f"top-{MMR_POOL} cosine pool greedily re-ranked by "
     f"{MMR_LAMBDA}*relevance - {1 - MMR_LAMBDA:g}*max-redundancy-to-"
