@@ -559,8 +559,79 @@ BPE_VOCAB = 2000  # top words by (count desc, word asc) enter training
 
 @register(
     "q_bpe_merges",
-    oracle=None,  # iterative driver-loop algorithm; a pure-Python replay at
-    # sf0.001 pins the exact merge sequence in pytest instead
+    # Full DuckDB replay of the merge loop (r7 — was rows-only): a
+    # recursive CTE carries the evolving (cnt, syms) vocab as ONE list-
+    # valued row per round. Each step runs two laterals: the first counts
+    # adjacent symbol pairs over the unnested vocab and picks the best
+    # (support DESC, pair ASC — a single-space pair string compares
+    # identically to the (a ASC, b ASC) tuple because ' ' sorts below
+    # [a-z0-9]); the second rebuilds the vocab applying the merge as a
+    # LEFT FOLD over each word's symbols (merge when the accumulator's
+    # last token == a and the next symbol == b) — provably equivalent to
+    # Spark's ' a b(?= )' global regex pass, whose scanner also resumes
+    # after each replacement, and expressible in RE2-less SQL (DuckDB's
+    # regexp has no lookahead — the reason this was rows-only). All
+    # arithmetic is integer counts; recursion stops when no pair reaches
+    # support 2 (empty lateral), mirroring the driver loop's break.
+    # Exactness is additionally pinned by the pure-Python replay test.
+    oracle=f"""WITH RECURSIVE toks AS (
+  SELECT unnest({dd_tokens("text")}) AS w
+    FROM documents WHERE text IS NOT NULL
+),
+wc AS (
+  SELECT w, count(*) AS cnt FROM toks
+   WHERE regexp_matches(w, '^[a-z0-9]+$')
+   GROUP BY w ORDER BY cnt DESC, w ASC LIMIT {BPE_VOCAB}
+),
+v0 AS (
+  SELECT cnt, trim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS syms FROM wc
+),
+steps AS (
+  SELECT 0 AS r, CAST(NULL AS VARCHAR) AS pair,
+         CAST(NULL AS VARCHAR) AS merged, CAST(NULL AS BIGINT) AS support,
+         list({{'cnt': cnt, 'syms': syms}}) AS vocab
+    FROM v0
+  UNION ALL
+  SELECT s.r + 1, f.pair, f.merged, f.support, f.vocab
+    FROM steps s,
+    LATERAL (
+      -- one lateral: the 1-row best-pair subquery cross-joins the
+      -- unnested vocab, so the merge lambda captures best.* as ordinary
+      -- same-FROM columns (DuckDB 1.0 cannot bind a PRECEDING lateral's
+      -- columns, nor outer lambda vars in nested lambdas, inside lambdas)
+      SELECT best.pair, best.merged, best.support,
+             list({{'cnt': t2.cnt, 'syms': list_reduce(
+                 string_split(t2.syms, ' '),
+                 (acc, x) -> CASE
+                   WHEN x = best.b
+                    AND (acc = best.a OR acc LIKE '% ' || best.a)
+                   THEN substr(acc, 1, len(acc) - len(best.a)) || best.merged
+                   ELSE acc || ' ' || x END)}}) AS vocab
+        FROM (
+          SELECT u.pair, sum(u.cnt) AS support,
+                 string_split(u.pair, ' ')[1] AS a,
+                 string_split(u.pair, ' ')[2] AS b,
+                 replace(u.pair, ' ', '') AS merged
+            FROM (
+              SELECT t.cnt AS cnt,
+                     unnest(list_transform(
+                         range(1, len(string_split(t.syms, ' '))),
+                         i -> string_split(t.syms, ' ')[i] || ' '
+                              || string_split(t.syms, ' ')[i + 1])) AS pair
+                FROM (SELECT unnest(s.vocab, recursive := true)) t(cnt, syms)
+            ) u
+           GROUP BY u.pair
+          HAVING sum(u.cnt) >= 2
+           ORDER BY support DESC, u.pair ASC
+           LIMIT 1
+        ) best,
+        (SELECT unnest(s.vocab, recursive := true)) t2(cnt, syms)
+       GROUP BY best.pair, best.merged, best.support, best.a, best.b
+    ) f
+   WHERE s.r < {BPE_MERGES}
+)
+SELECT r AS "rank", pair, merged, support FROM steps WHERE r >= 1
+""",
     doc="BPE tokenizer training, the distributed half done in-plan: the "
     "corpus reduces once to a (word, count) table — the ONLY corpus-"
     f"bounded step — and each of the {BPE_MERGES} merge rounds counts "
@@ -651,11 +722,62 @@ BPE_ENCODE_MERGES: tuple[tuple[str, str], ...] = (
 _BPE_WORD_SEP = "␄"  # boundary symbol outside the merge alphabet
 
 
+def _dd_bpe_fold(expr: str) -> str:
+    """DuckDB expression applying the shipped merge rules in rank order to
+    one word's space-joined symbol string (r7 — this made q_bpe_encode
+    oracle-able): each rule is a LEFT FOLD over the symbol list — merge
+    when the accumulator's last token is ``a`` and the next symbol is
+    ``b`` — which is exactly the left-to-right non-overlapping semantics
+    of Spark's ``' a b(?= )'`` global regex (whose scanner also resumes
+    after each replacement). RE2's missing lookahead kept this rows-only;
+    the fold needs no lookahead, and the rules are literals, so no lambda
+    captures anything but plain columns."""
+    for a, b in BPE_ENCODE_MERGES:
+        expr = (
+            f"list_reduce(string_split({expr}, ' '), (acc, x) -> CASE "
+            f"WHEN x = '{b}' AND (acc = '{a}' OR acc LIKE '% {a}') "
+            f"THEN substr(acc, 1, len(acc) - {len(a)}) || '{a + b}' "
+            f"ELSE acc || ' ' || x END)"
+        )
+    return expr
+
+
+# f-string expression parts cannot contain backslashes; build the fold over
+# the char-split form ("hello" -> "h e l l o") ahead of the oracle literal
+_DD_BPE_ENCODED = _dd_bpe_fold("trim(regexp_replace(w, '(.)', '\\1 ', 'g'))")
+
+
 @register(
     "q_bpe_encode",
-    oracle=None,  # the left-to-right non-overlapping merge needs a regex
-    # lookahead, which DuckDB's RE2 lacks; a pure-Python replay test pins
-    # the exact encoding instead (same discipline as q_bpe_merges)
+    # Full DuckDB replay (r7 — was rows-only): words unnested to rows, the
+    # fixed merge chain applied per word via :func:`_dd_bpe_fold`, then a
+    # per-doc rollup. Word-locality is free here (Spark joins words with a
+    # boundary symbol no rule contains; the fold simply never sees other
+    # words), and the boundary-symbol count correction drops out — per-word
+    # token counts sum directly. Exactness also pinned by the pure-Python
+    # replay test.
+    oracle=f"""WITH words AS (
+  SELECT doc_id, unnest(list_filter({dd_tokens("text")},
+                 w -> regexp_matches(w, '^[a-z0-9]+$'))) AS w
+    FROM documents WHERE text IS NOT NULL
+),
+encoded AS (
+  SELECT doc_id, len(w) AS n_chars,
+         len(string_split({_DD_BPE_ENCODED}, ' ')) AS n_tok
+    FROM words
+),
+per_doc AS (
+  SELECT doc_id,
+         count(*) AS n_words,
+         CAST(sum(n_chars) AS BIGINT) AS n_chars_alnum,
+         CAST(sum(n_tok) AS BIGINT) AS n_bpe_tokens
+    FROM encoded GROUP BY doc_id
+)
+SELECT doc_id, CAST(n_words AS INT) AS n_words, n_chars_alnum, n_bpe_tokens,
+       round(CAST(n_chars_alnum AS DOUBLE) / n_bpe_tokens, 6)
+         AS chars_per_token
+  FROM per_doc
+""",
     doc="BPE tokenizer INFERENCE over the corpus: chars -> symbols via the "
     f"{len(BPE_ENCODE_MERGES)} shipped merge rules applied in rank order "
     "(left-to-right non-overlapping, word-bounded). The merge table is a "
