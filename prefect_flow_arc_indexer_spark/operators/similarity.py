@@ -456,10 +456,73 @@ def _assign_cells(spark: SparkSession, e: DataFrame, cent_rows) -> DataFrame:
     )
 
 
+def _dd_kmeans_sql() -> str:
+    """Unrolled Lloyd iterations in DuckDB SQL (see q_kmeans's oracle
+    comment). cent0 comes from the original labels; each round assigns by
+    rounded cosine (ties to the smaller cell) and re-estimates quantized
+    integer-mean centroids; the final assignment sizes the clusters."""
+
+    def _cent(idx: int, src: str) -> str:
+        return f"""comp{idx} AS (
+  SELECT cell, i,
+         sum(CAST(round((embedding::DOUBLE[])[i] * {QUANT}) AS BIGINT)) AS s,
+         count(*) AS n
+    FROM {src} CROSS JOIN range(1, {EMB_DIM + 1}) t(i)
+   GROUP BY cell, i
+),
+cent{idx} AS (
+  SELECT cell, list(CAST(s AS DOUBLE) / n ORDER BY i) AS centroid
+    FROM comp{idx} GROUP BY cell
+)"""
+
+    def _assign(idx: int, cent: str) -> str:
+        cos_c = dd_cosine_similarity("e.embedding", "c.centroid")
+        return f"""assign{idx} AS (
+  SELECT vec_id, embedding, cell FROM (
+    SELECT e.vec_id, e.embedding, c.cell,
+           row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY round({cos_c}, 6) DESC, c.cell ASC) AS rn
+      FROM embeddings e CROSS JOIN {cent} c) WHERE rn = 1
+)"""
+
+    parts = [
+        "base AS (SELECT label AS cell, embedding FROM embeddings)",
+        _cent(0, "base"),
+    ]
+    for it in range(1, KMEANS_ITERS + 1):
+        parts.append(_assign(it, f"cent{it - 1}"))
+        parts.append(_cent(it, f"assign{it}"))
+    parts.append(_assign(KMEANS_ITERS + 1, f"cent{KMEANS_ITERS}"))
+    body = ",\n".join(parts)
+    return f"""WITH {body},
+sizes AS (
+  SELECT cell AS cluster, count(*) AS n_members
+    FROM assign{KMEANS_ITERS + 1} GROUP BY cell
+),
+checks AS (
+  SELECT cell AS cluster,
+         sum(CAST(round_even((CAST(s AS DOUBLE) / n) * {QUANT}, 0) AS BIGINT))
+           AS centroid_checksum
+    FROM comp{KMEANS_ITERS} GROUP BY cell
+)
+SELECT CAST(s.cluster AS INT) AS cluster, s.n_members, c.centroid_checksum
+  FROM sizes s JOIN checks c USING (cluster)
+"""
+
+
 @register(
     "q_kmeans",
-    oracle=None,  # iterative driver-loop algorithm: the driver applies the
-    # rows-only check; determinism + convergence are pytest-asserted instead
+    # Full DuckDB replay (r7 — was rows-only): KMEANS_ITERS is a constant,
+    # so the Lloyd loop UNROLLS as chained CTEs — no recursion needed. Every
+    # step is engine-exact by construction: centroids are integer-quantized
+    # per-component sums divided once (sum of bigints is aggregation-order-
+    # proof; s/n is one deterministic IEEE division), assignment is the
+    # established _dd_ivf_cells shape (round(cos, 6) + row_number ties to
+    # the smaller cell == Spark's array_max struct fold), and the checksum
+    # uses round_even to match the DRIVER-side Python round() (banker's),
+    # unlike the half-up F.round/round used everywhere else. Determinism +
+    # convergence remain pytest-asserted.
+    oracle=_dd_kmeans_sql(),
     doc="iterative algorithm surface: k-means via Lloyd iterations — "
     "per iteration, assign is a broadcast of the driver-held centroids "
     "folded per-vector in a shuffle-free projection (argmax cosine) and "
