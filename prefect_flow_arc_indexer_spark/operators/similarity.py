@@ -501,8 +501,8 @@ sizes AS (
 ),
 checks AS (
   SELECT cell AS cluster,
-         sum(CAST(round_even((CAST(s AS DOUBLE) / n) * {QUANT}, 0) AS BIGINT))
-           AS centroid_checksum
+         CAST(sum(CAST(round_even((CAST(s AS DOUBLE) / n) * {QUANT}, 0)
+                       AS BIGINT)) AS BIGINT) AS centroid_checksum
     FROM comp{KMEANS_ITERS} GROUP BY cell
 )
 SELECT CAST(s.cluster AS INT) AS cluster, s.n_members, c.centroid_checksum
