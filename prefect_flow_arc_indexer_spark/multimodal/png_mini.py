@@ -99,10 +99,28 @@ def _paeth(a: int, b: int, c: int) -> int:
     return b if pb <= pc else c
 
 
+# Decompression-bomb guard: reject images whose decoded sample plane would
+# exceed this many bytes BEFORE inflating the IDAT stream (PIL ships a
+# similar pixel cap; this vendored fallback needs its own — ADVICE r7).
+MAX_DECODED_BYTES = 64 * 1024 * 1024
+
+
 def decode_png(payload: bytes) -> tuple[int, int, str, bytes]:
     """Decode a PNG payload -> ``(width, height, mode, pixels)`` with
     ``pixels`` the defiltered row-major samples. ``ValueError`` on anything
-    that is not a PNG this codec supports."""
+    that is not a PNG this codec supports — including corrupt streams whose
+    primitives raise ``struct.error``/``zlib.error``/``IndexError``
+    internally (callers catch ``ValueError`` only, matching the PIL
+    branch's contract; ADVICE r7)."""
+    try:
+        return _decode_png_inner(payload)
+    except ValueError:
+        raise
+    except (struct.error, zlib.error, IndexError, OverflowError) as e:
+        raise ValueError(f"corrupt PNG payload: {e}") from e
+
+
+def _decode_png_inner(payload: bytes) -> tuple[int, int, str, bytes]:
     if payload[: len(_SIGNATURE)] != _SIGNATURE:
         raise ValueError("not a PNG payload")
     pos = len(_SIGNATURE)
@@ -134,9 +152,20 @@ def decode_png(payload: bytes) -> tuple[int, int, str, bytes]:
             break
     if width < 0 or not idat:
         raise ValueError("missing IHDR/IDAT")
-    raw = zlib.decompress(bytes(idat))
     stride = width * ch
-    if len(raw) != (stride + 1) * height:
+    expected = (stride + 1) * height
+    # bomb guard: size the output from IHDR and cap the inflate at it — a
+    # tiny crafted IDAT can otherwise expand to an arbitrarily large buffer
+    # before any post-hoc size check runs (ADVICE r7)
+    if expected > MAX_DECODED_BYTES:
+        raise ValueError(
+            f"decoded size {expected} exceeds cap {MAX_DECODED_BYTES}"
+        )
+    dec = zlib.decompressobj()
+    raw = dec.decompress(bytes(idat), expected + 1)
+    if len(raw) > expected or dec.unconsumed_tail or dec.decompress(b"", 1):
+        raise ValueError("IDAT inflates past the declared dimensions")
+    if len(raw) != expected:
         raise ValueError("IDAT size mismatch")
     pixels = bytearray(stride * height)
     prev = bytes(stride)

@@ -582,10 +582,11 @@ CORESET_K = 8
 ),
 seed AS (SELECT vec_id, x FROM e ORDER BY vec_id LIMIT 1),
 steps AS (
-  SELECT 0 AS round,
-         (SELECT vec_id FROM seed) AS vec_id,
-         CAST(0 AS BIGINT) AS radius_d2_micro,
-         (SELECT [x] FROM seed) AS sel
+  -- anchor selects FROM seed (not scalar subqueries), so an empty corpus
+  -- yields 0 rows here, matching the Spark builder's empty-seed guard
+  SELECT 0 AS round, vec_id, CAST(0 AS BIGINT) AS radius_d2_micro,
+         [x] AS sel
+    FROM seed
   UNION ALL
   SELECT s.round + 1, f.vid, f.radius, list_append(s.sel, f.vx)
     FROM steps s, LATERAL (
@@ -625,6 +626,10 @@ def q_coreset_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     try:
         seed = e.agg(F.min("vec_id")).first()[0]
+        if seed is None:  # empty corpus — oracle's recursive CTE yields 0 rows
+            return spark.createDataFrame(
+                [], "round int, vec_id bigint, radius_d2_micro bigint"
+            )
         seed_vec = e.where(F.col("vec_id") == seed).first()["x"]
         selected: list[tuple[int, list[float]]] = [(int(seed), list(seed_vec))]
         out_rows: list[tuple[int, int, int]] = [(0, int(seed), 0)]

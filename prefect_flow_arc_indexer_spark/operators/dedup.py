@@ -494,17 +494,46 @@ sizes AS (
 )"""
 
 
+NGRAM_MAX_BLOCK = 32  # blocks (min-hash x source) larger than this are boilerplate
+
+
+def ngram_jaccard_block_census(
+    minsh: DataFrame, max_block: int = NGRAM_MAX_BLOCK
+) -> DataFrame:
+    """(mh, source, block_size) for every over-cap min-hash block — the
+    blocks :func:`q_ngram_jaccard` sidelines instead of exploding
+    quadratically. Same visibility contract as
+    :func:`lsh_candidate_pairs_capped`'s census: a production caller logs
+    or persists this so capped volume is never silent. Sizes come from a
+    map-side-combined COUNT; no member list ever materializes."""
+    return (
+        minsh.groupBy("mh", "source")
+        .agg(F.count("*").alias("block_size"))
+        .where(F.col("block_size") > max_block)
+    )
+
+
 @register(
     "q_ngram_jaccard",
     oracle=f"""WITH {_dd_shingle_cte()},
 {_DD_MINSH_CTE},
+msrc AS (
+  SELECT a.doc_id, a.mh, ma.source
+    FROM minsh a JOIN meta ma ON ma.doc_id = a.doc_id
+),
+hot AS (
+  SELECT mh, source FROM msrc
+   GROUP BY mh, source HAVING count(*) > {NGRAM_MAX_BLOCK}
+),
+ok AS (
+  SELECT m.* FROM msrc m ANTI JOIN hot h
+    ON h.mh = m.mh AND h.source = m.source
+),
 cand AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-    FROM minsh a
-    JOIN minsh b ON b.mh = a.mh AND b.doc_id > a.doc_id
-    JOIN meta ma ON ma.doc_id = a.doc_id
-    JOIN meta mb ON mb.doc_id = b.doc_id
-   WHERE ma.source = mb.source
+    FROM ok a
+    JOIN ok b ON b.mh = a.mh AND b.source = a.source
+            AND b.doc_id > a.doc_id
 ),
 inter AS (
   SELECT c.doc_a, c.doc_b, count(*) AS i
@@ -524,16 +553,28 @@ SELECT doc_a, doc_b,
     "(1-permutation MinHash: two docs share the block with probability "
     "equal to their Jaccard, so high-J pairs are found and the key never "
     "depends on id adjacency). Candidate generation is a hash self-join "
-    "on (min-hash, source); the exact intersection then flows through "
-    "two equi-joins and one count agg — no pair survives without shared "
-    "content, and block sizes (not corpus size) bound the pair volume.",
+    "on (min-hash, source), with blocks larger than "
+    f"{NGRAM_MAX_BLOCK} docs dropped FIRST (the q_winnow_pairs df-cap "
+    "discipline: a hot min-hash block is boilerplate content whose pair "
+    "volume grows quadratically with corpus duplication — measured 8x "
+    "wall for 10x data before the cap; with it, pair volume is bounded "
+    "by cap * |blocks|, linear in the corpus). Both engines apply the "
+    "same HAVING rule so the oracle holds at every SF; "
+    ":func:`ngram_jaccard_block_census` surfaces what was dropped. The "
+    "exact intersection then flows through two equi-joins and one count "
+    "agg — no pair survives without shared content.",
 )
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents", fan_out=True)
     sh = _hashed_shingles(docs)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     minsh = sh.groupBy("doc_id", "source").agg(F.min("h").alias("mh"))
-    a, b = minsh.alias("a"), minsh.alias("b")
+    ok = minsh.join(
+        F.broadcast(ngram_jaccard_block_census(minsh).select("mh", "source")),
+        ["mh", "source"],
+        "left_anti",
+    )
+    a, b = ok.alias("a"), ok.alias("b")
     cand = a.join(
         b,
         (F.col("b.mh") == F.col("a.mh"))
@@ -564,44 +605,170 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# embedding cosine near-dup
+# embedding cosine near-dup (label x growing sub-cell blocking)
 # --------------------------------------------------------------------------
+EMB_DUP_MIN_ANCHORS = 4  # floor on per-label sub-cell count for tiny labels
+_EMB_ANCHOR_SHARDS = 64  # stage-1 fan-out for the exact per-label top-k
+
+
 @register(
     "q_dedup_embedding",
     oracle=f"""WITH e AS (
   SELECT vec_id, label, embedding FROM embeddings
+),
+nk AS (
+  SELECT label,
+         GREATEST({EMB_DUP_MIN_ANCHORS},
+                  CAST(ceil(sqrt(count(*))) AS BIGINT)) AS k
+    FROM e GROUP BY label
+),
+anch AS (
+  SELECT label, vec_id AS cell, embedding FROM (
+    SELECT e.vec_id, e.label, e.embedding, nk.k,
+           row_number() OVER (PARTITION BY e.label ORDER BY e.vec_id) AS rn
+      FROM e JOIN nk USING (label)) WHERE rn <= k
+),
+assigned AS (
+  SELECT vec_id, label, embedding, cell FROM (
+    SELECT e.vec_id, e.label, e.embedding, a.cell,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY round({dd_cosine_similarity("e.embedding", "a.embedding")}, 6) DESC,
+                      a.cell ASC) AS rn
+      FROM e JOIN anch a ON a.label = e.label) WHERE rn = 1
 )
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
        round({dd_cosine_similarity("a.embedding", "b.embedding")}, 6) AS cos_sim
-  FROM e a
-  JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+  FROM assigned a
+  JOIN assigned b
+    ON a.label = b.label AND a.cell = b.cell AND a.vec_id < b.vec_id
  WHERE round({dd_cosine_similarity("a.embedding", "b.embedding")}, 6) >= {COSINE_DUP_THRESHOLD}
 """,
-    doc="embedding near-dup: same-label blocking join + cosine >= "
-    f"{COSINE_DUP_THRESHOLD}; labels play the coarse-quantization cell a "
-    "production pipeline would get from clustering",
+    doc="embedding near-dup: label x SUB-CELL blocking join + cosine >= "
+    f"{COSINE_DUP_THRESHOLD}. Labels alone are a FIXED blocking key, so "
+    "per-block pair cost grows quadratically with the corpus (measured "
+    "64x wall for 10x data at sf1); each label is therefore split into "
+    "k_label = max(4, ceil(sqrt(n_label))) sub-cells via the q_semdedup "
+    "growing-anchor recipe — anchors are the label's k smallest vec_ids, "
+    "every vector joins its nearest anchor (rounded cosine, ties to the "
+    "smallest cell), and pairs are scored only within (label, cell). "
+    "Both engines derive k from the same per-label count, so the oracle "
+    "holds exactly at every SF while expected pair volume drops from "
+    "sum n_l^2 to ~ sum n_l^1.5. Anchor selection is an exact two-stage "
+    "top-k on a NARROW (vec_id,label) projection (per-shard partial "
+    "top-k, then a <= shards*k-row per-label merge) — no full-width sort, "
+    "no skewed single-label window over embedding payloads; anchor "
+    "embeddings and per-label centroid arrays stay sqrt(n)-bounded and "
+    "broadcast, so the corpus itself shuffles once, on (label, cell).",
 )
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings", fan_out=True).select(
         "vec_id", "label", "embedding"
     )
-    a, b = e.alias("a"), e.alias("b")
-    cos = F.round(
-        cosine_similarity(F.col("a.embedding"), F.col("b.embedding")), 6
+    # per-label anchor budget k = max(floor, ceil(sqrt(n_label))) — the
+    # label-bounded counts relation broadcasts
+    counts = e.groupBy("label").agg(
+        F.greatest(
+            F.lit(EMB_DUP_MIN_ANCHORS),
+            F.ceil(F.sqrt(F.count("*"))).cast("int"),
+        ).alias("k")
     )
-    return (
+    # exact per-label k-smallest vec_ids WITHOUT a per-label global sort:
+    # stage 1 keeps each (label, vec_id % shards) shard's k smallest (the
+    # true top-k is a subset of the union), stage 2 merges <= shards*k
+    # narrow rows per label — both windows run over (vec_id, label, k) only
+    narrow = e.select("vec_id", "label").join(F.broadcast(counts), "label")
+    w1 = Window.partitionBy(
+        "label", F.pmod(F.col("vec_id"), F.lit(_EMB_ANCHOR_SHARDS))
+    ).orderBy("vec_id")
+    w2 = Window.partitionBy("label").orderBy("vec_id")
+    anchor_ids = (
+        narrow.withColumn("rn", F.row_number().over(w1))
+        .where(F.col("rn") <= F.col("k"))
+        .withColumn("rn2", F.row_number().over(w2))
+        .where(F.col("rn2") <= F.col("k"))
+        .select("label", F.col("vec_id").alias("cell"))
+    )
+    # fetch anchor embeddings (sqrt(n)-bounded id list broadcasts) and
+    # fold them into one per-label sorted centroid array
+    cents = (
+        e.join(
+            F.broadcast(
+                anchor_ids.select(F.col("cell").alias("vec_id"), "label")
+            ),
+            ["vec_id", "label"],
+        )
+        .groupBy("label")
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.col("vec_id").alias("cell"),
+                        F.col("embedding").alias("centroid"),
+                    )
+                )
+            ).alias("cents")
+        )
+    )
+    # collecting the label-bounded result and re-creating it as a local
+    # relation truncates the counts->windows->join lineage so downstream
+    # consumers don't recompute anchor selection — the payload is exactly
+    # what the broadcast ships anyway (sqrt(n_label) structs per label),
+    # and unlike a localCheckpoint it leaves nothing persisted behind
+    cents = spark.createDataFrame(cents.collect(), cents.schema)
+    # nearest-anchor assignment: a shuffle-free fold over the broadcast
+    # per-label centroid array — max of struct(rounded cos, -cell) is the
+    # oracle's (cos DESC, cell ASC) ranking in one narrow projection
+    best = F.array_max(
+        F.transform(
+            F.col("cents"),
+            lambda c: F.struct(
+                F.round(
+                    cosine_similarity(F.col("embedding"), c["centroid"]), 6
+                ).alias("s"),
+                (-c["cell"]).alias("neg_cell"),
+            ),
+        )
+    )
+    from pyspark import StorageLevel
+
+    assigned = (
+        e.join(F.broadcast(cents), "label")
+        .select(
+            "vec_id", "label", "embedding", (-best["neg_cell"]).alias("cell")
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    release = _CacheRelease(assigned)
+    a = assigned.alias("a")
+    b = assigned.select(
+        F.col("vec_id").alias("b_id"),
+        F.col("label").alias("b_label"),
+        F.col("cell").alias("b_cell"),
+        F.col("embedding").alias("b_emb"),
+    )
+    cos = F.round(cosine_similarity(F.col("a.embedding"), F.col("b_emb")), 6)
+    out = (
         a.join(
             b,
-            (F.col("a.label") == F.col("b.label"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
+            (F.col("b_label") == F.col("a.label"))
+            & (F.col("b_cell") == F.col("a.cell"))
+            & (F.col("b_id") > F.col("a.vec_id")),
         )
         .select(
             F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
+            F.col("b_id").alias("vec_b"),
             cos.alias("cos_sim"),
         )
         .where(F.col("cos_sim") >= COSINE_DUP_THRESHOLD)
     )
+    # the self-join reads `assigned` twice — without the persist both sides
+    # recompute the scan + 45-cosine assignment (measured 12s -> ~6s at
+    # sf1); the caller releases the cache via the shared handle, a GC
+    # finalizer backstops forgotten ones (same contract as
+    # lsh_candidate_pairs_capped)
+    out.sig_release = release
+    return out
 
 
 # --------------------------------------------------------------------------

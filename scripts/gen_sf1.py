@@ -55,6 +55,14 @@ _VERBATIM = ("region", "nation")  # fixed dimensions: FK targets stay put
 
 def _shifted(table: pa.Table, shifts: dict[str, int], i: int) -> pa.Table:
     for col, stride in shifts.items():
+        # _SHIFTS strides are sf0.1's key ranges; running against a larger
+        # source would silently collide keys across replicas (ADVICE r7)
+        mx = pc.max(table.column(col)).as_py()
+        if mx is not None and mx >= stride:
+            raise ValueError(
+                f"{col}: max key {mx} >= stride {stride} — source is not "
+                "sf0.1; derive strides from the actual key ranges first"
+            )
         idx = table.schema.get_field_index(col)
         shifted = pc.add(table.column(col), pa.scalar(i * stride, pa.int64()))
         table = table.set_column(idx, table.schema.field(col), shifted)
