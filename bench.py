@@ -102,11 +102,32 @@ def main() -> None:
         rq.builder(spark, sf_dir).write.format("noop").mode("overwrite").save()
 
     def _drain():
-        """Let the ContextCleaner release the warm pass's leftovers
-        (localCheckpoint blocks, shuffle files) OUTSIDE the timed windows:
-        cleanup triggers on driver GC, and with 250+ queries x multiple
-        passes in one JVM the accumulated blocks otherwise surface as GC
-        pauses inside unrelated small queries' timings."""
+        """Return executor storage to a clean slate OUTSIDE the timed
+        windows. Two leak classes accumulate over 250+ queries x multiple
+        passes in one JVM and otherwise surface as GC pauses (and warm
+        caches) inside unrelated queries' timings:
+
+        - cacheManager entries from operators that persist() internally:
+          the CacheManager dedupes by canonicalized plan, so a TIMED run
+          of a query whose warm run cached a subframe would silently read
+          the warm cache and report a flattered number — clearCache()
+          makes every timed window pay its own persist population, the
+          honest fresh-run cost.
+        - localCheckpoint blocks, which df.unpersist() cannot release and
+          the ContextCleaner never reclaims from PySpark (see
+          functions/caching.py) — released by RDD id.
+        """
+        try:
+            spark.catalog.clearCache()
+        except Exception:
+            pass
+        sc = spark.sparkContext._jsc.sc()
+        ids = sc.getPersistentRDDs().keys().toList()
+        for i in range(ids.size()):
+            try:
+                sc.unpersistRDD(ids.apply(i), False)
+            except Exception:
+                pass
         spark.sparkContext._jvm.System.gc()
         time.sleep(0.5)
 
@@ -129,10 +150,30 @@ def main() -> None:
     # all-inventory numbers comparable across methodologies (ADVICE r6).
     first_pass: dict[str, float] = {}
 
+    def _release_new(baseline_ids: set[int]) -> None:
+        """Release caches/checkpoints a query left behind, OUTSIDE its
+        timed window — so query N+1's timing never carries query N's
+        stranded blocks, and a re-run of the same query never reads its
+        own prior pass's cache."""
+        try:
+            spark.catalog.clearCache()
+        except Exception:
+            pass
+        sc = spark.sparkContext._jsc.sc()
+        ids = sc.getPersistentRDDs().keys().toList()
+        for i in range(ids.size()):
+            rid = ids.apply(i)
+            if rid not in baseline_ids:
+                try:
+                    sc.unpersistRDD(rid, False)
+                except Exception:
+                    pass
+
     def _timed(name, rq):
         t0 = time.perf_counter()
         rq.builder(spark, sf_dir).write.format("noop").mode("overwrite").save()
         el = round(time.perf_counter() - t0, 3)
+        _release_new(set())
         if name not in first_pass:
             first_pass[name] = el
         if name not in timings or el < timings[name]:
@@ -181,6 +222,11 @@ def main() -> None:
         "all_total_single_sec": all_total_single,
         "n_queries": len(timings),
         "full": "bench_full.json",
+        # r8 methodology: caches/checkpoints are released between timed
+        # windows, so every number is a fresh-run cost — earlier rounds
+        # let a query's timed pass silently reuse its own warm pass's
+        # internal persist() caches (CacheManager dedupes identical plans)
+        "clean_slate": True,
     }
     Path(__file__).resolve().parent.joinpath("bench_full.json").write_text(
         json.dumps(

@@ -283,7 +283,11 @@ def main(argv: list[str] | None = None) -> int:
                     "mirror reconcile for %r skipped: _count failed (%s)",
                     index, exc,
                 )
-                report.mirror_reconcile[index] = False
+                # tri-state: None = check could not run (transient _count
+                # failure), reserving False for an actual expected !=
+                # actual mismatch — a network blip must not read as drift
+                # to consumers of the JSON report (ADVICE r7)
+                report.mirror_reconcile[index] = None
                 continue
             report.mirror_reconcile[index] = expected == actual
             if expected != actual:

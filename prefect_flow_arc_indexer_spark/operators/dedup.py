@@ -33,6 +33,10 @@ from functools import reduce
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
 
+from prefect_flow_arc_indexer_spark.functions.caching import (
+    CheckpointRelease,
+    release_frame,
+)
 from prefect_flow_arc_indexer_spark.functions.hashing import (
     HASH_PRIME,
     MINHASH_COEFFS,
@@ -299,16 +303,24 @@ def near_dedup_keepers(
     Returns ``(keepers, census)``: ``keepers`` is
     ``(doc_id, component_id, component_size)`` restricted to component
     keepers (``doc_id == component_id``), i.e. the surviving corpus ids.
+    ``keepers.ckpt_release`` frees the component-label checkpoint blocks
+    once the caller has materialized keepers (service loops MUST call it —
+    a checkpoint is invisible to both df.unpersist and the ContextCleaner,
+    see functions/caching.py).
     """
     import logging
 
     pairs, census = lsh_candidate_pairs_capped(
         minhash_signature(docs), max_bucket_size
     )
-    # Checkpoint the (tiny: one row per over-cap bucket) census so the
-    # returned frame survives the signature-cache release below without
-    # recomputing MinHash from scratch.
-    census = census.localCheckpoint(eager=True)
+    # Materialize the (tiny: one row per over-cap bucket) census as a
+    # local relation so the returned frame survives the signature-cache
+    # release below without recomputing MinHash — collect+recreate rather
+    # than localCheckpoint, which would strand its blocks for the session
+    # (df.unpersist is a no-op on checkpoints; see functions/caching.py)
+    census = census.sparkSession.createDataFrame(
+        census.collect(), census.schema
+    )
     dropped = census.count()
     if dropped:
         logging.getLogger(__name__).warning(
@@ -320,7 +332,8 @@ def near_dedup_keepers(
     edges = pairs.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     )
-    comp = connected_components(edges).withColumnRenamed("id", "doc_id")
+    labels = connected_components(edges)
+    comp = labels.withColumnRenamed("id", "doc_id")
     # connected_components returns an eager localCheckpoint, so nothing
     # downstream re-reads the signature frame — free its cache entry now
     # instead of leaking one per call in a long-lived session (ADVICE r6).
@@ -336,6 +349,12 @@ def near_dedup_keepers(
         .join(sizes, "component_id")
         .select("doc_id", "component_id", "component_size")
     )
+    # keepers reads the component labels through connected_components'
+    # returned localCheckpoint; the caller releases those blocks once
+    # keepers is materialized — keepers.ckpt_release.release(). No GC
+    # backstop: a checkpoint has no lineage to recompute from, so an
+    # automatic release would break late readers outright (caching.py).
+    keepers.ckpt_release = CheckpointRelease(labels)
     return keepers, census
 
 
@@ -565,10 +584,24 @@ SELECT doc_a, doc_b,
     "agg — no pair survives without shared content.",
 )
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark import StorageLevel
+
     docs = load_table(spark, sf_dir, "documents", fan_out=True)
-    sh = _hashed_shingles(docs)
+    # the shingle frame feeds FOUR consumers (sizes, minsh, and both sides
+    # of the intersection join) and the tokenize+ngram+distinct+hash chain
+    # is the query's dominant compute — persist it once instead of
+    # replaying it per consumer (spills to disk at scale; recompute is the
+    # strictly worse alternative). Same for the one-row-per-doc minsh,
+    # which the census, the anti-join, and both self-join sides read.
+    sh = _hashed_shingles(docs).persist(StorageLevel.MEMORY_AND_DISK)
+    release = _CacheRelease(sh)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    minsh = sh.groupBy("doc_id", "source").agg(F.min("h").alias("mh"))
+    minsh = (
+        sh.groupBy("doc_id", "source")
+        .agg(F.min("h").alias("mh"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    release_minsh = _CacheRelease(minsh)
     ok = minsh.join(
         F.broadcast(ngram_jaccard_block_census(minsh).select("mh", "source")),
         ["mh", "source"],
@@ -584,7 +617,7 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
     )
     inter = _pair_intersections(cand, sh)
-    return (
+    out = (
         inter.join(sizes.withColumnRenamed("doc_id", "doc_a").alias("sa"), "doc_a")
         .join(
             sizes.withColumnRenamed("doc_id", "doc_b")
@@ -602,6 +635,9 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+    out.sig_release = release
+    out.minsh_release = release_minsh
+    return out
 
 
 # --------------------------------------------------------------------------
@@ -926,6 +962,7 @@ def connected_components(
     )
     prev_total = None
     converged = False
+    returned = False
     try:
         for it in range(max_iters):
             # min over {self} ∪ {neighbors} in ONE aggregation: union the
@@ -957,7 +994,12 @@ def connected_components(
             # LSH corpora — shallow graphs never reached the deep rounds.)
             new_labels = stepped.localCheckpoint(eager=True)
             total = new_labels.agg(F.sum("comp")).collect()[0][0]
-            labels.unpersist()
+            # round 0's labels is a persist() (unpersist works); every
+            # later round's is a localCheckpoint, for which unpersist() is
+            # a silent NO-OP — release_frame handles both, so the loop no
+            # longer strands one checkpoint's blocks per round for the
+            # session's lifetime (see functions/caching.py)
+            release_frame(labels)
             labels = new_labels
             if total == prev_total:
                 converged = True
@@ -975,10 +1017,16 @@ def connected_components(
                 "post-warmup rounds are O(log diameter), so this graph's "
                 f"diameter exceeds ~{jump_after} * 2^{max_iters - jump_after}"
             )
-        return labels.localCheckpoint(eager=True)
+        # labels already IS the final round's eager localCheckpoint — a
+        # second checkpoint here would strand another full copy of the
+        # label set in block storage per call. The caller owns the
+        # returned checkpoint (release_local_checkpoint when done).
+        returned = True
+        return labels
     finally:
         both.unpersist()
-        labels.unpersist()
+        if not returned:  # error exit: don't strand the working labels
+            release_frame(labels)
 
 
 @register(

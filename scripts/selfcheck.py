@@ -66,10 +66,29 @@ def main() -> int:
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
         )
 
+    def _release_all() -> None:
+        """Per-query storage hygiene: internal persist() caches and
+        localCheckpoint blocks (invisible to df.unpersist and never
+        reclaimed by the ContextCleaner from PySpark — functions/
+        caching.py) would otherwise accumulate over a 257-query sweep and
+        pressure the executors by the tail queries."""
+        try:
+            spark.catalog.clearCache()
+        except Exception:
+            pass
+        sc = spark.sparkContext._jsc.sc()
+        ids = sc.getPersistentRDDs().keys().toList()
+        for i in range(ids.size()):
+            try:
+                sc.unpersistRDD(ids.apply(i), False)
+            except Exception:
+                pass
+
     failures = 0
     for name, rq in sorted(all_queries().items()):
         if only and name not in only:
             continue
+        _release_all()
         t0 = time.time()
         try:
             sdf = rq.builder(spark, sf_dir)

@@ -60,8 +60,16 @@ def main() -> int:
             for f in sdf.schema.fields
             if f.dataType.simpleString() in ("int", "bigint", "smallint")
         ]
+        # NULLs must canonicalize identically on both engines: concat_ws
+        # SKIPS null columns while DuckDB's `||` nulls the whole key (and
+        # sum() then drops the row's md5) — coalesce to a sentinel on both
+        # sides, mirroring selfcheck's NULL handling (ADVICE r7)
         row_key = F.concat_ws(
-            "\x1f", *[F.col(c).cast("string") for c in cols]
+            "\x1f",
+            *[
+                F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
+                for c in cols
+            ],
         )
         aggs = [
             F.count("*").alias("n"),
@@ -73,7 +81,9 @@ def main() -> int:
             *[F.sum(c).alias(f"s_{c}") for c in int_cols],
         ]
         srow = tuple(sdf.agg(*aggs).collect()[0])
-        dkey = " || chr(31) || ".join(f"{c}::VARCHAR" for c in cols)
+        dkey = " || chr(31) || ".join(
+            f"coalesce({c}::VARCHAR, chr(0))" for c in cols
+        )
         dsums = "".join(f", sum({c}) AS s_{c}" for c in int_cols)
         drow = tuple(
             con.execute(

@@ -1,0 +1,119 @@
+"""Long-session cache soak (VERDICT r7 task 7): the r6/r7 ADVICE persist
+leaks were fixed with explicit release handles + GC finalizers; this test
+pins those fixes by running the two previously-leaky paths N times in one
+session and asserting executor storage returns to baseline — i.e. the
+session does NOT accumulate one cache entry per call.
+
+``localCheckpoint``-backed frames (the census inside near_dedup_keepers,
+connected_components' labels) are unpersisted asynchronously by Spark's
+ContextCleaner once the driver-side reference is garbage-collected, so the
+assertion polls with a deadline instead of demanding instant zero.
+"""
+
+from __future__ import annotations
+
+import gc
+import time
+
+import pytest
+
+from tests.conftest import SF_DIR
+
+
+def _persistent_rdd_count(spark) -> int:
+    return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+
+
+def _settles_to(spark, baseline: int, slack: int = 0, deadline: float = 30.0) -> int:
+    """Poll until the persistent-RDD count drops to ``baseline + slack``
+    (ContextCleaner runs async); returns the final count either way."""
+    end = time.time() + deadline
+    while True:
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
+        n = _persistent_rdd_count(spark)
+        if n <= baseline + slack or time.time() > end:
+            return n
+        time.sleep(1.0)
+
+
+N_ITER = 5
+
+
+def test_near_dedup_keepers_soak_no_cache_growth(spark):
+    from prefect_flow_arc_indexer_spark.operators.dedup import (
+        near_dedup_keepers,
+    )
+    from prefect_flow_arc_indexer_spark.sources.parquet import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    baseline = _settles_to(spark, 0, slack=0, deadline=10.0)
+    for _ in range(N_ITER):
+        keepers, census = near_dedup_keepers(docs)
+        assert keepers.count() > 0
+        census.count()
+        # the documented service-loop contract: release the component-label
+        # checkpoint once keepers is materialized (a checkpoint is
+        # invisible to df.unpersist AND never collected by the
+        # ContextCleaner from PySpark — functions/caching.py)
+        assert keepers.ckpt_release.release() is True
+        del keepers, census
+    final = _settles_to(spark, baseline)
+    assert final <= baseline, (
+        f"persistent RDDs grew {baseline} -> {final} over {N_ITER} "
+        "near_dedup_keepers calls — a cache entry is leaking per call"
+    )
+
+
+def test_quarantine_reader_soak_no_cache_growth(spark, tmp_path):
+    from prefect_flow_arc_indexer_spark.sources.files import (
+        read_with_quarantine,
+        release_quarantine,
+    )
+
+    baseline = _settles_to(spark, 0, slack=0, deadline=10.0)
+    for i in range(N_ITER):
+        # a FRESH path per iteration, like a service loop ingesting new
+        # batches. (Re-reading the SAME path is a different hazard: Spark's
+        # cache manager keys on the canonicalized plan, so releasing batch
+        # i's cache would drop the identical-plan cache batch i+1 is
+        # relying on — and the corrupt-record split requires the cache.)
+        src = tmp_path / f"in{i}"
+        src.mkdir()
+        with open(src / "rows.json", "w") as f:
+            f.write('{"id": 1, "name": "ok"}\n')
+            f.write("broken line\n")
+        good, bad = read_with_quarantine(
+            spark, str(src), "json", "id long, name string"
+        )
+        assert good.count() == 1 and bad.count() == 1
+        if i % 2 == 0:
+            # explicit release path (the documented service-loop contract)
+            assert release_quarantine(good) is True
+        else:
+            # forgotten-handle path: the weakref finalizer must backstop
+            del good, bad
+    final = _settles_to(spark, baseline)
+    assert final <= baseline, (
+        f"persistent RDDs grew {baseline} -> {final} over {N_ITER} "
+        "quarantine reads — the parse cache is leaking per call"
+    )
+
+
+@pytest.mark.parametrize("_", [0])
+def test_dedup_embedding_release_handle(spark, _):
+    """q_dedup_embedding's self-join persist carries the same release
+    contract as the LSH path; releasing it must leave nothing cached."""
+    from prefect_flow_arc_indexer_spark.plans import all_queries
+
+    baseline = _settles_to(spark, 0, slack=0, deadline=10.0)
+    rq = all_queries()["q_dedup_embedding"]
+    for _i in range(2):
+        df = rq.builder(spark, SF_DIR)
+        df.count()
+        df.sig_release.release()
+        del df
+    final = _settles_to(spark, baseline)
+    assert final <= baseline, (
+        f"persistent RDDs grew {baseline} -> {final} after release()"
+    )
