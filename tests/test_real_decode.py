@@ -149,6 +149,58 @@ def test_png_mini_rejects_non_png_and_bad_shapes():
     assert (w, h, px) == (2, 1, bytes([10, 30]))
 
 
+def _chunk(tag: bytes, body: bytes) -> bytes:
+    import struct
+
+    return struct.pack(">I", len(body)) + tag + body + b"\0\0\0\0"
+
+
+def test_png_mini_corrupt_streams_surface_as_valueerror():
+    """Every parse failure must be a ValueError — the binary.py callers
+    catch only ValueError, so a raw zlib.error/struct.error from one
+    corrupt payload would crash the whole mapInPandas task (ADVICE r7)."""
+    import struct
+
+    sig = png_mini._SIGNATURE
+    ihdr = _chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0))
+    # IDAT that is not a zlib stream (raised zlib.error before)
+    with pytest.raises(ValueError, match="corrupt PNG"):
+        png_mini.decode_png(
+            sig + ihdr + _chunk(b"IDAT", b"notzlib") + _chunk(b"IEND", b"")
+        )
+    # IHDR body shorter than the 13-byte layout (raised struct.error)
+    with pytest.raises(ValueError, match="corrupt PNG"):
+        png_mini.decode_png(
+            sig + _chunk(b"IHDR", b"\x00\x01") + _chunk(b"IEND", b"")
+        )
+
+
+def test_png_mini_decompression_bomb_rejected_before_inflate():
+    """A small payload declaring absurd dimensions must be rejected from
+    the IHDR alone — and an IDAT inflating past the declared size must
+    stop at the cap, not materialize the bomb (ADVICE r7)."""
+    import struct
+    import zlib
+
+    sig = png_mini._SIGNATURE
+    huge = _chunk(
+        b"IHDR", struct.pack(">IIBBBBB", 100_000, 100_000, 8, 0, 0, 0, 0)
+    )
+    with pytest.raises(ValueError, match="exceeds cap"):
+        png_mini.decode_png(
+            sig
+            + huge
+            + _chunk(b"IDAT", zlib.compress(b"\x00" * 10))
+            + _chunk(b"IEND", b"")
+        )
+    # declared 1x1 L (expected 2 raw bytes) but the IDAT inflates to 1 MiB:
+    # the capped inflate must cut it off with ValueError, never allocate it
+    tiny = _chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 8, 0, 0, 0, 0))
+    bomb = _chunk(b"IDAT", zlib.compress(b"\x00" * (1 << 20)))
+    with pytest.raises(ValueError, match="inflates past"):
+        png_mini.decode_png(sig + tiny + bomb + _chunk(b"IEND", b""))
+
+
 @pytest.mark.skipif(binary.HAS_PIL, reason="pins the png_mini-only branch")
 def test_decode_image_real_non_png_raises_without_pil():
     """Without pillow, only PNG has a real decoder — a JPEG-ish payload hits
