@@ -38,8 +38,15 @@ def release_local_checkpoint(frame: DataFrame) -> bool:
         plan = frame._jdf.queryExecution().analyzed()
         if not plan.getClass().getName().endswith(".LogicalRDD"):
             return False
-        rid = plan.rdd().id()
-        frame.sparkSession.sparkContext._jsc.sc().unpersistRDD(rid, False)
+        rdd = plan.rdd()
+        # a LogicalRDD plan is NOT proof of a checkpoint: createDataFrame-
+        # from-local-rows also analyzes to LogicalRDD. Only claim the
+        # release when the RDD is actually persisted — otherwise fall
+        # through so release_frame's unpersist() can clear a SQL-cache
+        # entry on a persist()-cached frame of this shape (ADVICE r8)
+        if not rdd.getStorageLevel().isValid():
+            return False
+        frame.sparkSession.sparkContext._jsc.sc().unpersistRDD(rdd.id(), False)
         return True
     except Exception:  # session stopped / non-standard plan — best effort
         return False

@@ -167,6 +167,11 @@ def _decode_png_inner(payload: bytes) -> tuple[int, int, str, bytes]:
         raise ValueError("IDAT inflates past the declared dimensions")
     if len(raw) != expected:
         raise ValueError("IDAT size mismatch")
+    # the capped decompress can return exactly `expected` bytes from a
+    # stream missing its terminator/adler32 — zlib only verifies the
+    # checksum at end-of-stream, so require it (ADVICE r8)
+    if not dec.eof:
+        raise ValueError("truncated IDAT stream")
     pixels = bytearray(stride * height)
     prev = bytes(stride)
     for y in range(height):

@@ -647,9 +647,10 @@ EMB_DUP_MIN_ANCHORS = 4  # floor on per-label sub-cell count for tiny labels
 _EMB_ANCHOR_SHARDS = 64  # stage-1 fan-out for the exact per-label top-k
 
 
-@register(
-    "q_dedup_embedding",
-    oracle=f"""WITH e AS (
+# the (label, nearest-anchor sub-cell) assignment CTE — shared between the
+# q_dedup_embedding oracle and the q_embedding_cell_census visibility
+# oracle so the census describes EXACTLY the blocking the dedup applies
+_EMB_ASSIGNED_CTE = f"""e AS (
   SELECT vec_id, label, embedding FROM embeddings
 ),
 nk AS (
@@ -672,7 +673,12 @@ assigned AS (
              ORDER BY round({dd_cosine_similarity("e.embedding", "a.embedding")}, 6) DESC,
                       a.cell ASC) AS rn
       FROM e JOIN anch a ON a.label = e.label) WHERE rn = 1
-)
+)"""
+
+
+@register(
+    "q_dedup_embedding",
+    oracle=f"""WITH {_EMB_ASSIGNED_CTE}
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
        round({dd_cosine_similarity("a.embedding", "b.embedding")}, 6) AS cos_sim
   FROM assigned a
@@ -698,6 +704,45 @@ SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
     "broadcast, so the corpus itself shuffles once, on (label, cell).",
 )
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    assigned, release = _embedding_assignment(spark, sf_dir)
+    a = assigned.alias("a")
+    b = assigned.select(
+        F.col("vec_id").alias("b_id"),
+        F.col("label").alias("b_label"),
+        F.col("cell").alias("b_cell"),
+        F.col("embedding").alias("b_emb"),
+    )
+    cos = F.round(cosine_similarity(F.col("a.embedding"), F.col("b_emb")), 6)
+    out = (
+        a.join(
+            b,
+            (F.col("b_label") == F.col("a.label"))
+            & (F.col("b_cell") == F.col("a.cell"))
+            & (F.col("b_id") > F.col("a.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b_id").alias("vec_b"),
+            cos.alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= COSINE_DUP_THRESHOLD)
+    )
+    # the self-join reads `assigned` twice — without the persist both sides
+    # recompute the scan + 45-cosine assignment (measured 12s -> ~6s at
+    # sf1); the caller releases the cache via the shared handle, a GC
+    # finalizer backstops forgotten ones (same contract as
+    # lsh_candidate_pairs_capped)
+    out.sig_release = release
+    return out
+
+
+def _embedding_assignment(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, "_CacheRelease"]:
+    """The (label, nearest-anchor sub-cell) assignment behind
+    q_dedup_embedding — persisted, with its release handle. Shared with
+    q_embedding_cell_census so the census describes the exact blocking the
+    dedup applies."""
     e = load_table(spark, sf_dir, "embeddings", fan_out=True).select(
         "vec_id", "label", "embedding"
     )
@@ -776,33 +821,58 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     release = _CacheRelease(assigned)
-    a = assigned.alias("a")
-    b = assigned.select(
-        F.col("vec_id").alias("b_id"),
-        F.col("label").alias("b_label"),
-        F.col("cell").alias("b_cell"),
-        F.col("embedding").alias("b_emb"),
-    )
-    cos = F.round(cosine_similarity(F.col("a.embedding"), F.col("b_emb")), 6)
+    return assigned, release
+
+
+@register(
+    "q_embedding_cell_census",
+    oracle=f"""WITH {_EMB_ASSIGNED_CTE},
+cells AS (
+  SELECT label, cell, count(*) AS c FROM assigned GROUP BY label, cell
+)
+SELECT label,
+       CAST(sum(c) AS BIGINT) AS n_vecs,
+       count(*) AS n_cells,
+       CAST(max(c) AS BIGINT) AS max_cell,
+       CASE WHEN sum(c) > 1 THEN
+         round(CAST(sum(c * (c - 1) / 2) AS DOUBLE)
+               / (CAST(sum(c) AS DOUBLE) * (sum(c) - 1) / 2), 6)
+       END AS scored_pair_frac
+  FROM cells GROUP BY label
+""",
+    doc="visibility companion to q_dedup_embedding's sub-cell blocking "
+    "(the q_ngram_jaccard census discipline, ADVICE r8): per label, the "
+    "cell-size distribution plus scored_pair_frac = the fraction of all "
+    "in-label pairs the blocked join actually scores (sum_c C(c,2) / "
+    "C(n,2)). 1 - scored_pair_frac bounds the silent recall loss from "
+    "cross-cell near-duplicates — the SemDeDup-style trade the blocking "
+    "makes; this frame makes it observable per label instead of silent. "
+    "Cost: one hash agg on the assignment relation the dedup builds "
+    "anyway.",
+)
+def q_embedding_cell_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    assigned, release = _embedding_assignment(spark, sf_dir)
+    n = F.sum("c").cast("double")
     out = (
-        a.join(
-            b,
-            (F.col("b_label") == F.col("a.label"))
-            & (F.col("b_cell") == F.col("a.cell"))
-            & (F.col("b_id") > F.col("a.vec_id")),
+        assigned.groupBy("label", "cell")
+        .agg(F.count("*").alias("c"))
+        .groupBy("label")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_vecs"),
+            F.count("*").alias("n_cells"),
+            F.max("c").cast("bigint").alias("max_cell"),
+            F.when(
+                F.sum("c") > 1,
+                F.round(
+                    F.sum(
+                        (F.col("c") * (F.col("c") - 1) / 2).cast("bigint")
+                    ).cast("double")
+                    / (n * (F.sum("c") - 1) / 2),
+                    6,
+                ),
+            ).alias("scored_pair_frac"),
         )
-        .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b_id").alias("vec_b"),
-            cos.alias("cos_sim"),
-        )
-        .where(F.col("cos_sim") >= COSINE_DUP_THRESHOLD)
     )
-    # the self-join reads `assigned` twice — without the persist both sides
-    # recompute the scan + 45-cosine assignment (measured 12s -> ~6s at
-    # sf1); the caller releases the cache via the shared handle, a GC
-    # finalizer backstops forgotten ones (same contract as
-    # lsh_candidate_pairs_capped)
     out.sig_release = release
     return out
 

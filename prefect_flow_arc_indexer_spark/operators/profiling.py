@@ -157,6 +157,41 @@ def q_array_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 FUZZY_MAX_DIST = 2
 
 
+def deletion_variants():
+    """All strings reachable from column ``name`` by deleting 0, 1, or 2
+    characters (positions taken in the ORIGINAL string, i < j) — pure
+    Catalyst array exprs, the FastSS/SymSpell neighborhood for d=2.
+
+    Each deletion branch is gated on the name being long enough to delete
+    from: Spark's ``sequence(a, b)`` evaluates DESCENDING when a > b, so
+    an unguarded length-1 name turns the 2-deletion branch's
+    ``sequence(2, 1)`` into ``[2, 1]`` and emits junk variants (empty
+    names do the same to the 1-deletion branch) — harmless to correctness
+    (the candidate set is a verified superset) but short names would all
+    share a hot junk-variant block, reintroducing the quadratic candidate
+    volume the blocking exists to avoid (ADVICE r8). The legitimate ''
+    variant of length<=2 names is kept: it is what lets dist<=2 pairs of
+    short names share a block (the superset guarantee needs it)."""
+    return F.expr(
+        """array_distinct(concat(
+             array(name),
+             CASE WHEN length(name) >= 1 THEN
+               transform(sequence(1, length(name)), i ->
+                 concat(substring(name, 1, i - 1),
+                        substring(name, i + 1, length(name))))
+             ELSE cast(array() AS array<string>) END,
+             CASE WHEN length(name) >= 2 THEN
+               flatten(transform(
+                 sequence(1, length(name) - 1), i ->
+                   transform(sequence(i + 1, length(name)), j ->
+                     concat(substring(name, 1, i - 1),
+                            substring(name, i + 1, j - i - 1),
+                            substring(name, j + 1, length(name))))))
+             ELSE cast(array() AS array<string>) END
+           ))"""
+    )
+
+
 @register(
     "q_fuzzy_match",
     oracle=f"""SELECT a.c_custkey AS key_a, b.c_custkey AS key_b,
@@ -210,22 +245,7 @@ def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     release_dn = _CacheRelease(dn)
-    # all strings reachable by deleting 0, 1, or 2 characters (positions
-    # taken in the ORIGINAL string, i < j) — pure Catalyst array exprs
-    variants = F.expr(
-        """array_distinct(concat(
-             array(name),
-             transform(sequence(1, length(name)), i ->
-               concat(substring(name, 1, i - 1),
-                      substring(name, i + 1, length(name)))),
-             flatten(transform(
-               sequence(1, greatest(length(name) - 1, 1)), i ->
-                 transform(sequence(i + 1, length(name)), j ->
-                   concat(substring(name, 1, i - 1),
-                          substring(name, i + 1, j - i - 1),
-                          substring(name, j + 1, length(name))))))
-           ))"""
-    )
+    variants = deletion_variants()
     # persist the exploded variant relation too: the variant self-join
     # reads it twice and the higher-order array lambdas run interpreted
     ex = dn.select(
@@ -786,6 +806,7 @@ HAVING count(*) > 1
     )
     def q_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
         from prefect_flow_arc_indexer_spark.functions.caching import (
+            CheckpointRelease,
             release_local_checkpoint,
         )
         from prefect_flow_arc_indexer_spark.operators.dedup import (
@@ -802,14 +823,22 @@ HAVING count(*) > 1
         # (persisted variant relations + three joins + a union) per round
         # measured 18 s vs 6 s on the flat snapshot at sf0.1
         pairs = pairs.localCheckpoint(eager=True)
-        labels = connected_components(pairs).select(
+        try:
+            # cc_labels is CC's returned eager checkpoint — kept raw (no
+            # select on top) so the release handle attached to the result
+            # below sees the LogicalRDD plan it must unpersist
+            cc_labels = connected_components(pairs)
+        finally:
+            # CC either returned its own checkpoint or raised — either
+            # way the edge snapshot and the fuzzy stage's internal caches
+            # are fully consumed; free them on BOTH exits so a
+            # non-convergence raise can't strand them (ADVICE r8)
+            release_local_checkpoint(pairs)
+            fuzzy.sig_release.release()
+            fuzzy.dn_release.release()
+        labels = cc_labels.select(
             F.col("id").alias("c_custkey"), F.col("comp").alias("entity_id")
         )
-        # CC returned an eager checkpoint — the edge snapshot and the
-        # fuzzy stage's internal caches are fully consumed; free them now
-        release_local_checkpoint(pairs)
-        fuzzy.sig_release.release()
-        fuzzy.dn_release.release()
         cust = load_table(spark, sf_dir, "customer").select(
             "c_custkey",
             "c_name",
@@ -820,7 +849,7 @@ HAVING count(*) > 1
             ),
         )
         members = labels.join(cust, "c_custkey")
-        return (
+        out = (
             members.groupBy("entity_id")
             .agg(
                 F.count("*").alias("n_members"),
@@ -840,6 +869,11 @@ HAVING count(*) > 1
             )
             .where(F.col("n_members") > 1)
         )
+        # hand the caller the label-checkpoint release, like
+        # near_dedup_keepers does — without it every call strands one
+        # label-set checkpoint in a long-lived session (ADVICE r8)
+        out.ckpt_release = CheckpointRelease(cc_labels)
+        return out
 
 
 _register_golden_record()

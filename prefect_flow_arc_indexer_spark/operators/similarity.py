@@ -892,13 +892,15 @@ def q_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 SEM_MIN_ANCHORS = 8  # floor on the anchor count for tiny corpora
 SEM_THRESHOLD = 0.3  # same scale as dedup.COSINE_DUP_THRESHOLD
+# target EXPECTED cluster size for the production (linear) anchor rule:
+# k = max(8, ceil(n / C)) bounds in-cluster pair volume at ~n*C = O(n)
+SEM_TARGET_CLUSTER = 256
 
-
-@register(
-    "q_semdedup",
-    oracle=f"""WITH nk AS (
-  SELECT GREATEST({SEM_MIN_ANCHORS},
-                  CAST(ceil(sqrt(count(*))) AS BIGINT)) AS k
+# the SemDeDup plan as a DuckDB oracle, parameterized ONLY by the anchor-
+# count rule (the `k` expression) — both registered variants share every
+# other line, which is the point: k is one scalar, nothing else changes
+_SEM_ORACLE_TEMPLATE = """WITH nk AS (
+  SELECT GREATEST({min_anchors}, CAST({k_expr} AS BIGINT)) AS k
     FROM embeddings
 ),
 anch AS (
@@ -909,7 +911,7 @@ assigned AS (
     SELECT e.vec_id, e.embedding, a.cell,
            row_number() OVER (
              PARTITION BY e.vec_id
-             ORDER BY round({dd_cosine_similarity("e.embedding", "a.embedding")}, 6) DESC,
+             ORDER BY round({cos_ea}, 6) DESC,
                       a.cell ASC) AS rn
       FROM embeddings e CROSS JOIN anch a) WHERE rn = 1
 ),
@@ -917,35 +919,33 @@ dups AS (
   SELECT a.vec_id, CAST(min(b.vec_id) AS BIGINT) AS dup_of
     FROM assigned a JOIN assigned b
       ON b.cluster = a.cluster AND b.vec_id < a.vec_id
-   WHERE round({dd_cosine_similarity("a.embedding", "b.embedding")}, 6) >= {SEM_THRESHOLD}
+   WHERE round({cos_ab}, 6) >= {threshold}
    GROUP BY a.vec_id
 )
 SELECT s.vec_id, CAST(s.cluster AS INTEGER) AS cluster, d.dup_of,
        d.dup_of IS NULL AS is_kept
   FROM assigned s LEFT JOIN dups d ON d.vec_id = s.vec_id
-""",
-    doc="semantic dedup, SemDeDup shape (Abbas et al. 2023): coarse-cluster "
-    "the corpus (nearest of k = max(8, ceil(sqrt(n))) anchor embeddings — "
-    "the deterministic stand-in for k-means centroids, anchor count GROWING "
-    "with the corpus), then drop any vector whose cosine to a SMALLER-id "
-    f"cluster-mate reaches {SEM_THRESHOLD}. The pairwise stage is "
-    "cluster-bounded: assignment is a shuffle-free broadcast projection "
-    "(sqrt(n) anchors x 64 dims stays a few MB even at 10^9 vectors), and "
-    "the only corpus shuffle keys on cluster id, so expected pair volume "
-    "is sum(|cluster|^2) ~ n^2/k = n^1.5 instead of n^2/8 — and the SAME "
-    "rule with k set from a target cluster size C (k = n/C) bounds it at "
-    "n*C = O(n); k is one scalar, nothing else changes. Survivors keep "
-    "the min-id canonical representative, mirroring exact-dedup's rule.",
-)
-def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import math
+"""
 
-    e = load_table(spark, sf_dir, "embeddings", fan_out=True).select(
-        "vec_id", "embedding"
+
+def _sem_oracle(k_expr: str) -> str:
+    return _SEM_ORACLE_TEMPLATE.format(
+        min_anchors=SEM_MIN_ANCHORS,
+        k_expr=k_expr,
+        cos_ea=dd_cosine_similarity("e.embedding", "a.embedding"),
+        cos_ab=dd_cosine_similarity("a.embedding", "b.embedding"),
+        threshold=SEM_THRESHOLD,
     )
-    # one scalar driver agg, same rule as the oracle's nk CTE
-    n = e.count()
-    k = max(SEM_MIN_ANCHORS, math.ceil(math.sqrt(n))) if n else SEM_MIN_ANCHORS
+
+
+def semdedup(e: DataFrame, k: int) -> DataFrame:
+    """SemDeDup over ``(vec_id, embedding)`` with ``k`` anchor cells:
+    assign every vector to its nearest anchor (broadcast array fold, no
+    shuffle), then mark any vector whose cosine to a smaller-id
+    cluster-mate reaches SEM_THRESHOLD as a duplicate of the min such id.
+    Callers pick ``k`` — see :func:`q_semdedup` (k = ceil(sqrt(n)), the
+    oracle-study form) and :func:`q_semdedup_capped` (k = ceil(n/C), the
+    linear production default)."""
     anchors = e.where(F.col("vec_id") < k).agg(
         F.sort_array(
             F.collect_list(
@@ -995,6 +995,65 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("dup_of").isNull().alias("is_kept"),
         )
     )
+
+
+@register(
+    "q_semdedup",
+    oracle=_sem_oracle("ceil(sqrt(count(*)))"),
+    doc="semantic dedup, SemDeDup shape (Abbas et al. 2023): coarse-cluster "
+    "the corpus (nearest of k = max(8, ceil(sqrt(n))) anchor embeddings — "
+    "the deterministic stand-in for k-means centroids, anchor count GROWING "
+    "with the corpus), then drop any vector whose cosine to a SMALLER-id "
+    f"cluster-mate reaches {SEM_THRESHOLD}. The pairwise stage is "
+    "cluster-bounded: assignment is a shuffle-free broadcast projection "
+    "(sqrt(n) anchors x 64 dims stays a few MB even at 10^9 vectors), and "
+    "the only corpus shuffle keys on cluster id, so expected pair volume "
+    "is sum(|cluster|^2) ~ n^2/k = n^1.5 instead of n^2/8. The sqrt rule "
+    "is the recall-study form (clusters grow with the corpus, so no fixed "
+    "ceiling truncates them); q_semdedup_capped is the PRODUCTION default "
+    "— same plan, k = ceil(n/C), pair volume O(n).",
+)
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    e = load_table(spark, sf_dir, "embeddings", fan_out=True).select(
+        "vec_id", "embedding"
+    )
+    # one scalar driver agg, same rule as the oracle's nk CTE
+    n = e.count()
+    k = max(SEM_MIN_ANCHORS, math.ceil(math.sqrt(n))) if n else SEM_MIN_ANCHORS
+    return semdedup(e, k)
+
+
+@register(
+    "q_semdedup_capped",
+    oracle=_sem_oracle(f"ceil(count(*) / {SEM_TARGET_CLUSTER}.0)"),
+    doc="semantic dedup, the PRODUCTION anchor rule (VERDICT r8 task 3, "
+    "the q_neardup_capped discipline): identical plan to q_semdedup with "
+    f"k = max({SEM_MIN_ANCHORS}, ceil(n / {SEM_TARGET_CLUSTER})) — anchors "
+    "grow LINEARLY with the corpus so the expected cluster size is pinned "
+    f"at ~{SEM_TARGET_CLUSTER} and in-cluster pair volume is bounded at "
+    f"~n*{SEM_TARGET_CLUSTER} = O(n), vs the sqrt rule's n^1.5 (measured "
+    "14.9x wall for 10x data at sf1). Both engines derive k from the same "
+    "count, so the oracle holds exactly at every SF. The nearest-anchor "
+    "assignment (n*k fold cosines) becomes the asymptotic hot spot around "
+    "k ~ 10^5; SCALE.md names the next rung (blocked-BLAS assignment or a "
+    "two-level coarse/fine anchor tree) — the pair stage, the part that "
+    "was superlinear, is linear here.",
+)
+def q_semdedup_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    e = load_table(spark, sf_dir, "embeddings", fan_out=True).select(
+        "vec_id", "embedding"
+    )
+    n = e.count()
+    k = (
+        max(SEM_MIN_ANCHORS, math.ceil(n / SEM_TARGET_CLUSTER))
+        if n
+        else SEM_MIN_ANCHORS
+    )
+    return semdedup(e, k)
 
 
 # --------------------------------------------------------------------------

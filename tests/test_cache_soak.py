@@ -100,6 +100,55 @@ def test_quarantine_reader_soak_no_cache_growth(spark, tmp_path):
     )
 
 
+def test_fuzzy_family_soak_no_cache_growth(spark):
+    """The r8 deletion-neighborhood rewrite gave q_fuzzy_match two cache
+    handles (dn/ex) and q_golden_record a label checkpoint; loop both and
+    assert executor storage returns to baseline (VERDICT r8 task 7)."""
+    from prefect_flow_arc_indexer_spark.plans import all_queries
+
+    reg = all_queries()
+    baseline = _settles_to(spark, 0, slack=0, deadline=10.0)
+    for _i in range(3):
+        df = reg["q_fuzzy_match"].builder(spark, SF_DIR)
+        assert df.count() > 0
+        df.sig_release.release()
+        df.dn_release.release()
+        del df
+        g = reg["q_golden_record"].builder(spark, SF_DIR)
+        assert g.count() > 0
+        # builder already released the edge snapshot + fuzzy caches; the
+        # label checkpoint is the caller's (ADVICE r8)
+        assert g.ckpt_release.release() is True
+        del g
+    final = _settles_to(spark, baseline)
+    assert final <= baseline, (
+        f"persistent RDDs grew {baseline} -> {final} over 3 fuzzy-family "
+        "calls — a cache/checkpoint entry is leaking per call"
+    )
+
+
+def test_golden_record_error_exit_releases_fuzzy_state(spark, monkeypatch):
+    """A connected_components raise must not strand the edge snapshot or
+    the fuzzy dn/ex caches — the try/finally added for ADVICE r8."""
+    import prefect_flow_arc_indexer_spark.operators.dedup as dedup_mod
+    from prefect_flow_arc_indexer_spark.plans import all_queries
+
+    baseline = _settles_to(spark, 0, slack=0, deadline=10.0)
+
+    def boom(edges, **kw):
+        raise RuntimeError("forced non-convergence (test)")
+
+    monkeypatch.setattr(dedup_mod, "connected_components", boom)
+    rq = all_queries()["q_golden_record"]
+    with pytest.raises(RuntimeError, match="forced non-convergence"):
+        rq.builder(spark, SF_DIR)
+    final = _settles_to(spark, baseline)
+    assert final <= baseline, (
+        f"persistent RDDs grew {baseline} -> {final} across the error "
+        "exit — the finally block is not releasing the fuzzy state"
+    )
+
+
 @pytest.mark.parametrize("_", [0])
 def test_dedup_embedding_release_handle(spark, _):
     """q_dedup_embedding's self-join persist carries the same release
