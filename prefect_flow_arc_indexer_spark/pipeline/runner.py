@@ -78,6 +78,10 @@ class SyncReport:
     # X7 applied to the ES mirror: alias count == ES _count after the
     # mirror writes (warn-only, like the reference's reconcile)
     mirror_reconcile: dict[str, bool] = field(default_factory=dict)
+    # X6 applied to the ES mirror on full sync: the physical index the
+    # alias was atomically swapped to (None = swap attempted and failed;
+    # warn-only posture, reference swap_indexes flows/main_flow.py:534-555)
+    mirror_published: dict[str, str | None] = field(default_factory=dict)
 
 
 def _enumerate_indexes(docs: DataFrame) -> list[str]:

@@ -198,8 +198,12 @@ def test_cli_es_nodes_mirrors_published_indexes(tmp_path, capsys, monkeypatch):
     def fake_deletes(df, cfg, index):
         delete_calls.append((index, df.count()))
 
+    swaps: list[tuple[str, str]] = []
     monkeypatch.setattr(es_sink, "write_upserts_rest", fake_mirror)
     monkeypatch.setattr(es_sink, "write_deletes", fake_deletes)
+    monkeypatch.setattr(
+        es_sink, "swap_alias", lambda cfg, a, g: swaps.append((a, g))
+    )
     rc = main(
         [
             "--source", "/root/testdata/sf0.001",
@@ -214,12 +218,17 @@ def test_cli_es_nodes_mirrors_published_indexes(tmp_path, capsys, monkeypatch):
     )
     assert rc == 0
     report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
-    assert [c[0] for c in calls] == ["purchase"]
+    # the full-sync bulk load targets the generation-named physical index
+    # and the alias is swapped to it afterwards (VERDICT r8 task 4)
+    assert len(calls) == 1 and calls[0][0].startswith("purchase_")
     assert calls[0][1] == report["written"]["purchase"]
     assert calls[0][2:] == (123, 7, 2)  # flags reached EsSinkConfig
-    # the full-sync mirror also converges pre-existing ES state: source
-    # tombstones are bulk-deleted after the upsert pass (ADVICE r5)
-    assert [d[0] for d in delete_calls] == ["purchase"]
+    assert swaps == [("purchase", calls[0][0])]
+    assert report["mirror_published"] == {"purchase": calls[0][0]}
+    # tombstone deletes are no longer shipped on full sync: the swap drops
+    # the superseded physical index wholesale (they remain the incremental
+    # path's job)
+    assert delete_calls == []
 
 
 # -- X3: concurrent submission of the large-index class ----------------------

@@ -19,16 +19,35 @@ from prefect_flow_arc_indexer_spark.streaming.watermark import WatermarkStore
 
 class _RecordingEs(http.server.BaseHTTPRequestHandler):
     """Minimal ES stand-in: records every NDJSON _bulk action, maintains a
-    per-index doc store, and answers GET /{index}/_count + POST /_refresh —
-    enough surface for the post-mirror count reconcile gate."""
+    per-index doc store plus an alias map, and answers GET /{name}/_count
+    (alias-resolving), POST /_refresh, GET /_alias/{name}, POST /_aliases,
+    PUT /{index}/_settings and DELETE /{indexes} — enough surface for the
+    post-mirror count reconcile gate AND the publish-time settings-restore
+    + atomic alias swap (VERDICT r8 task 4)."""
 
     ops: list[tuple[str, str, str]] = []  # (op, index, id) — class-level
     docs: dict[str, set[str]] = {}  # index -> live ids — class-level
+    aliases: dict[str, str] = {}  # alias -> physical index — class-level
+    settings: list[tuple[str, dict]] = []  # PUT _settings calls — class-level
+
+    def _resolve(self, name: str) -> str:
+        return type(self).aliases.get(name, name)
 
     def do_POST(self):
         if self.path.endswith("/_refresh"):
             return self._reply({"_shards": {"failed": 0}})
         body = self.rfile.read(int(self.headers["Content-Length"]))
+        if self.path.rstrip("/").endswith("_aliases"):
+            for act in json.loads(body)["actions"]:
+                kind, spec = next(iter(act.items()))
+                if kind == "add":
+                    type(self).aliases[spec["alias"]] = spec["index"]
+                elif (
+                    kind == "remove"
+                    and type(self).aliases.get(spec["alias"]) == spec["index"]
+                ):
+                    del type(self).aliases[spec["alias"]]
+            return self._reply({"acknowledged": True})
         lines = [ln for ln in body.decode().splitlines() if ln.strip()]
         i = 0
         while i < len(lines):
@@ -36,7 +55,7 @@ class _RecordingEs(http.server.BaseHTTPRequestHandler):
             op = next(iter(meta))
             index, _id = meta[op]["_index"], meta[op]["_id"]
             type(self).ops.append((op, index, _id))
-            store = type(self).docs.setdefault(index, set())
+            store = type(self).docs.setdefault(self._resolve(index), set())
             if op == "delete":
                 store.discard(_id)
             else:
@@ -46,12 +65,34 @@ class _RecordingEs(http.server.BaseHTTPRequestHandler):
 
     def do_GET(self):
         if self.path.endswith("/_count"):
-            index = self.path.strip("/").split("/")[0]
+            index = self._resolve(self.path.strip("/").split("/")[0])
             return self._reply(
                 {"count": len(type(self).docs.get(index, set()))}
             )
+        if self.path.startswith("/_alias/"):
+            alias = self.path[len("/_alias/"):]
+            phys = type(self).aliases.get(alias)
+            if phys is None:
+                self.send_response(404)
+                self.end_headers()
+                return
+            return self._reply({phys: {"aliases": {alias: {}}}})
         self.send_response(404)
         self.end_headers()
+
+    def do_PUT(self):
+        body = self.rfile.read(int(self.headers.get("Content-Length", 0)))
+        if "/_settings" in self.path:
+            index = self.path.strip("/").split("/")[0]
+            type(self).settings.append((index, json.loads(body)))
+            return self._reply({"acknowledged": True})
+        self.send_response(404)
+        self.end_headers()
+
+    def do_DELETE(self):
+        for index in self.path.strip("/").split(","):
+            type(self).docs.pop(index, None)
+        self._reply({"acknowledged": True})
 
     def _reply(self, payload: dict):
         resp = json.dumps(payload).encode()
@@ -69,6 +110,8 @@ class _RecordingEs(http.server.BaseHTTPRequestHandler):
 def es_stub():
     _RecordingEs.ops = []
     _RecordingEs.docs = {}
+    _RecordingEs.aliases = {}
+    _RecordingEs.settings = []
     srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), _RecordingEs)
     threading.Thread(target=srv.serve_forever, daemon=True).start()
     yield f"127.0.0.1:{srv.server_address[1]}", _RecordingEs.ops
@@ -86,9 +129,11 @@ def _write_events(spark, path: str, rows: list[tuple[str, int, str, datetime]]):
 
 def test_cli_es_mirror_e2e_full_then_incremental(spark, tmp_path, capsys, es_stub):
     """Drive --sink-dir + --es-nodes together through a real REST stub:
-    the full sync ships the alias and deletes source tombstones; the
-    incremental run mirrors ONLY the merged delta (not the whole alias)
-    and bulk-deletes the batch's tombstones (ADVICE r5 / VERDICT task 8)."""
+    the full sync bulk-loads the GENERATION index, restores serving
+    settings, and atomically swaps the alias to it (reference swap_indexes,
+    VERDICT r8 task 4); the incremental run mirrors ONLY the merged delta
+    (not the whole alias) through the alias and bulk-deletes the batch's
+    tombstones (ADVICE r5 / VERDICT task 8)."""
     from prefect_flow_arc_indexer_spark.__main__ import main
 
     nodes, ops = es_stub
@@ -113,11 +158,22 @@ def test_cli_es_mirror_e2e_full_then_incremental(spark, tmp_path, capsys, es_stu
     assert main([*argv, "--full-sync"]) == 0
     report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert report["written"]["alpha"] == 3
+    # the bulk load targets the generation-named physical index ...
+    gen = report["mirror_published"]["alpha"]
+    assert gen and gen.startswith("alpha_") and gen != "alpha"
     assert sorted(o for o in ops if o[0] == "index") == [
-        ("index", "alpha", "1"), ("index", "alpha", "2"),
-        ("index", "alpha", "3"),
+        ("index", gen, "1"), ("index", gen, "2"), ("index", gen, "3"),
     ]
-    assert ("delete", "alpha", "13") in ops
+    # ... which got its serving settings restored BEFORE the alias flip
+    assert _RecordingEs.settings == [
+        (gen, {"index": {"refresh_interval": "30s",
+                         "number_of_replicas": 1}}),
+    ]
+    # ... and the alias now points at it (the atomic _aliases call)
+    assert _RecordingEs.aliases == {"alpha": gen}
+    # tombstones are NOT shipped on full sync: the fresh generation never
+    # contained them and the swap drops the superseded physical index
+    assert not [o for o in ops if o[0] == "delete"]
     # post-mirror reconcile (VERDICT r6 task 6): alias count == ES _count
     assert report["mirror_reconcile"] == {"alpha": True}
 
@@ -157,7 +213,6 @@ def test_mirror_reconcile_mismatch_warns_only(spark, tmp_path, capsys, es_stub):
     from prefect_flow_arc_indexer_spark.__main__ import main
 
     nodes, _ops = es_stub
-    _RecordingEs.docs["alpha"] = {"999"}  # pre-existing drift
     src = str(tmp_path / "src")
     t0 = datetime(2024, 1, 1, 12, 0, 0)
     _write_events(
@@ -165,16 +220,32 @@ def test_mirror_reconcile_mismatch_warns_only(spark, tmp_path, capsys, es_stub):
         f"{src}/events.parquet",
         [("alpha", 1, '{"v": 1}', t0), ("alpha", 2, '{"v": 2}', t0)],
     )
-    assert main([
+    argv = [
         "--source", src,
         "--sink-dir", str(tmp_path / "sink"),
         "--es-nodes", nodes,
         "--or-ids", "alpha",
-        "--full-sync",
-    ]) == 0  # warn-only: the mismatch does NOT fail the run
+    ]
+    assert main([*argv, "--full-sync"]) == 0
     report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
-    assert report["written"]["alpha"] == 2
-    assert report["mirror_reconcile"] == {"alpha": False}  # ES holds 3
+    # the full sync's swapped-in generation starts clean -> reconciled
+    assert report["mirror_reconcile"] == {"alpha": True}
+    # drift appears behind the alias (a doc the sink never wrote) ...
+    _RecordingEs.docs[report["mirror_published"]["alpha"]].add("999")
+    _write_events(
+        spark,
+        f"{src}/events.parquet",
+        [
+            ("alpha", 1, '{"v": 1}', t0),
+            ("alpha", 2, '{"v": 2}', t0),
+            ("alpha", 3, '{"v": 3}', datetime(2030, 1, 1)),
+        ],
+    )
+    # ... and the next incremental run flags it warn-only
+    assert main(argv) == 0  # the mismatch does NOT fail the run
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert report["written"]["alpha"] == 1
+    assert report["mirror_reconcile"] == {"alpha": False}  # ES holds 4, alias 3
 
 
 def test_count_index_refresh_then_count(es_stub):
@@ -190,6 +261,109 @@ def test_count_index_refresh_then_count(es_stub):
     cfg = EsSinkConfig(nodes=nodes)
     assert count_index(cfg, "idx") == 3
     assert count_index(cfg, "absent") == 0
+
+
+# -- publish-time settings restore + atomic alias swap (VERDICT r8 task 4) ---
+
+
+def _fake_es_transport(alias_map: dict[str, str]):
+    """Recording transport for the injected-``request`` unit tests: answers
+    GET /_alias/{a} from ``alias_map`` (404 -> raises, like urllib) and
+    acknowledges everything else."""
+    import json as _json
+
+    log: list[tuple[str, str, dict | None]] = []
+
+    def request(url, data, method, timeout):
+        path = url.split("://", 1)[-1].split("/", 1)[1]
+        payload = None if data is None else _json.loads(data)
+        log.append((method, "/" + path, payload))
+        if path.startswith("_alias/"):
+            alias = path[len("_alias/"):]
+            if alias not in alias_map:
+                raise OSError("404 alias not found")
+            return _json.dumps(
+                {alias_map[alias]: {"aliases": {alias: {}}}}
+            ).encode()
+        return b'{"acknowledged": true}'
+
+    return request, log
+
+
+def test_restore_publish_settings_puts_reference_body():
+    """PUT {index}/_settings with refresh_interval=30s / replicas=1 — the
+    reference's serving-posture restore (flows/main_flow.py:544-548)."""
+    from prefect_flow_arc_indexer_spark.pipeline.es_sink import (
+        EsSinkConfig,
+        restore_publish_settings,
+    )
+
+    request, log = _fake_es_transport({})
+    restore_publish_settings(
+        EsSinkConfig(nodes="es:9200", timeout_s=7), "alpha_2024", request
+    )
+    assert log == [
+        (
+            "PUT",
+            "/alpha_2024/_settings?timeout=7s",
+            {"index": {"refresh_interval": "30s", "number_of_replicas": 1}},
+        )
+    ]
+
+
+def test_swap_alias_first_publish_add_only():
+    """No existing alias: one atomic _aliases call with a single add
+    action, no DELETE (reference exists_alias guard, main_flow.py:536)."""
+    from prefect_flow_arc_indexer_spark.pipeline.es_sink import (
+        EsSinkConfig,
+        swap_alias,
+    )
+
+    request, log = _fake_es_transport({})
+    old = swap_alias(
+        EsSinkConfig(nodes="es:9200"), "alpha", "alpha_2024", request=request
+    )
+    assert old == []
+    methods = [(m, p) for m, p, _ in log]
+    assert ("POST", "/_aliases") in methods
+    assert not any(m == "DELETE" for m, _ in methods)
+    aliases_payload = next(pl for m, p, pl in log if p == "/_aliases")
+    assert aliases_payload == {
+        "actions": [{"add": {"index": "alpha_2024", "alias": "alpha"}}]
+    }
+
+
+def test_swap_alias_changeover_removes_and_deletes_old():
+    """Existing alias: settings restore first, then ONE actions array that
+    removes the old index and adds the new (atomic flip), then the old
+    physical index is deleted (reference indices.delete,
+    main_flow.py:551-555)."""
+    from prefect_flow_arc_indexer_spark.pipeline.es_sink import (
+        EsSinkConfig,
+        swap_alias,
+    )
+
+    request, log = _fake_es_transport({"alpha": "alpha_2023"})
+    old = swap_alias(
+        EsSinkConfig(nodes="es:9200"), "alpha", "alpha_2024", request=request
+    )
+    assert old == ["alpha_2023"]
+    paths = [(m, p) for m, p, _ in log]
+    # order: read alias -> settings restore -> atomic flip -> delete old
+    assert [p.split("?")[0] for _, p in paths] == [
+        "/_alias/alpha",
+        "/alpha_2024/_settings",
+        "/_aliases",
+        "/alpha_2023",
+    ]
+    assert paths[-1][0] == "DELETE"
+    aliases_payload = next(pl for m, p, pl in log if p == "/_aliases")
+    assert aliases_payload == {
+        "actions": [
+            {"remove": {"index": "alpha_2023", "alias": "alpha"}},
+            {"add": {"index": "alpha_2024", "alias": "alpha"}},
+        ]
+    }
 
 
 # -- one-pass publish guards (ADVICE r5) --------------------------------------
