@@ -17,7 +17,15 @@ pathological structure that plain copying would create:
   roughly sf0.1's density instead of welding every doc to 9 exact clones;
 - ``embeddings.embedding``: add ``((i*31 + d*17 + vec_id*13) % 97 - 48)
   * 1e-3`` per dimension — breaks the exact-tie top-k degeneracy ten
-  identical copies of every vector would create.
+  identical copies of every vector would create;
+- ``events.ts``: shift by ``i * 31 days`` (the time-axis analog of the
+  key shift; sf0.1's events span one calendar month, so replicas land in
+  DISJOINT wall-clock ranges). Without it every replica shares the same
+  month and global-vs-per-user interval overlap density grows with the
+  replica count — q_interval_join measured 14.5x wall for 10x data from
+  the data alone, polluting the scale-ratio watchlist (VERDICT r8
+  task 6). No query predicates an absolute events date, so selectivities
+  are unchanged.
 
 Usage:  python scripts/gen_sf1.py [src_dir] [dst_dir]
 Defaults: /root/testdata/sf0.1 -> <repo>/testdata_sf1 (gitignored).
@@ -52,6 +60,13 @@ _SHIFTS = {
 }
 _VERBATIM = ("region", "nation")  # fixed dimensions: FK targets stay put
 
+# timestamp column -> per-replica shift in microseconds (the time-axis
+# analog of _SHIFTS: replicas must occupy disjoint wall-clock ranges or
+# global-vs-per-key temporal overlap density grows with the replica count)
+_TS_SHIFTS = {
+    "events": {"ts": 31 * 24 * 3600 * 1_000_000},  # sf0.1 spans one month
+}
+
 
 def _shifted(table: pa.Table, shifts: dict[str, int], i: int) -> pa.Table:
     for col, stride in shifts.items():
@@ -65,6 +80,26 @@ def _shifted(table: pa.Table, shifts: dict[str, int], i: int) -> pa.Table:
             )
         idx = table.schema.get_field_index(col)
         shifted = pc.add(table.column(col), pa.scalar(i * stride, pa.int64()))
+        table = table.set_column(idx, table.schema.field(col), shifted)
+    return table
+
+
+def _ts_shifted(table: pa.Table, shifts: dict[str, int], i: int) -> pa.Table:
+    for col, stride_us in shifts.items():
+        span = pc.subtract(
+            pc.max(table.column(col)), pc.min(table.column(col))
+        ).cast(pa.duration("us")).as_py()
+        # same collision guard as _shifted: a source spanning more than the
+        # stride would overlap replicas in time
+        if span is not None and span.total_seconds() * 1e6 >= stride_us:
+            raise ValueError(
+                f"{col}: source span {span} >= stride {stride_us}us — "
+                "derive the time stride from the actual range first"
+            )
+        idx = table.schema.get_field_index(col)
+        shifted = pc.add(
+            table.column(col), pa.scalar(i * stride_us, pa.duration("us"))
+        )
         table = table.set_column(idx, table.schema.field(col), shifted)
     return table
 
@@ -114,6 +149,8 @@ def main() -> int:
         parts = []
         for i in range(REPLICAS):
             t = _shifted(base, shifts, i)
+            if i and name in _TS_SHIFTS:
+                t = _ts_shifted(t, _TS_SHIFTS[name], i)
             if i and name == "documents":
                 t = _rotate_texts(t, i)
             if i and name == "embeddings":
