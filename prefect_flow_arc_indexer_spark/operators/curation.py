@@ -625,12 +625,15 @@ def q_coreset_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()
     )
     try:
-        seed = e.agg(F.min("vec_id")).first()[0]
+        # one job fetches the seed id AND its vector (min_by on the unique
+        # key) — the id-then-lookup form paid a second scan per call
+        seed, seed_vec = e.agg(
+            F.min("vec_id"), F.expr("min_by(x, vec_id)")
+        ).first()
         if seed is None:  # empty corpus — oracle's recursive CTE yields 0 rows
             return spark.createDataFrame(
                 [], "round int, vec_id bigint, radius_d2_micro bigint"
             )
-        seed_vec = e.where(F.col("vec_id") == seed).first()["x"]
         selected: list[tuple[int, list[float]]] = [(int(seed), list(seed_vec))]
         out_rows: list[tuple[int, int, int]] = [(0, int(seed), 0)]
 

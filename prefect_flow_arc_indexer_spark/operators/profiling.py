@@ -156,6 +156,26 @@ def q_array_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 FUZZY_MAX_DIST = 2
 
+# Distinct-name gate between the two oracle-identical fuzzy plans: below
+# it the plain (nation, segment)-blocked self-join is cheaper — its pair
+# volume sum_b n_b^2/2 is ~3.6M banded-levenshtein probes at 30k names
+# over the ~125 fixed blocks (sub-second JVM work), while the deletion-
+# neighborhood path pays a fixed ~L^2/2-per-name variant explode + two
+# persists regardless of size (measured +2.1 s at sf0.1's 15k names).
+# Above it the blocked join's quadratic in-block growth takes over
+# (measured 189 s at 150k names) and the variant path wins. Both plans
+# produce the exact oracle result: the variant join yields a verified
+# SUPERSET of candidates and the blocked join yields ALL in-block pairs,
+# so the banded-levenshtein verify emits identical rows either way.
+FUZZY_VARIANT_GATE = 30_000
+
+
+class _NoopRelease:
+    """Release-handle stand-in for plans that persisted nothing."""
+
+    def release(self) -> None:
+        return None
+
 
 def deletion_variants():
     """All strings reachable from column ``name`` by deleting 0, 1, or 2
@@ -218,7 +238,10 @@ def deletion_variants():
     "a variant retains the discriminating characters. Cost is linear: "
     "~L^2/2 variant rows per record through one shuffle, candidates "
     "only where real near-matches exist; scoring stays JVM banded "
-    "levenshtein (threshold form, early exit), no UDF anywhere.",
+    "levenshtein (threshold form, early exit), no UDF anywhere. Below "
+    "FUZZY_VARIANT_GATE distinct names the plan takes the plain blocked "
+    "self-join instead — oracle-identical output, and the variant "
+    "explode's fixed cost dominates at that size (VERDICT r8 task 5).",
 )
 def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark import StorageLevel
@@ -245,28 +268,45 @@ def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     release_dn = _CacheRelease(dn)
-    variants = deletion_variants()
-    # persist the exploded variant relation too: the variant self-join
-    # reads it twice and the higher-order array lambdas run interpreted
-    ex = dn.select(
-        "nk", "seg", "name", F.explode(variants).alias("v")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    release_ex = _CacheRelease(ex)
-    b = ex.select(
-        F.col("nk").alias("b_nk"), F.col("seg").alias("b_seg"),
-        F.col("name").alias("name_b"), F.col("v").alias("b_v"),
-    )
-    name_cand = (
-        ex.join(
+    # the count both picks the plan AND materializes the persist that
+    # either branch reads twice — no wasted action (VERDICT r8 task 5)
+    n_names = dn.count()
+    if n_names <= FUZZY_VARIANT_GATE:
+        # small corpus: plain blocked self-join, no variant explode
+        b = dn.select(
+            F.col("nk").alias("b_nk"), F.col("seg").alias("b_seg"),
+            F.col("name").alias("name_b"),
+        )
+        name_cand = dn.join(
             b,
-            (F.col("b_v") == F.col("v"))
-            & (F.col("b_nk") == F.col("nk"))
+            (F.col("b_nk") == F.col("nk"))
             & (F.col("b_seg") == F.col("seg"))
             & (F.col("name_b") > F.col("name")),
+        ).select("nk", "seg", F.col("name").alias("name_a"), "name_b")
+        release_ex = _NoopRelease()
+    else:
+        variants = deletion_variants()
+        # persist the exploded variant relation too: the variant self-join
+        # reads it twice and the higher-order array lambdas run interpreted
+        ex = dn.select(
+            "nk", "seg", "name", F.explode(variants).alias("v")
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        release_ex = _CacheRelease(ex)
+        b = ex.select(
+            F.col("nk").alias("b_nk"), F.col("seg").alias("b_seg"),
+            F.col("name").alias("name_b"), F.col("v").alias("b_v"),
         )
-        .select("nk", "seg", F.col("name").alias("name_a"), "name_b")
-        .distinct()
-    )
+        name_cand = (
+            ex.join(
+                b,
+                (F.col("b_v") == F.col("v"))
+                & (F.col("b_nk") == F.col("nk"))
+                & (F.col("b_seg") == F.col("seg"))
+                & (F.col("name_b") > F.col("name")),
+            )
+            .select("nk", "seg", F.col("name").alias("name_a"), "name_b")
+            .distinct()
+        )
     # threshold form: banded O(threshold * len) per pair with early exit
     # (returns -1 past the bound) instead of the full O(len^2) DP
     dist = F.levenshtein("name_a", "name_b", FUZZY_MAX_DIST)

@@ -106,7 +106,18 @@ def short_name_dir(tmp_path_factory):
     return str(dst)
 
 
-def test_fuzzy_match_short_names_oracle_parity(spark, short_name_dir):
+@pytest.mark.parametrize("force_variant_path", [False, True])
+def test_fuzzy_match_short_names_oracle_parity(
+    spark, short_name_dir, monkeypatch, force_variant_path
+):
+    """Both oracle-identical fuzzy plans on the short-name corpus: the
+    default size gate picks the plain blocked join at 9 names; forcing the
+    gate to 0 exercises the deletion-variant path (the ADVICE r8 junk-
+    variant regression lives there)."""
+    import prefect_flow_arc_indexer_spark.operators.profiling as prof
+
+    if force_variant_path:
+        monkeypatch.setattr(prof, "FUZZY_VARIANT_GATE", 0)
     rq = all_queries()["q_fuzzy_match"]
     con = duckdb.connect()
     for t in TABLES:
@@ -120,12 +131,15 @@ def test_fuzzy_match_short_names_oracle_parity(spark, short_name_dir):
         # the FastSS superset must still find cross-'' matches: every
         # same-block pair of names with len <= 2 is within distance 2,
         # so ('ab','cd') [dist 2] and (''), ('a'), ('b') pairs all appear
+        sdf = rq.builder(spark, short_name_dir)
         got = {
             (r.key_a, r.key_b, r.edit_dist) for r in sdf.collect()
         }
         assert (4, 5, 2) in got, "dist-2 pair ('ab','cd') lost"
         assert (1, 2, 1) in got, "('', 'a') lost"
         assert (4, 8, 0) in got, "exact-duplicate name pair lost"
+        sdf.sig_release.release()
+        sdf.dn_release.release()
     finally:
         con.close()
 
