@@ -938,32 +938,93 @@ def _sem_oracle(k_expr: str) -> str:
     )
 
 
+# above this anchor count the nearest-anchor assignment switches from the
+# per-row expression fold to one float64 matmul per Arrow batch: the fold
+# evaluates k rounded cosines through codegen'd expression eval per vector
+# (n*k scalar fold steps — measured as the whole 18x sf1 wall of the first
+# q_semdedup_capped cut, where k grows linearly with n), while the matmul
+# pays the identical flop count at BLAS speed. Below it the fold wins by
+# staying JVM-side with zero Python/Arrow transfer.
+SEM_BLAS_MIN_ANCHORS = 32
+
+
+def _blocked_assign_batches(cells, a_mat):
+    """mapInPandas worker for nearest-anchor assignment: per Arrow batch,
+    ONE float64 matmul against the (closure-captured, normalized) anchor
+    matrix, then argmax over the 6-dp-rounded similarities. ``cells`` is
+    sorted ascending, and np.argmax takes the FIRST max, so ties go to the
+    smallest cell — bit-for-bit the fold path's (cos DESC, cell ASC) rule
+    (rounding parity with the oracle is the q_knn_blocked precedent)."""
+    import numpy as np
+    import pandas as pd
+
+    def assign(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            c = np.array(pdf["embedding"].tolist(), dtype="float64")
+            c_norm = c / np.linalg.norm(c, axis=1, keepdims=True)
+            sims = np.round(c_norm @ a_mat.T, 6)  # (batch, k)
+            best = sims.argmax(axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "embedding": pdf["embedding"],
+                    "cluster": cells[best],
+                }
+            )
+
+    return assign
+
+
 def semdedup(e: DataFrame, k: int) -> DataFrame:
     """SemDeDup over ``(vec_id, embedding)`` with ``k`` anchor cells:
-    assign every vector to its nearest anchor (broadcast array fold, no
-    shuffle), then mark any vector whose cosine to a smaller-id
-    cluster-mate reaches SEM_THRESHOLD as a duplicate of the min such id.
-    Callers pick ``k`` — see :func:`q_semdedup` (k = ceil(sqrt(n)), the
-    oracle-study form) and :func:`q_semdedup_capped` (k = ceil(n/C), the
-    linear production default)."""
-    anchors = e.where(F.col("vec_id") < k).agg(
-        F.sort_array(
-            F.collect_list(
-                F.struct(
-                    F.col("vec_id").alias("cell"),
-                    F.col("embedding").alias("centroid"),
-                )
-            )
-        ).alias("cents")
-    )
-    assigned = (
-        e.crossJoin(F.broadcast(anchors))
-        .select(
-            "vec_id",
-            "embedding",
-            _argmax_cell(F.col("cents"), F.col("embedding")).alias("cluster"),
+    assign every vector to its nearest anchor (shuffle-free — a broadcast
+    array fold for small k, a BLAS-blocked mapInPandas matmul once k
+    crosses SEM_BLAS_MIN_ANCHORS; identical argmax semantics either way),
+    then mark any vector whose cosine to a smaller-id cluster-mate reaches
+    SEM_THRESHOLD as a duplicate of the min such id. Callers pick ``k`` —
+    see :func:`q_semdedup` (k = ceil(sqrt(n)), the oracle-study form) and
+    :func:`q_semdedup_capped` (k = ceil(n/C), the linear production
+    default, which is exactly the regime where k is large enough for the
+    matmul path)."""
+    a_rows = None
+    if k > SEM_BLAS_MIN_ANCHORS:
+        # k anchor rows by contract — the same driver-side bound the
+        # fold path's one-row collect_list carries (empty corpus falls
+        # through to the fold path, which already handles it)
+        a_rows = sorted(
+            e.where(F.col("vec_id") < k).collect(), key=lambda r: r["vec_id"]
         )
-    )
+    if a_rows:
+        import numpy as np
+
+        cells = np.array([r["vec_id"] for r in a_rows], dtype="int32")
+        a_mat = np.array([r["embedding"] for r in a_rows], dtype="float64")
+        a_mat = a_mat / np.linalg.norm(a_mat, axis=1, keepdims=True)
+        assigned = e.select("vec_id", "embedding").mapInPandas(
+            _blocked_assign_batches(cells, a_mat),
+            schema="vec_id long, embedding array<float>, cluster int",
+        )
+    else:
+        anchors = e.where(F.col("vec_id") < k).agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.col("vec_id").alias("cell"),
+                        F.col("embedding").alias("centroid"),
+                    )
+                )
+            ).alias("cents")
+        )
+        assigned = (
+            e.crossJoin(F.broadcast(anchors))
+            .select(
+                "vec_id",
+                "embedding",
+                _argmax_cell(F.col("cents"), F.col("embedding")).alias("cluster"),
+            )
+        )
     left = assigned.select(
         "vec_id", "cluster", F.col("embedding").alias("a_emb")
     )
@@ -1036,10 +1097,12 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"~n*{SEM_TARGET_CLUSTER} = O(n), vs the sqrt rule's n^1.5 (measured "
     "14.9x wall for 10x data at sf1). Both engines derive k from the same "
     "count, so the oracle holds exactly at every SF. The nearest-anchor "
-    "assignment (n*k fold cosines) becomes the asymptotic hot spot around "
-    "k ~ 10^5; SCALE.md names the next rung (blocked-BLAS assignment or a "
-    "two-level coarse/fine anchor tree) — the pair stage, the part that "
-    "was superlinear, is linear here.",
+    "assignment runs BLAS-blocked above SEM_BLAS_MIN_ANCHORS (one float64 "
+    "matmul per Arrow batch, same rounded-argmax semantics as the fold — "
+    "measured 25.8 s -> 5.2 s at sf1, ratio 18x -> ~2.5x); its n*k flop "
+    "count stays the asymptotic term around k ~ 10^6, where SCALE.md names "
+    "the next rung (a two-level coarse/fine anchor tree) — the pair stage, "
+    "the part that was superlinear, is linear here.",
 )
 def q_semdedup_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     import math

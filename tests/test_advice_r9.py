@@ -164,3 +164,23 @@ def test_fuzzy_variant_guard_no_junk_blocks(spark):
     assert got["a"] == ["", "a"]
     assert got["ab"] == ["", "a", "ab", "b"]
     assert got["abc"] == ["a", "ab", "abc", "ac", "b", "bc", "c"]
+
+
+def test_semdedup_blocked_assignment_matches_fold_path(spark, monkeypatch):
+    """The BLAS-blocked nearest-anchor assignment (engaged when k >
+    SEM_BLAS_MIN_ANCHORS — the linear-k production regime) must be
+    bit-identical to the expression-fold path at every k: same rounded-
+    cosine argmax, same smallest-cell tie-break. Force both paths over the
+    same corpus/k and compare full result sets."""
+    from prefect_flow_arc_indexer_spark.operators import similarity as sim
+    from prefect_flow_arc_indexer_spark.sources.parquet import load_table
+
+    e = load_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    k = 23  # > the forced threshold below, < the real one
+
+    monkeypatch.setattr(sim, "SEM_BLAS_MIN_ANCHORS", 10**9)
+    fold = sorted(map(tuple, sim.semdedup(e, k).collect()))
+    monkeypatch.setattr(sim, "SEM_BLAS_MIN_ANCHORS", 1)
+    blocked = sorted(map(tuple, sim.semdedup(e, k).collect()))
+    assert fold == blocked
+    assert len(fold) == e.count()
