@@ -306,18 +306,87 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# PageRank over the bigram-transition term graph (iterative; rows-only)
+# PageRank over the bigram-transition term graph (iterative; exact oracle)
 # --------------------------------------------------------------------------
 PAGERANK_ITERS = 5
 PAGERANK_DAMPING = 0.85
 PAGERANK_TOP_K = 25
+# rank vector held in FIXED-POINT units of 1/PAGERANK_QUANT as BIGINT: every
+# per-edge contribution is rounded to an integer, so the destination-keyed
+# SUM is order-independent — the same quantization move that made q_kmeans
+# an exact oracle, and the principled reproducibility choice at scale (the
+# result no longer depends on partitioning or AQE's reduction order). With
+# ranks <= 1 the units stay <= 1e12 (double-exact, < 2^53) and the summed
+# inflow stays far under BIGINT range; per-edge quantization error is
+# <= 5e-13 rank units against an output rounded at 1e-6.
+PAGERANK_QUANT = 10**12
+
+
+def _dd_pagerank_sql() -> str:
+    """Unrolled PageRank iterations in DuckDB SQL — textually parallel to
+    the Spark loop arithmetic (identical literals, association, and
+    rounding points), so fixed-point ranks match BIGINT-for-BIGINT."""
+    d = PAGERANK_DAMPING
+    q = float(PAGERANK_QUANT)
+    base = f"""bgs AS (
+  SELECT t.b FROM toks, unnest({_dd_bigrams()}) AS t(b)
+),
+edges AS (
+  SELECT split_part(b, ' ', 1) AS src, split_part(b, ' ', 2) AS dst,
+         count(*) AS w
+    FROM bgs GROUP BY 1, 2
+),
+outw AS (SELECT src, sum(w) AS outw FROM edges GROUP BY src),
+trans AS (
+  SELECT e.src, e.dst, CAST(e.w AS DOUBLE) / CAST(o.outw AS DOUBLE) AS p
+    FROM edges e JOIN outw o USING (src)
+),
+nodes AS (SELECT src AS term FROM edges UNION SELECT dst FROM edges),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS nd FROM nodes),
+noout AS (
+  SELECT term FROM nodes WHERE term NOT IN (SELECT src FROM outw)
+),
+r0 AS (
+  SELECT term, CAST(round({q} / (SELECT nd FROM nn)) AS BIGINT) AS rq
+    FROM nodes
+)"""
+    iters = []
+    for t in range(PAGERANK_ITERS):
+        iters.append(
+            f"""c{t} AS (
+  SELECT tr.dst,
+         CAST(sum(CAST(round(tr.p * CAST(r.rq AS DOUBLE)) AS BIGINT))
+              AS BIGINT) AS inflowq
+    FROM trans tr JOIN r{t} r ON r.term = tr.src GROUP BY tr.dst
+),
+d{t} AS (
+  SELECT CAST(COALESCE(sum(rq), 0) AS BIGINT) AS dmassq
+    FROM r{t} WHERE term IN (SELECT term FROM noout)
+),
+r{t + 1} AS (
+  SELECT n.term,
+         CAST(round((1.0 - {d}) * {q} / (SELECT nd FROM nn)
+                    + {d} * CAST(dq.dmassq AS DOUBLE) / (SELECT nd FROM nn)
+                    + {d} * CAST(COALESCE(c.inflowq, 0) AS DOUBLE))
+              AS BIGINT) AS rq
+    FROM nodes n LEFT JOIN c{t} c ON c.dst = n.term CROSS JOIN d{t} dq
+)"""
+        )
+    last = f"r{PAGERANK_ITERS}"
+    return (
+        f"WITH {_TOKS_CTE},\n{base},\n" + ",\n".join(iters) + f"""
+SELECT CAST(rank_pos AS INTEGER) AS rank_pos, term, pagerank FROM (
+  SELECT row_number() OVER (ORDER BY rq DESC, term ASC) AS rank_pos,
+         term, round(CAST(rq AS DOUBLE) / {q}, 6) AS pagerank
+    FROM {last})
+ WHERE rank_pos <= {PAGERANK_TOP_K}
+"""
+    )
 
 
 @register(
     "q_pagerank",
-    oracle=None,  # iterative driver-loop algorithm (like q_kmeans): the
-    # driver applies the rows-only check; fixed-point behavior and mass
-    # conservation are pytest-asserted instead
+    oracle=_dd_pagerank_sql(),
     doc="iterative graph algorithm surface: PageRank over the directed "
     "term-transition graph (edge term_a -> term_b with weight = corpus "
     "bigram count). Per iteration: one broadcast-able join of the rank "
@@ -325,8 +394,13 @@ PAGERANK_TOP_K = 25
     "destination term; dangling mass is folded back uniformly so total "
     "rank stays 1. The edge list is persisted once and every iteration "
     "reuses it — the canonical Spark iterative pattern (same family as "
-    "q_kmeans, on a graph instead of a vector space). Output: top-25 "
-    "terms by rounded rank, rank-tie-broken by term.",
+    "q_kmeans, on a graph instead of a vector space). Round 9: ranks are "
+    "fixed-point BIGINT units of 1/PAGERANK_QUANT with per-edge "
+    "contributions rounded BEFORE the destination sum, making every "
+    "aggregate order-independent — which upgrades the query from "
+    "rows-only to an exact unrolled-CTE oracle (the q_kmeans discipline) "
+    "AND makes the production result reproducible under any partitioning. "
+    "Output: top-25 terms by exact fixed-point rank, tie-broken by term.",
 )
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
@@ -370,38 +444,56 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("term")
             .localCheckpoint(eager=True)
         )
-        rank = nodes.select("term", F.lit(1.0 / n).alias("r"))
+        d, q = PAGERANK_DAMPING, float(PAGERANK_QUANT)
+        # fixed-point units of 1/QUANT, BIGINT throughout the loop: the
+        # per-edge round() BEFORE the destination sum makes each aggregate
+        # an exact integer sum — order-independent, hence reproducible
+        # under any partitioning AND oracle-comparable (every rounding
+        # point below has a textually parallel twin in _dd_pagerank_sql)
+        if n == 0:
+            # empty corpus: the oracle's CTEs all collapse to zero rows;
+            # without the guard the q/n literal divides by zero under ANSI
+            return spark.createDataFrame(
+                [], "rank_pos int, term string, pagerank double"
+            )
+        rank = nodes.select(
+            "term",
+            F.round(F.lit(q) / F.lit(float(n))).cast("long").alias("rq"),
+        )
         for _ in range(PAGERANK_ITERS):
             contrib = (
                 trans.join(rank, trans.src == rank.term)
-                .select("dst", (F.col("p") * F.col("r")).alias("c"))
+                .select(
+                    "dst",
+                    F.round(F.col("p") * F.col("rq").cast("double"))
+                    .cast("long")
+                    .alias("cq"),
+                )
                 .groupBy("dst")
-                .agg(F.sum("c").alias("inflow"))
+                .agg(F.sum("cq").alias("inflowq"))
             )
             # dangling terms (no out-edge) leak their mass; fold it back
             # uniformly. The 1-row dangling aggregate stays IN the plan as a
             # broadcast cross join instead of a per-iteration driver collect
-            # (one action per round instead of two); with the loop-invariant
-            # dangling SET hoisted above, the whole change measured
-            # 7.0s -> 5.0s at sf0.1. Arithmetic order matches the old
-            # driver-side computation term for term, so ranks are
-            # bit-identical (pinned by the determinism test).
+            # (one action per round instead of two).
             dang = rank.join(no_out, "term", "left_semi").agg(
-                F.coalesce(F.sum("r"), F.lit(0.0)).alias("dmass")
-            )
-            base = (F.lit(1.0 - PAGERANK_DAMPING) / F.lit(float(n))) + (
-                F.lit(PAGERANK_DAMPING) * F.col("dmass") / F.lit(float(n))
+                F.coalesce(F.sum("rq"), F.lit(0)).cast("long").alias("dmassq")
             )
             rank = (
                 nodes.join(contrib, nodes.term == contrib.dst, "left")
                 .crossJoin(F.broadcast(dang))
                 .select(
                     "term",
-                    (
-                        base
-                        + F.lit(PAGERANK_DAMPING)
-                        * F.coalesce(F.col("inflow"), F.lit(0.0))
-                    ).alias("r"),
+                    F.round(
+                        F.lit(1.0 - d) * F.lit(q) / F.lit(float(n))
+                        + F.lit(d)
+                        * F.col("dmassq").cast("double")
+                        / F.lit(float(n))
+                        + F.lit(d)
+                        * F.coalesce(F.col("inflowq"), F.lit(0)).cast("double")
+                    )
+                    .cast("long")
+                    .alias("rq"),
                 )
                 # eager: each round's plan references `rank` twice (contrib +
                 # dangling), so an unmaterialized checkpoint would re-run both
@@ -413,11 +505,16 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         # because the sort key is the same total order.
         wnd = Window.orderBy(F.desc("rq"), F.asc("term"))
         return (
-            rank.select("term", F.round("r", 6).alias("rq"))
-            .orderBy(F.desc("rq"), F.asc("term"))
+            rank.orderBy(F.desc("rq"), F.asc("term"))
             .limit(PAGERANK_TOP_K)
             .withColumn("rank_pos", F.row_number().over(wnd))
-            .select("rank_pos", "term", F.col("rq").alias("pagerank"))
+            .select(
+                "rank_pos",
+                "term",
+                F.round(F.col("rq").cast("double") / F.lit(q), 6).alias(
+                    "pagerank"
+                ),
+            )
         )
     finally:
         trans.unpersist()
