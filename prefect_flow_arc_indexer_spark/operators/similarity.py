@@ -791,13 +791,93 @@ def q_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
 # top principal component via power iteration (iterative linear algebra)
 # --------------------------------------------------------------------------
 PCA_ITERS = 4
+# fixed-point quantization making every corpus-wide float SUM an exact
+# integer sum (the q_kmeans/q_pagerank discipline): inputs/means at 1e6
+# (the ivf_centroids scale), per-row step contributions at 1e9. Everything
+# DOWNSTREAM of the sums (norm, normalize, Rayleigh quotient) runs over a
+# d=64 vector in pinned dimension order, so it is deterministic without
+# quantization.
+PCA_QIN = 1_000_000.0
+PCA_QSTEP = 1_000_000_000.0
+
+
+def _dd_pca_sql() -> str:
+    """Unrolled power iterations in DuckDB — textually parallel to the
+    Spark/driver arithmetic: identical quantization points, division
+    sequences, fold orders, and the same `norm == 0 -> 1.0` guard."""
+    dim = EMB_DIM
+    head = f"""WITH e AS (SELECT embedding::DOUBLE[] AS x FROM embeddings),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM e),
+msum AS (
+  SELECT i, sum(CAST(round(x[i] * {PCA_QIN}) AS BIGINT)) AS sq
+    FROM e CROSS JOIN range(1, {dim + 1}) t(i) GROUP BY i
+),
+mvec AS (
+  SELECT list(CAST(sq AS DOUBLE) / {PCA_QIN} / (SELECT n FROM nn)
+              ORDER BY i) AS m
+    FROM msum
+),
+v0 AS (
+  SELECT list_transform(generate_series(1, {dim}),
+                        i -> CASE WHEN i = 1 THEN 1.0 ELSE 0.0 END) AS v,
+         1.0 AS nrm
+)"""
+    iters = []
+    for t in range(PCA_ITERS):
+        iters.append(
+            f"""s{t} AS (
+  SELECT i,
+         sum(CAST(round((x[i] - m[i]) * dot * {PCA_QSTEP}) AS BIGINT)) AS sq
+    FROM (
+      SELECT x, m,
+             list_aggregate(
+               list_transform(generate_series(1, {dim}),
+                              j -> (x[j] - m[j]) * v[j]), 'sum') AS dot
+        FROM e, mvec, v{t}
+    ) CROSS JOIN range(1, {dim + 1}) t(i)
+   GROUP BY i
+),
+sv{t} AS (
+  SELECT list(CAST(sq AS DOUBLE) / {PCA_QSTEP} ORDER BY i) AS s FROM s{t}
+),
+v{t + 1} AS (
+  SELECT list_transform(s, y -> y / nrm) AS v, nrm FROM (
+    SELECT s,
+           CASE WHEN sqrt(list_aggregate(
+                    list_transform(s, y -> y * y), 'sum')) = 0
+                THEN 1.0
+                ELSE sqrt(list_aggregate(
+                    list_transform(s, y -> y * y), 'sum')) END AS nrm
+      FROM sv{t})
+)"""
+        )
+    last = f"v{PCA_ITERS}"
+    return (
+        head
+        + ",\n"
+        + ",\n".join(iters)
+        + f""",
+firstnz AS (
+  SELECT min(i) AS fi
+    FROM range(1, {dim + 1}) t(i), {last}
+   WHERE abs(v[i]) > 1e-12
+),
+flip AS (
+  SELECT CASE WHEN fi IS NOT NULL AND v[fi] < 0 THEN -1.0 ELSE 1.0 END AS sg
+    FROM {last}, firstnz
+)
+SELECT CAST(i - 1 AS INTEGER) AS component_idx,
+       round(sg * v[i], 6) AS loading,
+       round(nrm / (SELECT n FROM nn), 6) AS eigenvalue
+  FROM range(1, {dim + 1}) t(i), {last}, flip
+ CROSS JOIN (SELECT 1 FROM nn WHERE n > 0)
+"""
+    )
 
 
 @register(
     "q_pca_power",
-    oracle=None,  # iterative driver-loop algorithm (same class as q_kmeans/
-    # q_pagerank): rows-only check; convergence + invariants are
-    # pytest-asserted instead
+    oracle=_dd_pca_sql(),
     doc="iterative linear-algebra surface: top principal component of the "
     "centered embedding cloud via power iteration on the covariance "
     "operator — each round computes v <- normalize(sum_x x (x . v)) "
@@ -806,11 +886,19 @@ PCA_ITERS = 4
     "aggregate (zip_with running vector sum), so the per-round cost is a "
     "corpus scan + a d-width reduction, never d^2 state. The direction "
     "vector (d doubles) is driver-held between rounds — same O(1)-lineage "
-    "iterative pattern as q_kmeans. Output: the component quantized to "
+    "iterative pattern as q_kmeans. Round 9: the mean and each step's "
+    "d-width reduction sum PRE-ROUNDED integer contributions (PCA_QIN / "
+    "PCA_QSTEP units), so every corpus-wide aggregate is exact and "
+    "order-independent — upgrading the query from rows-only to an exact "
+    "unrolled-CTE oracle; norm/normalize/Rayleigh run over the d-vector "
+    "in pinned dimension order on both engines. Output: the component "
+    "quantized to "
     "1e-6 plus the Rayleigh-quotient eigenvalue estimate, sign-normalized "
     "(first nonzero coordinate positive) for run-to-run stability.",
 )
 def q_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
     e = load_table(spark, sf_dir, "embeddings", fan_out=True).select(
         F.col("embedding").cast("array<double>").alias("x")
     )
@@ -837,7 +925,13 @@ def q_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0.0),
             lambda acc, y: acc + y,
         )
-        scaled = F.transform(F.col("c"), lambda ci: ci * dot)
+        # per-row contribution quantized BEFORE the per-dimension sum, so
+        # the reduction is an exact integer sum — order-independent and
+        # oracle-comparable (s{t} CTE in _dd_pca_sql)
+        scaled = F.transform(
+            F.col("c"),
+            lambda ci: F.round(ci * dot * F.lit(PCA_QSTEP)).cast("long"),
+        )
         rows = (
             with_c.select(F.posexplode(scaled).alias("pos", "y"))
             .groupBy("pos")
@@ -846,27 +940,39 @@ def q_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         s = [0.0] * EMB_DIM
         for r in rows:
-            s[r["pos"]] = float(r["s"])
+            s[r["pos"]] = float(r["s"]) / PCA_QSTEP
         return s
 
     try:
         n = e.count()
+        if n == 0:
+            # empty corpus: the oracle's `WHERE n > 0` guard yields zero
+            # rows; without this the mean division below hits ANSI 22012
+            return spark.createDataFrame(
+                [], "component_idx int, loading double, eigenvalue double"
+            )
         mean_rows = (
             e.select(F.posexplode("x").alias("pos", "y"))
             .groupBy("pos")
-            .agg((F.sum("y") / F.lit(float(n))).alias("m"))
+            .agg(
+                F.sum(
+                    F.round(F.col("y") * F.lit(PCA_QIN)).cast("long")
+                ).alias("s")
+            )
             .collect()
         )
         mean = [0.0] * EMB_DIM
         for r in mean_rows:
-            mean[r["pos"]] = float(r["m"])
+            mean[r["pos"]] = float(r["s"]) / PCA_QIN / n
 
         # deterministic start direction
         v = [1.0 if i == 0 else 0.0 for i in range(EMB_DIM)]
         norm = 1.0
         for _ in range(PCA_ITERS):
             s = _step(v, mean)
-            norm = sum(x * x for x in s) ** 0.5 or 1.0
+            # math.sqrt (correctly rounded), NOT **0.5 (libm pow): the
+            # oracle's sqrt() must see the same double
+            norm = math.sqrt(sum(x * x for x in s)) or 1.0
             v = [x / norm for x in s]
         # Rayleigh quotient lambda = v' C v = ||C v|| at the fixpoint;
         # norm of the last un-normalized step over n gives the eigenvalue
