@@ -1475,6 +1475,183 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# capped SimHash pairs — the bounded PRODUCTION twin of q_simhash_pairs
+# (the q_neardup_capped discipline, VERDICT r9 task 2)
+# --------------------------------------------------------------------------
+SIMHASH_BUCKET_CAP = 128
+
+
+def _dd_simhash_capped_cte() -> str:
+    """Shared fp -> banded buckets -> deterministically capped buckets CTE
+    for the capped-pairs oracle and its census oracle (same text => the
+    census describes exactly the cap the pair query applies)."""
+    bands = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, simhash, {b} AS band_id, "
+        f"(simhash >> {b * SIMHASH_BAND_BITS}) & "
+        f"{(1 << SIMHASH_BAND_BITS) - 1} AS band_val FROM fp"
+        for b in range(SIMHASH_BANDS)
+    )
+    return f"""fp AS ({_dd_simhash_sql()}),
+buckets AS (
+{bands}
+),
+ranked AS (
+  SELECT doc_id, simhash, band_id, band_val,
+         row_number() OVER (PARTITION BY band_id, band_val
+                            ORDER BY doc_id) AS rn
+    FROM buckets
+),
+capped AS (
+  SELECT doc_id, simhash, band_id, band_val FROM ranked
+   WHERE rn <= {SIMHASH_BUCKET_CAP}
+)"""
+
+
+def _simhash_capped_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark side of :func:`_dd_simhash_capped_cte`: banded simhash buckets
+    with each (band_id, band_val) bucket deterministically truncated to its
+    ``SIMHASH_BUCKET_CAP`` smallest doc_ids. The row_number window shuffles
+    on the SAME key the candidate self-join uses, so the cap adds no extra
+    exchange — the join reuses the window's partitioning."""
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    fp = simhash_fingerprints(docs).localCheckpoint(eager=True)
+    mask = (1 << SIMHASH_BAND_BITS) - 1
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band_id"),
+            F.shiftright("simhash", b * SIMHASH_BAND_BITS)
+            .bitwiseAND(F.lit(mask))
+            .alias("band_val"),
+        )
+        for b in range(SIMHASH_BANDS)
+    ]
+    buckets = fp.select(
+        "doc_id", "simhash", F.explode(F.array(*band_structs)).alias("bk")
+    ).select("doc_id", "simhash", "bk.band_id", "bk.band_val")
+    w = Window.partitionBy("band_id", "band_val").orderBy("doc_id")
+    return (
+        buckets.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= SIMHASH_BUCKET_CAP)
+        .drop("rn")
+    )
+
+
+@register(
+    "q_simhash_capped",
+    oracle=f"""WITH {_dd_simhash_capped_cte()},
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.simhash AS sha, b.simhash AS shb
+    FROM capped a JOIN capped b
+      ON a.band_id = b.band_id AND a.band_val = b.band_val
+     AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, CAST(bit_count(xor(sha, shb)) AS BIGINT) AS hamming
+  FROM cand
+ WHERE bit_count(xor(sha, shb)) <= {SIMHASH_HAMMING_MAX}
+""",
+    doc="SimHash near-dup pairs through the CAPPED production path: each "
+    f"(band_id, band_val) bucket keeps only its {SIMHASH_BUCKET_CAP} "
+    "smallest doc_ids before the candidate self-join, bounding candidate "
+    "volume at cap^2/2 * n_buckets instead of sum |bucket|^2 — the one "
+    "remaining n^2-output contract in the dedup family (q_simhash_pairs: "
+    "175.6M pairs at sf1, 11.2x wall for 10x data) bounded the same way "
+    "q_neardup_capped bounds MinHash-LSH. The cap is deterministic "
+    "(row_number by doc_id inside the bucket), so the oracle holds "
+    "exactly even where the cap binds; the recall it trades on "
+    "degenerate (boilerplate-fingerprint) buckets is surfaced per band "
+    "by q_simhash_band_census rather than lost silently. Measured "
+    "output: 98k pairs at sf0.1 -> 237k at sf1 (2.4x for 10x data).",
+)
+def q_simhash_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    capped = _simhash_capped_buckets(spark, sf_dir)
+    a = capped.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("simhash").alias("sha"),
+        "band_id",
+        "band_val",
+    )
+    b = capped.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("simhash").alias("shb"),
+        "band_id",
+        "band_val",
+    )
+    hamming = F.bit_count(F.col("sha").bitwiseXOR(F.col("shb"))).cast("bigint")
+    return (
+        a.join(b, ["band_id", "band_val"])
+        .where(
+            (F.col("doc_a") < F.col("doc_b"))
+            & (hamming <= SIMHASH_HAMMING_MAX)
+        )
+        .select("doc_a", "doc_b", hamming.alias("hamming"))
+        .distinct()
+    )
+
+
+@register(
+    "q_simhash_band_census",
+    oracle=f"""WITH {_dd_simhash_capped_cte()},
+sz AS (
+  SELECT band_id, band_val, count(*) AS c,
+         sum(CASE WHEN rn > {SIMHASH_BUCKET_CAP} THEN 1 ELSE 0 END)
+             AS n_dropped
+    FROM ranked GROUP BY band_id, band_val
+)
+SELECT band_id,
+       count(*) AS n_buckets,
+       CAST(max(c) AS BIGINT) AS max_bucket,
+       CAST(sum(n_dropped) AS BIGINT) AS n_docs_dropped,
+       round(CAST(sum(least(c, {SIMHASH_BUCKET_CAP})
+                      * (least(c, {SIMHASH_BUCKET_CAP}) - 1) / 2) AS DOUBLE)
+             / greatest(sum(c * (c - 1) / 2), 1), 6) AS cand_retained_frac
+  FROM sz GROUP BY band_id
+""",
+    doc="visibility companion to q_simhash_capped (the "
+    "q_embedding_cell_census discipline): per band, the bucket count, the "
+    "largest bucket, how many doc slots the cap truncated, and the "
+    "fraction of uncapped candidate pairs the capped join still scores "
+    "(sum C(min(c,cap),2) / sum C(c,2)). 1 - cand_retained_frac bounds "
+    "the recall the cap trades on degenerate buckets — observable per "
+    "band instead of silent. Cost: one hash agg on the banded bucket "
+    "relation the capped join builds anyway.",
+)
+def q_simhash_band_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    fp = simhash_fingerprints(docs).localCheckpoint(eager=True)
+    mask = (1 << SIMHASH_BAND_BITS) - 1
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band_id"),
+            F.shiftright("simhash", b * SIMHASH_BAND_BITS)
+            .bitwiseAND(F.lit(mask))
+            .alias("band_val"),
+        )
+        for b in range(SIMHASH_BANDS)
+    ]
+    buckets = fp.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("bk")
+    ).select("doc_id", "bk.band_id", "bk.band_val")
+    cap = F.lit(SIMHASH_BUCKET_CAP)
+    sz = buckets.groupBy("band_id", "band_val").agg(
+        F.count("*").alias("c")
+    )
+    kept = F.least(F.col("c"), cap)
+    return sz.groupBy("band_id").agg(
+        F.count("*").alias("n_buckets"),
+        F.max("c").cast("bigint").alias("max_bucket"),
+        F.sum(F.greatest(F.col("c") - cap, F.lit(0)))
+        .cast("bigint")
+        .alias("n_docs_dropped"),
+        F.round(
+            F.sum(kept * (kept - 1) / 2).cast("double")
+            / F.greatest(F.sum(F.col("c") * (F.col("c") - 1) / 2), F.lit(1)),
+            6,
+        ).alias("cand_retained_frac"),
+    )
+
+
+# --------------------------------------------------------------------------
 # cross-source content overlap (corpus-governance diagnostics)
 # --------------------------------------------------------------------------
 OVERLAP_GRAM = 5

@@ -68,22 +68,19 @@ _OPERATOR_MODULES = (
 # citizens everywhere else (bench, selfcheck, tests); only the recorded
 # 50-sample is curated.
 #
-# r9 rotation (VERDICT r8 task 1): the 20 reference-surface q_ids stay
-# pinned; ALL 30 extension slots are first-exposure (never had a
-# driver-green CORRECTNESS row — COVERAGE_LEDGER.json, regenerated by
-# scripts/coverage_ledger.py, is the audit trail; 91 were outstanding
-# after r8).  The judge's named priorities lead: q_fuzzy_match (rewritten
-# r8, never driver-checked), q_hilbert_key, q_dup_quality,
-# q_confusion_matrix, and — as an explicit policy exception —
-# q_heavy_hitters + q_hll_merge, whose estimates are partition-order /
-# sketch-binary-layout dependent BY DESIGN (docs at their registrations),
-# so they enter the window as the driver's weaker rows-only check rather
-# than never touching the hard gate at all; the judge sees which.  The
-# two queries REGISTERED this round (q_semdedup_capped — the r8 verdict's
-# named de-superlinearization — and q_embedding_cell_census, its ADVICE
-# visibility companion) take the next slots so new code meets the gate in
-# its first round; the rest is scripts/rotate_window.py's round-robin
-# cross-family sample over the never-checked backlog.
+# r10 rotation (VERDICT r9 task 1): the 20 reference-surface q_ids stay
+# pinned; ALL 30 extension slots are first-exposure.  The three queries
+# REGISTERED this round lead so new code meets the gate in its first
+# round: q_simhash_capped + q_simhash_band_census (the r9 verdict's named
+# capped twin + census for the last n^2-output contract, task 2) and
+# q_stream_batch_parity (driver-gate the streaming half against
+# q_cdc_merge's oracle, task 5).  The remaining 27 slots are the head of
+# REPLICA_r10_candidates.json (rotate_window.py's round-robin cross-family
+# sample over the never-checked backlog, pre-validated 30/30 on the
+# driver's toPandas path at round-9 close); the 3 deferred candidates
+# (q_reservoir_sample, q_class_weights, q_mixture_apply) head the r11
+# window.  COVERAGE_LEDGER.json is the audit trail: 65 never-checked
+# before this round, 35 after it goes green.
 _DRIVER_WINDOW = (
     # reference surface (SURVEY §2) — pinned every round
     "q_distinct_indexes", "q_index_order", "q_count_active",
@@ -92,31 +89,27 @@ _DRIVER_WINDOW = (
     "q_cdc_merge", "q_variant_stats", "q_doc_actions", "q_doc_actions_full",
     "q_anti_join_cleanup", "q_dup_alias_having", "q_dup_alias_semi",
     "q_count_reconcile", "q_schema_probe", "q_topk_tail",
-    # judge-named priorities (VERDICT r8 task 1)
-    "q_fuzzy_match", "q_hilbert_key", "q_heavy_hitters", "q_hll_merge",
-    "q_dup_quality", "q_confusion_matrix",
-    # registered/converted this round — first-round gate exposure
-    # (q_pagerank/q_pca_power graduated from rows-only to exact oracles
-    # via the fixed-point rewrite; converted queries lead the gate per
-    # VERDICT r8 task 1)
-    "q_semdedup_capped", "q_embedding_cell_census",
-    "q_pagerank", "q_pca_power",
-    # round-robin cross-family first-exposure sample (rotate_window.py)
-    "q_window_edges", "q_image_phash", "q_rolling_revenue",
-    "q_neardup_apply", "q_curriculum_stages", "q_toxicity_lexicon",
-    "q_winsorize", "q_preference_pairs", "q_split_leakage",
-    "q_mixture_weights", "q_bigram_surprisal", "q_date_features",
-    "q_product_profit", "q_late_census", "q_mrl_recall",
-    "q_backlog_sweep", "q_uncertainty_sample", "q_span_mask",
-    "q_semihard_negatives", "q_phash_pairs",
+    # registered this round — first-round gate exposure (VERDICT r9
+    # tasks 2 and 5)
+    "q_simhash_capped", "q_simhash_band_census", "q_stream_batch_parity",
+    # round-robin cross-family first-exposure sample
+    # (REPLICA_r10_candidates.json, pre-validated at round-9 close)
+    "q_rank_suite", "q_video_scene", "q_incremental_rollup",
+    "q_skyline_docs", "q_epoch_plan", "q_cooccurrence",
+    "q_contrastive_batches", "q_pair_features", "q_interarrival",
+    "q_vocab_coverage", "q_shard_balance", "q_array_profile",
+    "q_important_stock", "q_revenue_acf", "q_embedding_audit",
+    "q_string_agg", "q_speech_vad", "q_top_p_corpus",
+    "q_dataset_card", "q_embed_outliers", "q_abtest_lift",
+    "q_oov_rate", "q_write_bins", "q_regr_stats",
+    "q_customer_distribution", "q_cluster_profile", "q_mom_growth",
 )
 
 # Rows-only entries deliberately allowed inside the window this round —
-# each is a judge-named exposure whose oracle is impossible BY DESIGN
-# (Misra-Gries estimates are partition-order-dependent; DataSketches HLL
-# binary layout is engine-specific).  Everything else in the window must
-# stay exact-oracle-gated.
-_WINDOW_ROWS_ONLY_OK = frozenset({"q_heavy_hitters", "q_hll_merge"})
+# none in r10: every window entry is exact-oracle-gated (the r9 policy
+# exceptions q_heavy_hitters/q_hll_merge got their rows-only driver rows
+# last round and rotate out with the rest of the checked set).
+_WINDOW_ROWS_ONLY_OK = frozenset()
 
 
 def _ordered(reg: dict[str, "RegisteredQuery"]) -> dict[str, "RegisteredQuery"]:
