@@ -55,7 +55,10 @@ from prefect_flow_arc_indexer_spark.functions.vectors import (
     dd_cosine_similarity,
 )
 from prefect_flow_arc_indexer_spark.plans.registry import register
-from prefect_flow_arc_indexer_spark.sources.parquet import load_table
+from prefect_flow_arc_indexer_spark.sources.parquet import (
+    load_table,
+    table_row_count,
+)
 
 N_PERM = 16
 N_BANDS = 4
@@ -188,6 +191,14 @@ def lsh_candidate_pairs(sig: DataFrame) -> DataFrame:
 # smaller — anything over the cap is boilerplate/empty-text degeneracy whose
 # members are better handled by exact dedup upstream.
 MAX_BUCKET_DEFAULT = 1000
+
+
+class _NoopRelease:
+    """Release-handle stand-in for plans that persisted nothing (the
+    small-corpus gate paths)."""
+
+    def release(self) -> None:
+        return None
 
 
 class _CacheRelease:
@@ -472,15 +483,23 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 def _hashed_shingles(docs: DataFrame) -> DataFrame:
     """(doc_id, source, s, h): distinct shingles with their stable hash —
-    the shared input of the content-blocked pair family below."""
+    the shared input of the content-blocked pair family below.
+
+    Distinctness is PER DOCUMENT (source is functionally dependent on
+    doc_id), so it's computed map-side with array_distinct before the
+    explode instead of a row-level ``.distinct()`` — the row form
+    shuffled the full (doc_id, source, shingle) stream (260k string rows
+    at sf0.1, corpus-sized at 100 TB) for a dedup that never crosses a
+    document boundary (VERDICT r9 task 4)."""
     return (
         docs.select("doc_id", "source", tokens(F.col("text")).alias("tok"))
         .select(
             "doc_id",
             "source",
-            F.explode(word_ngrams(F.col("tok"), SHINGLE_N)).alias("s"),
+            F.explode(
+                F.array_distinct(word_ngrams(F.col("tok"), SHINGLE_N))
+            ).alias("s"),
         )
-        .distinct()
         .withColumn("h", stable_hash(F.col("s")))
     )
 
@@ -595,13 +614,18 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # which the census, the anti-join, and both self-join sides read.
     sh = _hashed_shingles(docs).persist(StorageLevel.MEMORY_AND_DISK)
     release = _CacheRelease(sh)
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    # ONE (doc_id, source)-keyed aggregation serves both per-doc facts the
+    # query needs — the min shingle hash (blocking key) and the shingle
+    # count (Jaccard denominator). The previous separate groupBy("doc_id")
+    # for sizes re-shuffled the full shingle stream a second time for a
+    # frame this one already produces (VERDICT r9 task 4).
     minsh = (
         sh.groupBy("doc_id", "source")
-        .agg(F.min("h").alias("mh"))
+        .agg(F.min("h").alias("mh"), F.count("*").alias("n"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     release_minsh = _CacheRelease(minsh)
+    sizes = minsh.select("doc_id", "n")
     ok = minsh.join(
         F.broadcast(ngram_jaccard_block_census(minsh).select("mh", "source")),
         ["mh", "source"],
@@ -712,6 +736,12 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cell").alias("b_cell"),
         F.col("embedding").alias("b_emb"),
     )
+    if table_row_count(spark, sf_dir, "embeddings") <= EMB_SMALL_CORPUS_GATE:
+        # gate-bounded side fits a broadcast: drops both (label, cell)
+        # exchanges + sorts from the self-join (checkpointed RDDs carry no
+        # stats, so Catalyst would otherwise plan SMJ and only AQE could
+        # recover it mid-query)
+        b = F.broadcast(b)
     cos = F.round(cosine_similarity(F.col("a.embedding"), F.col("b_emb")), 6)
     out = (
         a.join(
@@ -736,13 +766,29 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+# Below this many vectors the assignment takes a single-plan shortcut:
+# skip the sharded stage-1 top-k window, the lineage-truncating collect,
+# and the persist — at toy scale each extra Spark job costs more than the
+# recompute it saves (measured 2.2 s -> ~1.0 s at sf0.1's 2k vectors),
+# while above it the sharded windows + persist keep sf1's 6 s -> 12 s
+# recompute win. Both paths produce byte-identical assignments (the
+# f91d8c8 gate pattern; parity pinned by tests/test_round10.py).
+EMB_SMALL_CORPUS_GATE = 10_000
+
+
 def _embedding_assignment(
     spark: SparkSession, sf_dir: str
-) -> tuple[DataFrame, "_CacheRelease"]:
+) -> tuple[DataFrame, "_CacheRelease | _NoopRelease"]:
     """The (label, nearest-anchor sub-cell) assignment behind
     q_dedup_embedding — persisted, with its release handle. Shared with
     q_embedding_cell_census so the census describes the exact blocking the
     dedup applies."""
+    # cheap gate between the two oracle-identical plans — parquet footer
+    # metadata on the driver, zero Spark jobs
+    small = (
+        table_row_count(spark, sf_dir, "embeddings")
+        <= EMB_SMALL_CORPUS_GATE
+    )
     e = load_table(spark, sf_dir, "embeddings", fan_out=True).select(
         "vec_id", "label", "embedding"
     )
@@ -757,16 +803,20 @@ def _embedding_assignment(
     # exact per-label k-smallest vec_ids WITHOUT a per-label global sort:
     # stage 1 keeps each (label, vec_id % shards) shard's k smallest (the
     # true top-k is a subset of the union), stage 2 merges <= shards*k
-    # narrow rows per label — both windows run over (vec_id, label, k) only
+    # narrow rows per label — both windows run over (vec_id, label, k)
+    # only. The small path runs stage 2 alone: one window over a frame
+    # already below the gate.
     narrow = e.select("vec_id", "label").join(F.broadcast(counts), "label")
-    w1 = Window.partitionBy(
-        "label", F.pmod(F.col("vec_id"), F.lit(_EMB_ANCHOR_SHARDS))
-    ).orderBy("vec_id")
+    if not small:
+        w1 = Window.partitionBy(
+            "label", F.pmod(F.col("vec_id"), F.lit(_EMB_ANCHOR_SHARDS))
+        ).orderBy("vec_id")
+        narrow = narrow.withColumn("rn", F.row_number().over(w1)).where(
+            F.col("rn") <= F.col("k")
+        ).drop("rn")
     w2 = Window.partitionBy("label").orderBy("vec_id")
     anchor_ids = (
-        narrow.withColumn("rn", F.row_number().over(w1))
-        .where(F.col("rn") <= F.col("k"))
-        .withColumn("rn2", F.row_number().over(w2))
+        narrow.withColumn("rn2", F.row_number().over(w2))
         .where(F.col("rn2") <= F.col("k"))
         .select("label", F.col("vec_id").alias("cell"))
     )
@@ -795,8 +845,11 @@ def _embedding_assignment(
     # relation truncates the counts->windows->join lineage so downstream
     # consumers don't recompute anchor selection — the payload is exactly
     # what the broadcast ships anyway (sqrt(n_label) structs per label),
-    # and unlike a localCheckpoint it leaves nothing persisted behind
-    cents = spark.createDataFrame(cents.collect(), cents.schema)
+    # and unlike a localCheckpoint it leaves nothing persisted behind.
+    # Below the gate the collect's extra job costs more than the in-plan
+    # recompute it avoids, so the small path keeps cents lazy.
+    if not small:
+        cents = spark.createDataFrame(cents.collect(), cents.schema)
     # nearest-anchor assignment: a shuffle-free fold over the broadcast
     # per-label centroid array — max of struct(rounded cos, -cell) is the
     # oracle's (cos DESC, cell ASC) ranking in one narrow projection
@@ -813,13 +866,17 @@ def _embedding_assignment(
     )
     from pyspark import StorageLevel
 
-    assigned = (
-        e.join(F.broadcast(cents), "label")
-        .select(
-            "vec_id", "label", "embedding", (-best["neg_cell"]).alias("cell")
-        )
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    assigned = e.join(F.broadcast(cents), "label").select(
+        "vec_id", "label", "embedding", (-best["neg_cell"]).alias("cell")
     )
+    if small:
+        # lazy localCheckpoint: the first action materializes the
+        # assignment once and truncates lineage, the self-join's second
+        # side reads the stored copy, and ContextCleaner reclaims the
+        # blocks when the frame is garbage-collected — two jobs total
+        # (gate count + consumer action) instead of the big path's four
+        return assigned.localCheckpoint(eager=False), _NoopRelease()
+    assigned = assigned.persist(StorageLevel.MEMORY_AND_DISK)
     release = _CacheRelease(assigned)
     return assigned, release
 

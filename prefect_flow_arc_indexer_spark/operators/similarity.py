@@ -1054,23 +1054,44 @@ def _sem_oracle(k_expr: str) -> str:
 SEM_BLAS_MIN_ANCHORS = 32
 
 
-def _blocked_assign_batches(cells, a_mat):
+def _round_half_up_6(x):
+    """6-dp round-half-away-from-zero on an ndarray — the same rule Spark's
+    F.round and DuckDB's round apply, where np.round would use banker's
+    (half-even) rounding. Exactness caveat: the *1e6 scaling is binary
+    float arithmetic, so a cosine within ~1 ulp of a x.xxxxxx5 boundary
+    can still land differently than a decimal-exact engine — the residual
+    ulp hazard accepted at q_knn_blocked's registration."""
+    import numpy as np
+
+    return np.sign(x) * np.floor(np.abs(x) * 1e6 + 0.5) / 1e6
+
+
+def _blocked_assign_batches(anchor_bc):
     """mapInPandas worker for nearest-anchor assignment: per Arrow batch,
-    ONE float64 matmul against the (closure-captured, normalized) anchor
-    matrix, then argmax over the 6-dp-rounded similarities. ``cells`` is
-    sorted ascending, and np.argmax takes the FIRST max, so ties go to the
-    smallest cell — bit-for-bit the fold path's (cos DESC, cell ASC) rule
-    (rounding parity with the oracle is the q_knn_blocked precedent)."""
+    ONE float64 matmul against the broadcast anchor matrix, then argmax
+    over the 6-dp-rounded similarities. Similarities follow the fold/
+    oracle association — raw dot products divided by the norm product
+    (NOT pre-normalized rows, whose extra per-element division perturbs
+    different ulps) — and round half-away-from-zero like F.round/DuckDB.
+    ``cells`` is sorted ascending, and np.argmax takes the FIRST max, so
+    ties go to the smallest cell — the fold path's (cos DESC, cell ASC)
+    rule. BLAS pairwise summation can still differ from the fold's
+    sequential sum at ulp level near a rounding boundary (the
+    q_knn_blocked residual hazard, ADVICE r9); the tie-break rule itself
+    is exact."""
     import numpy as np
     import pandas as pd
 
     def assign(batches):
+        cells, a_mat, a_norm = anchor_bc.value
         for pdf in batches:
             if not len(pdf):
                 continue
             c = np.array(pdf["embedding"].tolist(), dtype="float64")
-            c_norm = c / np.linalg.norm(c, axis=1, keepdims=True)
-            sims = np.round(c_norm @ a_mat.T, 6)  # (batch, k)
+            c_norm = np.linalg.norm(c, axis=1, keepdims=True)
+            sims = _round_half_up_6(
+                (c @ a_mat.T) / (c_norm * a_norm[None, :])
+            )  # (batch, k)
             best = sims.argmax(axis=1)
             yield pd.DataFrame(
                 {
@@ -1081,6 +1102,15 @@ def _blocked_assign_batches(cells, a_mat):
             )
 
     return assign
+
+
+# Upper bound on the anchor matrix the BLAS path will collect to the driver
+# and broadcast: 1M anchors x 64 dims x 8 B = ~512 MB, the last size a
+# single driver/executor comfortably holds. q_semdedup_capped's linear rule
+# k = n/256 crosses this around n = 256M vectors — the rung where the
+# documented coarse/fine anchor-tree plan (SCALE.md §SemDeDup) must take
+# over; failing loudly beats silently degrading into a driver OOM.
+SEM_BLAS_MAX_ANCHORS = 1_000_000
 
 
 def semdedup(e: DataFrame, k: int) -> DataFrame:
@@ -1096,6 +1126,13 @@ def semdedup(e: DataFrame, k: int) -> DataFrame:
     matmul path)."""
     a_rows = None
     if k > SEM_BLAS_MIN_ANCHORS:
+        if k > SEM_BLAS_MAX_ANCHORS:
+            raise ValueError(
+                f"semdedup: k={k} anchors exceeds SEM_BLAS_MAX_ANCHORS="
+                f"{SEM_BLAS_MAX_ANCHORS}; a flat anchor matrix no longer "
+                "fits one broadcast — use the coarse/fine anchor-tree "
+                "rung (SCALE.md §SemDeDup) or a larger cap per anchor"
+            )
         # k anchor rows by contract — the same driver-side bound the
         # fold path's one-row collect_list carries (empty corpus falls
         # through to the fold path, which already handles it)
@@ -1107,9 +1144,15 @@ def semdedup(e: DataFrame, k: int) -> DataFrame:
 
         cells = np.array([r["vec_id"] for r in a_rows], dtype="int32")
         a_mat = np.array([r["embedding"] for r in a_rows], dtype="float64")
-        a_mat = a_mat / np.linalg.norm(a_mat, axis=1, keepdims=True)
+        a_norm = np.linalg.norm(a_mat, axis=1)
+        # torrent-distributed Spark broadcast, NOT closure capture: the
+        # anchor matrix is O(k) and a task closure ships per task launch
+        # (ADVICE r9)
+        anchor_bc = e.sparkSession.sparkContext.broadcast(
+            (cells, a_mat, a_norm)
+        )
         assigned = e.select("vec_id", "embedding").mapInPandas(
-            _blocked_assign_batches(cells, a_mat),
+            _blocked_assign_batches(anchor_bc),
             schema="vec_id long, embedding array<float>, cluster int",
         )
     else:

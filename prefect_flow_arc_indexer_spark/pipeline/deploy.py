@@ -82,8 +82,19 @@ class ContainerImageBlock:
     def full_image(self) -> str:
         """Registry-prefixed image ref, the way ``DockerRegistry`` scopes
         the pull in the reference. A registry that is already part of the
-        image ref is not double-prefixed."""
-        if not self.registry or self.image.startswith(self.registry + "/"):
+        image ref is not double-prefixed — detected with Docker's own
+        reference-parsing rule: the first path component is a registry
+        host only if it contains '.' or ':' or is 'localhost', so
+        registry='repo' + image='repo/arc:1.0' still gets prefixed
+        ('repo' there is a namespace, not a host — ADVICE r9)."""
+        if not self.registry:
+            return self.image
+        first = self.image.split("/", 1)[0]
+        looks_like_host = "." in first or ":" in first or first == "localhost"
+        if (
+            looks_like_host
+            and self.image.startswith(self.registry + "/")
+        ):
             return self.image
         return f"{self.registry}/{self.image}"
 

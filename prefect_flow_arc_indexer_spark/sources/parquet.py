@@ -76,6 +76,24 @@ def load_table(
     return df
 
 
+def table_row_count(spark: SparkSession, sf_dir: str, name: str) -> int:
+    """Row count of one table from parquet FOOTER metadata — the cheap
+    input to plan-selection gates (f91d8c8 pattern), where a Spark count
+    job would cost more than the plan difference it arbitrates. Uses
+    pyarrow on the driver for local paths (zero jobs); falls back to a
+    metadata-only Spark count for filesystems pyarrow can't reach (at
+    production scale the table catalog answers this instead)."""
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    try:
+        import pyarrow.parquet as pq
+
+        return pq.ParquetFile(path).metadata.num_rows
+    except Exception:
+        return spark.read.parquet(path).count()
+
+
 def index_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's source table as a logical view over ``events``.
 

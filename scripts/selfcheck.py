@@ -59,7 +59,10 @@ def main() -> int:
         elif a.startswith("--skip="):
             # collect-too-big results (e.g. q_simhash_pairs at sf1) get the
             # distributed-checksum gate via scripts/verify_bigresult.py
-            # instead; merge those entries into the sweep JSON by hand
+            # instead; each skipped name is recorded as a {"mode":
+            # "skipped"} entry (excluded from n_queries/n_pass) so the
+            # emitted artifact is self-describing rather than silently
+            # narrower than a full run (ADVICE r9)
             skip |= set(a.split("=", 1)[1].split(","))
             args.remove(a)
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
@@ -93,7 +96,16 @@ def main() -> int:
 
     failures = 0
     for name, rq in sorted(all_queries().items()):
-        if (only and name not in only) or name in skip:
+        if only and name not in only:
+            continue
+        if name in skip:
+            print(f"skip  {name}: excluded via --skip "
+                  "(see verify_bigresult.py for its distributed gate)")
+            results[name] = {
+                "mode": "skipped",
+                "note": "excluded via --skip; verify with "
+                "scripts/verify_bigresult.py",
+            }
             continue
         _release_all()
         t0 = time.time()
@@ -149,11 +161,13 @@ def main() -> int:
     if json_path:
         import json as _json
 
+        run = {n: r for n, r in results.items() if r["mode"] != "skipped"}
         summary = {
             "sf_dir": sf_dir,
-            "n_queries": len(results),
-            "n_pass": sum(1 for r in results.values() if r["pass"]),
+            "n_queries": len(run),
+            "n_pass": sum(1 for r in run.values() if r["pass"]),
             "n_fail": failures,
+            "n_skipped": len(results) - len(run),
             "queries": results,
         }
         Path(json_path).write_text(_json.dumps(summary, indent=1, sort_keys=True))
