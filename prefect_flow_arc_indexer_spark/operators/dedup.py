@@ -872,10 +872,12 @@ def _embedding_assignment(
     if small:
         # lazy localCheckpoint: the first action materializes the
         # assignment once and truncates lineage, the self-join's second
-        # side reads the stored copy, and ContextCleaner reclaims the
-        # blocks when the frame is garbage-collected — two jobs total
-        # (gate count + consumer action) instead of the big path's four
-        return assigned.localCheckpoint(eager=False), _NoopRelease()
+        # side reads the stored copy — one consumer job instead of the
+        # big path's collect + persist jobs. Checkpoint blocks are NOT
+        # ContextCleaner-reclaimable from PySpark (functions/caching.py),
+        # so the caller-release contract is the checkpoint handle.
+        ckpt = assigned.localCheckpoint(eager=False)
+        return ckpt, CheckpointRelease(ckpt)
     assigned = assigned.persist(StorageLevel.MEMORY_AND_DISK)
     release = _CacheRelease(assigned)
     return assigned, release

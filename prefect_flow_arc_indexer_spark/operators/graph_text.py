@@ -20,6 +20,10 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from prefect_flow_arc_indexer_spark.functions.caching import (
+    CheckpointRelease,
+    release_local_checkpoint,
+)
 from prefect_flow_arc_indexer_spark.functions.textfns import dd_tokens, tokens
 from prefect_flow_arc_indexer_spark.operators.corpus_quality import _TOKS_CTE
 from prefect_flow_arc_indexer_spark.plans.registry import register
@@ -461,6 +465,7 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.lit(q) / F.lit(float(n))).cast("long").alias("rq"),
         )
         for _ in range(PAGERANK_ITERS):
+            prev = rank
             contrib = (
                 trans.join(rank, trans.src == rank.term)
                 .select(
@@ -499,12 +504,21 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 # dangling), so an unmaterialized checkpoint would re-run both
                 .localCheckpoint(eager=True)
             )
+            # the new round is materialized (eager), so the superseded
+            # round's checkpoint blocks are dead weight — free them NOW,
+            # inside the loop; otherwise every call strands one block set
+            # per iteration for the session's lifetime (the r8 leak class;
+            # caught by tests/test_cache_soak.py's r9-rewrite soak).
+            # Round 0's `rank` is a plain select — release is a no-op.
+            release_local_checkpoint(prev)
+        # the loop-invariant dangling set has no consumer past the loop
+        release_local_checkpoint(no_out)
         # top-k FIRST via orderBy+limit (plans as TakeOrderedAndProject —
         # parallel partial top-k, no single-task sort of the node table),
         # then number the k survivors; identical to rank-then-filter
         # because the sort key is the same total order.
         wnd = Window.orderBy(F.desc("rq"), F.asc("term"))
-        return (
+        out = (
             rank.orderBy(F.desc("rq"), F.asc("term"))
             .limit(PAGERANK_TOP_K)
             .withColumn("rank_pos", F.row_number().over(wnd))
@@ -516,6 +530,10 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
             )
         )
+        # the final round's checkpoint backs the returned plan — its
+        # release is the caller's (q_golden_record's ckpt_release shape)
+        out.ckpt_release = CheckpointRelease(rank)
+        return out
     finally:
         trans.unpersist()
         nodes.unpersist()

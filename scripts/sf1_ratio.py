@@ -1,10 +1,15 @@
-"""Standing sf1 scale gate reporting (VERDICT r7 task 5).
+"""Standing sf1 scale GATE (VERDICT r7 task 5; hardened to fail, r9 task 8).
 
 Merge two ``bench_full.json``-shaped files (the sf0.1 and sf1 bench runs)
 into the per-query scale-ratio table the judge reads: ratio = sf1 wall /
 sf0.1 wall for 10x the data — the number that exposes plans that won't
 survive 100x. Emits markdown to stdout; redirect into the round's bench
 notes.
+
+Exit status is the gate: any query over RATIO_MAX (6x) with more than
+ABS_MIN_SECS (1 s) absolute sf1 cost fails the run (exit 1) unless its
+name carries a documented output-bound waiver in WAIVERS below — the
+watchlist enforces itself instead of relying on a human reading the table.
 
     python bench.py > /dev/null                    # writes bench_full.json
     cp bench_full.json /tmp/bench_sf01.json
@@ -16,6 +21,30 @@ from __future__ import annotations
 
 import json
 import sys
+
+RATIO_MAX = 6.0
+ABS_MIN_SECS = 1.0
+
+# Documented waivers: queries whose wall is OUTPUT-bound (result volume
+# growing superlinearly by contract), not plan-bound. Each entry must say
+# why; an empty dict is the goal state.
+WAIVERS: dict[str, str] = {
+    "q_simhash_pairs": (
+        "all-pairs-in-ball enumeration CONTRACT: output is 175.6M pairs at "
+        "sf1 (checksum-verified, BENCH_NOTES_r9), so wall tracks result "
+        "volume, not plan cost; the bounded production path is "
+        "q_simhash_capped (2.4x output for 10x data)"
+    ),
+    "q_winnowing": (
+        "fingerprint OUTPUT volume scales with total token count; "
+        "per-row work is constant (SF1_RATIOS_r9: sublinear in work, "
+        "output + fixed-overhead amortization)"
+    ),
+    "q_bitext_margin": (
+        "margin candidates grow with cross-lingual pair density in the "
+        "generated corpus; verified sublinear in work (SF1_RATIOS_r9)"
+    ),
+}
 
 
 def main() -> int:
@@ -47,18 +76,28 @@ def main() -> int:
     print("|---|---|---|---|")
     for n, s, b, r in rows[:15]:
         print(f"| {n} | {s:.2f} | {b:.2f} | {r:.1f}x |")
-    over = [(n, r) for n, s, b, r in rows if r > 6 and b > 1.0]
+    over = [
+        (n, r)
+        for n, s, b, r in rows
+        if r > RATIO_MAX and b > ABS_MIN_SECS
+    ]
+    waived = [(n, r) for n, r in over if n in WAIVERS]
+    failing = [(n, r) for n, r in over if n not in WAIVERS]
     print()
-    if over:
+    for n, r in waived:
+        print(f"WAIVED {n} ({r:.1f}x): {WAIVERS[n]}")
+    if failing:
         print(
-            f"{len(over)} queries exceed 6x wall for 10x data with >1 s "
-            f"absolute cost: {', '.join(f'{n} ({r:.1f}x)' for n, r in over)}"
+            f"GATE FAIL: {len(failing)} unwaived queries exceed "
+            f"{RATIO_MAX:.0f}x wall for 10x data at >{ABS_MIN_SECS:.0f} s "
+            f"absolute cost: "
+            f"{', '.join(f'{n} ({r:.1f}x)' for n, r in failing)}"
         )
-    else:
-        print(
-            "No query exceeds 6x wall for 10x data at >1 s absolute cost — "
-            "every plan is sublinear-or-linear at this scale step."
-        )
+        return 1
+    print(
+        f"GATE PASS: no unwaived query exceeds {RATIO_MAX:.0f}x wall for "
+        f"10x data at >{ABS_MIN_SECS:.0f} s absolute cost."
+    )
     return 0
 
 

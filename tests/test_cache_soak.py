@@ -149,6 +149,33 @@ def test_golden_record_error_exit_releases_fuzzy_state(spark, monkeypatch):
     )
 
 
+def test_r9_rewrites_soak_no_cache_growth(spark):
+    """The three round-9 rewrites put NEW code on the leak-prone patterns
+    (VERDICT r9 task 7): q_semdedup_capped's Arrow-batch matmul assignment
+    (broadcast anchor matrix + cluster self-join), q_pagerank's per-round
+    localCheckpoint fixed-point loop (persisted edge list released in the
+    builder), and q_pca_power's per-round checkpointed power iteration.
+    Loop all three and assert executor storage settles back to baseline."""
+    from prefect_flow_arc_indexer_spark.plans import all_queries
+
+    reg = all_queries()
+    baseline = _settles_to(spark, 0, slack=0, deadline=10.0)
+    for _i in range(3):
+        for qn in ("q_semdedup_capped", "q_pagerank", "q_pca_power"):
+            df = reg[qn].builder(spark, SF_DIR)
+            assert df.count() > 0
+            for handle in ("sig_release", "ckpt_release", "dn_release"):
+                rel = getattr(df, handle, None)
+                if rel is not None:
+                    rel.release()
+            del df
+    final = _settles_to(spark, baseline)
+    assert final <= baseline, (
+        f"persistent RDDs grew {baseline} -> {final} over 3 rounds of the "
+        "r9 rewrites — a cache/checkpoint entry is leaking per call"
+    )
+
+
 @pytest.mark.parametrize("_", [0])
 def test_dedup_embedding_release_handle(spark, _):
     """q_dedup_embedding's self-join persist carries the same release
