@@ -427,8 +427,14 @@ def simhash_fingerprints(docs: DataFrame) -> DataFrame:
     """(doc_id, simhash): 28-bit SimHash over distinct word unigrams,
     computed as one aggregation (28 conditional sums, no explode)."""
     tok_hashes = (
-        docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("w"))
-        .distinct()
+        # per-doc distinct computed map-side (array_distinct before the
+        # explode): word-set semantics never cross a document boundary,
+        # so the row-level .distinct() shuffled the full (doc_id, word)
+        # stream for nothing (the _hashed_shingles fix, VERDICT r9 task 4)
+        docs.select(
+            "doc_id",
+            F.explode(F.array_distinct(tokens(F.col("text")))).alias("w"),
+        )
         .select("doc_id", stable_hash(F.col("w")).alias("h"))
     )
     votes = [
@@ -998,9 +1004,15 @@ def q_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id", tokens(F.col("text")).alias("tok"))
         .select(
             "doc_id",
-            F.explode(word_ngrams(F.col("tok"), SHINGLE_N)).alias("s"),
+            # per-doc distinct computed map-side (array_distinct before
+            # the explode) — shingle distinctness never crosses a document
+            # boundary, so the row-level .distinct() here shuffled the
+            # full shingle stream for nothing (same fix as
+            # _hashed_shingles, VERDICT r9 task 4)
+            F.explode(
+                F.array_distinct(word_ngrams(F.col("tok"), SHINGLE_N))
+            ).alias("s"),
         )
-        .distinct()
     )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     sha = sh.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("sa"))
@@ -2098,9 +2110,12 @@ SELECT e.doc_a, e.doc_b,
             docs.select("doc_id", tokens(F.col("text")).alias("tok"))
             .select(
                 "doc_id",
-                F.explode(word_ngrams(F.col("tok"), SHINGLE_N)).alias("s"),
+                # per-doc distinct map-side — no full-stream shuffle
+                # (the _hashed_shingles fix, VERDICT r9 task 4)
+                F.explode(
+                    F.array_distinct(word_ngrams(F.col("tok"), SHINGLE_N))
+                ).alias("s"),
             )
-            .distinct()
         )
         sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
         sha = sh.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("sa"))
@@ -2478,9 +2493,12 @@ SELECT c.doc_a, c.doc_b,
             docs.select("doc_id", tokens(F.col("text")).alias("tok"))
             .select(
                 "doc_id",
-                F.explode(word_ngrams(F.col("tok"), SHINGLE_N)).alias("s"),
+                # per-doc distinct map-side — no full-stream shuffle
+                # (the _hashed_shingles fix, VERDICT r9 task 4)
+                F.explode(
+                    F.array_distinct(word_ngrams(F.col("tok"), SHINGLE_N))
+                ).alias("s"),
             )
-            .distinct()
         )
         sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
         sha = sh.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("sa"))
