@@ -244,8 +244,13 @@ def q_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", tokens(F.col("text")).alias("tok")
     )
     gs = base.select(
-        "doc_id", F.explode(word_ngrams(F.col("tok"), BOILER_N)).alias("g")
-    ).distinct()
+        "doc_id",
+        # per-doc distinct computed map-side — no full gram-stream shuffle
+        # (the _hashed_shingles fix, VERDICT r9 task 4)
+        F.explode(
+            F.array_distinct(word_ngrams(F.col("tok"), BOILER_N))
+        ).alias("g"),
+    )
     df = gs.groupBy("g").agg(F.count("*").alias("d"))
     per_doc = (
         gs.join(df, "g")

@@ -112,12 +112,14 @@ def _shingle_hashes(docs: DataFrame, distinct: bool = True) -> DataFrame:
     only thing shuffled is one partial signature row per doc per partition
     instead of every (doc_id, shingle-string) pair.
     """
+    grams = word_ngrams(F.col("tok"), SHINGLE_N)
+    if distinct:
+        # per-doc set semantics computed map-side — no full-stream shuffle
+        grams = F.array_distinct(grams)
     exploded = docs.select("doc_id", tokens(F.col("text")).alias("tok")).select(
         "doc_id",
-        F.explode(word_ngrams(F.col("tok"), SHINGLE_N)).alias("s"),
+        F.explode(grams).alias("s"),
     )
-    if distinct:
-        exploded = exploded.distinct()
     return exploded.select("doc_id", stable_hash(F.col("s")).alias("h"))
 
 

@@ -87,9 +87,13 @@ def q_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.where(F.col("text").isNotNull())
         .select("doc_id", tokens(F.col("text")).alias("tok"))
         .select(
-            "doc_id", F.explode(word_ngrams(F.col("tok"), RETR_GRAM)).alias("g")
+            "doc_id",
+            # per-doc distinct computed map-side — no full gram-stream
+            # shuffle (the _hashed_shingles fix, VERDICT r9 task 4)
+            F.explode(
+                F.array_distinct(word_ngrams(F.col("tok"), RETR_GRAM))
+            ).alias("g"),
         )
-        .distinct()
     )
     q_grams = gs.where(F.col("doc_id") < RETR_N_QUERIES).select(
         F.col("doc_id").alias("query_id"), F.col("g").alias("qg")
@@ -301,9 +305,11 @@ SELECT probe_id, candidate_id, n_shared, score_micro, rank FROM (
 )
 def q_more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents", fan_out=True)
-    terms = (
-        docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("w"))
-        .distinct()
+    terms = docs.select(
+        "doc_id",
+        # per-doc distinct computed map-side — no full term-stream shuffle
+        # (the _hashed_shingles fix, VERDICT r9 task 4)
+        F.explode(F.array_distinct(tokens(F.col("text")))).alias("w"),
     )
     n = docs.select(F.count("*").alias("n"))
     df = terms.groupBy("w").agg(F.count("*").alias("df"))
