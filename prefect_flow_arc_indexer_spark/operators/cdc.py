@@ -436,6 +436,11 @@ def _register_stream_batch_parity():
     on q_cdc_merge's exact oracle — the driver-visible proof that the
     streaming half computes the same answer as the batch half (previously
     only pytest's stream-equals-batch checks said so)."""
+    # force q_cdc_merge's registration before dereferencing it, so this
+    # module stays independently importable instead of relying on
+    # _OPERATOR_MODULES ordering (the _register_quality_ensemble pattern;
+    # ADVICE r10)
+    import prefect_flow_arc_indexer_spark.operators.indexer  # noqa: F401
     from prefect_flow_arc_indexer_spark.plans.registry import _REGISTRY
 
     merge_sql = _REGISTRY["q_cdc_merge"].oracle
@@ -513,12 +518,23 @@ def _register_stream_batch_parity():
             q.awaitTermination()
             if not current:  # empty feed
                 return spark.createDataFrame([], schema)
-            return (
+            # the eager checkpoint materializes the snapshot BEFORE the
+            # finally-block deletes the temp state parquet; the release
+            # handle is the caller's (the q_pagerank/q_golden_record
+            # shape, ADVICE r10 — harness sweeps also blanket-release
+            # persistent RDDs between queries)
+            from prefect_flow_arc_indexer_spark.functions.caching import (
+                CheckpointRelease,
+            )
+
+            out = (
                 spark.read.parquet(state_paths[current[-1]])
                 .where(F.col("event_id") % 13 != 0)
                 .select("user_id", "event_id", "ts", "props")
                 .localCheckpoint(eager=True)
             )
+            out.ckpt_release = CheckpointRelease(out)
+            return out
         finally:
             shutil.rmtree(work, ignore_errors=True)
 

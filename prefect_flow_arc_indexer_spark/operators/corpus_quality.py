@@ -848,13 +848,23 @@ def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(tokens(F.col("text"))).alias("term")
     )
     freq = stream.groupBy("term").agg(F.count("*").alias("n"))
-    ranked = freq.select(
-        "term",
-        "n",
-        F.row_number()
-        .over(Window.orderBy(F.col("n").desc(), F.col("term").asc()))
-        .alias("rnk"),
-    ).where(F.col("rnk") <= ZIPF_TOP_N)
+    # top-k FIRST via orderBy+limit (plans as TakeOrderedAndProject —
+    # parallel partial top-k per partition, no single-task sort of the
+    # vocabulary table, which at web scale is 1e8-1e9 raw terms), then
+    # number the 30 survivors; identical to rank-then-filter because the
+    # window orders by the same total (n DESC, term ASC) key — the
+    # q_pagerank pattern (graph_text.py), VERDICT r10 task 2.
+    ranked = (
+        freq.orderBy(F.col("n").desc(), F.col("term").asc())
+        .limit(ZIPF_TOP_N)
+        .select(
+            "term",
+            "n",
+            F.row_number()
+            .over(Window.orderBy(F.col("n").desc(), F.col("term").asc()))
+            .alias("rnk"),
+        )
+    )
     ln_n = F.log(F.col("n").cast("double"))
     ln_r = F.log(F.col("rnk").cast("double"))
     return ranked.agg(

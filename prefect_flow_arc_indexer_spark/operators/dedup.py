@@ -196,8 +196,9 @@ MAX_BUCKET_DEFAULT = 1000
 
 
 class _NoopRelease:
-    """Release-handle stand-in for plans that persisted nothing (the
-    small-corpus gate paths)."""
+    """Release-handle stand-in for frames that persisted nothing — used as
+    the ``getattr(frame, "sig_release", _NoopRelease())`` default by
+    callers that consume frames which may or may not carry a handle."""
 
     def release(self) -> None:
         return None
@@ -786,11 +787,22 @@ EMB_SMALL_CORPUS_GATE = 10_000
 
 def _embedding_assignment(
     spark: SparkSession, sf_dir: str
-) -> tuple[DataFrame, "_CacheRelease | _NoopRelease"]:
+) -> tuple[DataFrame, "_CacheRelease | CheckpointRelease"]:
     """The (label, nearest-anchor sub-cell) assignment behind
     q_dedup_embedding — persisted, with its release handle. Shared with
     q_embedding_cell_census so the census describes the exact blocking the
-    dedup applies."""
+    dedup applies.
+
+    Release contract (ADVICE r10): the handle's strength depends on the
+    path. The big path returns a :class:`_CacheRelease` (persist-backed:
+    GC-finalizer backstop, an early release merely recomputes). The small
+    path returns a :class:`CheckpointRelease` (checkpoint-backed: NO GC
+    backstop, and an early release breaks every frame derived from the
+    assignment outright — there is no lineage to recompute from). Callers
+    must therefore release only AFTER the last consumer of the returned
+    frame (or anything built on it) has materialized; both registered
+    consumers (q_dedup_embedding, q_embedding_cell_census) surface the
+    handle as ``out.sig_release`` under exactly that contract."""
     # cheap gate between the two oracle-identical plans — parquet footer
     # metadata on the driver, zero Spark jobs
     small = (
@@ -1536,7 +1548,7 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "band_val",
     )
     hamming = F.bit_count(F.col("sha").bitwiseXOR(F.col("shb"))).cast("bigint")
-    return (
+    out = (
         a.join(b, ["band_id", "band_val"])
         .where(
             (F.col("doc_a") < F.col("doc_b"))
@@ -1545,6 +1557,11 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", hamming.alias("hamming"))
         .distinct()
     )
+    # caller-release contract for the fingerprint checkpoint (the
+    # q_pagerank shape, ADVICE r10): release only after `out` has
+    # materialized — checkpoint blocks have no lineage to recompute from.
+    out.ckpt_release = CheckpointRelease(fp)
+    return out
 
 
 # --------------------------------------------------------------------------
@@ -1602,11 +1619,15 @@ def _simhash_capped_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "simhash", F.explode(F.array(*band_structs)).alias("bk")
     ).select("doc_id", "simhash", "bk.band_id", "bk.band_val")
     w = Window.partitionBy("band_id", "band_val").orderBy("doc_id")
-    return (
+    capped = (
         buckets.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= SIMHASH_BUCKET_CAP)
         .drop("rn")
     )
+    # caller-release contract for the fingerprint checkpoint (ADVICE r10):
+    # q_simhash_capped propagates this to its output frame.
+    capped.ckpt_release = CheckpointRelease(fp)
+    return capped
 
 
 @register(
@@ -1651,7 +1672,7 @@ def q_simhash_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
         "band_val",
     )
     hamming = F.bit_count(F.col("sha").bitwiseXOR(F.col("shb"))).cast("bigint")
-    return (
+    out = (
         a.join(b, ["band_id", "band_val"])
         .where(
             (F.col("doc_a") < F.col("doc_b"))
@@ -1660,6 +1681,10 @@ def q_simhash_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", hamming.alias("hamming"))
         .distinct()
     )
+    # propagate the fingerprint-checkpoint release handle attached by
+    # _simhash_capped_buckets (ADVICE r10)
+    out.ckpt_release = capped.ckpt_release
+    return out
 
 
 @register(
@@ -1691,7 +1716,11 @@ SELECT band_id,
 )
 def q_simhash_band_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents", fan_out=True)
-    fp = simhash_fingerprints(docs).localCheckpoint(eager=True)
+    # no checkpoint: the fingerprint table feeds exactly one linear
+    # consumer chain (buckets -> per-bucket sizes -> per-band rollup), so
+    # materializing it would only strand blocks (ADVICE r10's naked-
+    # checkpoint class) without saving a recompute
+    fp = simhash_fingerprints(docs)
     mask = (1 << SIMHASH_BAND_BITS) - 1
     band_structs = [
         F.struct(
@@ -2395,6 +2424,10 @@ sig AS (
                 "n_candidates",
             )
             out = row if out is None else out.unionByName(row)
+        # caller-release contract for the shared signature checkpoint
+        # (lazy: materialized by the first scheme's action, read by the
+        # other two) — ADVICE r10's naked-checkpoint class
+        out.ckpt_release = CheckpointRelease(sig)
         return out
 
 

@@ -259,12 +259,16 @@ SELECT s.vocab_size,
 """,
     doc="vocabulary coverage curve: fraction of the corpus token stream "
     "covered by the top-{100,1k,10k} terms — the number that sizes a "
-    "tokenizer vocab / UNK budget before training. The global "
-    "rank+cumulative window runs over the AGGREGATED term-frequency table "
-    "(vocabulary-bounded, tie-broken by term), not the token stream: the "
-    "corpus contributes exactly one scan and one vocab-keyed shuffle, so "
-    "the single-partition window is over |vocab| rows — the standard "
-    "aggregate-then-rank shape that stays cheap at 100 TB.",
+    "tokenizer vocab / UNK budget before training. Top-max(VOCAB_SIZES) "
+    "FIRST via orderBy+limit (TakeOrderedAndProject: parallel partial "
+    "top-k, no single-task sort of the raw-term vocabulary, which at web "
+    "scale is 1e8-1e9 rows of typos/URLs/ids), then the rank+cumulative "
+    "window runs over only the 10k survivors — identical to the global "
+    "window because the cumulative sum at rank r depends only on the "
+    "ordered prefix up to r, and the limit keeps exactly that prefix "
+    "(same total (cnt DESC, w ASC) order). The corpus-stream total comes "
+    "from a separate aggregate on the shared checkpointed frequency "
+    "table (VERDICT r10 task 3; the q_pagerank pattern).",
 )
 def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
@@ -275,12 +279,13 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.explode(tokens(F.col("text"))).alias("w"))
         .groupBy("w")
         .agg(F.count("*").alias("cnt"))
-        # one corpus scan feeds both consumers (ranked + total); without
+        # one corpus scan feeds both consumers (top-k + total); without
         # this the total-tokens aggregate re-reads the parquet lineage
         .localCheckpoint(eager=True)
     )
+    top = counts.orderBy(F.desc("cnt"), F.asc("w")).limit(max(VOCAB_SIZES))
     w = Window.orderBy(F.desc("cnt"), F.asc("w"))
-    ranked = counts.select(
+    ranked = top.select(
         "cnt",
         F.row_number().over(w).alias("rnk"),
         F.sum("cnt")
@@ -299,7 +304,7 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("cum").alias("covered_tokens"),
         )
     )
-    return at.crossJoin(F.broadcast(total)).select(
+    out = at.crossJoin(F.broadcast(total)).select(
         "vocab_size",
         "terms_used",
         "covered_tokens",
@@ -307,6 +312,11 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("covered_tokens").cast("double") / F.col("total"), 6
         ).alias("coverage"),
     )
+    # caller-release contract for the shared frequency checkpoint (the
+    # q_pagerank/q_golden_record shape); harness sweeps also blanket-
+    # release persistent RDDs between queries.
+    out.ckpt_release = CheckpointRelease(counts)
+    return out
 
 
 # --------------------------------------------------------------------------
@@ -438,6 +448,20 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     try:
         n = nodes.count()
+        d, q = PAGERANK_DAMPING, float(PAGERANK_QUANT)
+        # fixed-point units of 1/QUANT, BIGINT throughout the loop: the
+        # per-edge round() BEFORE the destination sum makes each aggregate
+        # an exact integer sum — order-independent, hence reproducible
+        # under any partitioning AND oracle-comparable (every rounding
+        # point below has a textually parallel twin in _dd_pagerank_sql)
+        if n == 0:
+            # empty corpus: the oracle's CTEs all collapse to zero rows;
+            # without the guard the q/n literal divides by zero under ANSI.
+            # Checked BEFORE no_out is checkpointed so the early return
+            # cannot strand checkpoint blocks (ADVICE r10).
+            return spark.createDataFrame(
+                [], "rank_pos int, term string, pagerank double"
+            )
         # the dangling-node SET is loop-invariant (nodes and out-edges never
         # change); materialize it once — the anti join's out_w side derives
         # from the full corpus scan + tokenization, so leaving it inside the
@@ -448,18 +472,6 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("term")
             .localCheckpoint(eager=True)
         )
-        d, q = PAGERANK_DAMPING, float(PAGERANK_QUANT)
-        # fixed-point units of 1/QUANT, BIGINT throughout the loop: the
-        # per-edge round() BEFORE the destination sum makes each aggregate
-        # an exact integer sum — order-independent, hence reproducible
-        # under any partitioning AND oracle-comparable (every rounding
-        # point below has a textually parallel twin in _dd_pagerank_sql)
-        if n == 0:
-            # empty corpus: the oracle's CTEs all collapse to zero rows;
-            # without the guard the q/n literal divides by zero under ANSI
-            return spark.createDataFrame(
-                [], "rank_pos int, term string, pagerank double"
-            )
         rank = nodes.select(
             "term",
             F.round(F.lit(q) / F.lit(float(n))).cast("long").alias("rq"),
@@ -674,10 +686,14 @@ def q_source_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     st = tf.join(F.broadcast(vocab), "w")
     y_w = F.sum("cnt").over(Window.partitionBy("w")).cast("bigint")
     n_s = F.sum("cnt").over(Window.partitionBy("source")).cast("bigint")
-    n = F.sum("cnt").over(Window.partitionBy()).cast("bigint")
+    # the scalar grand total comes from a separate aggregate + broadcast
+    # crossJoin rather than sum() OVER () — same number (both sum cnt over
+    # the vocab-restricted table), but no unpartitioned WindowExec in the
+    # plan (audit ratchet, VERDICT r10 task 5)
+    n_tot = st.agg(F.sum("cnt").cast("bigint").alias("n"))
     tot = st.select(
-        "source", "w", "cnt", y_w.alias("y_w"), n_s.alias("n_s"), n.alias("n")
-    )
+        "source", "w", "cnt", y_w.alias("y_w"), n_s.alias("n_s")
+    ).crossJoin(F.broadcast(n_tot))
     log_odds = F.round(
         F.log(
             (F.col("cnt") + 0.5) / (F.col("n_s") - F.col("cnt") + 0.5)
@@ -702,10 +718,14 @@ def q_source_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_rank = Window.partitionBy("source").orderBy(
         F.col("log_odds").desc(), F.col("term").asc()
     )
-    return (
+    out = (
         scored.withColumn("rank", F.row_number().over(w_rank))
         .where(F.col("rank") <= KEYWORDS_PER_SOURCE)
     )
+    # caller-release contract for the shared term-frequency checkpoint
+    # (ADVICE r10's naked-checkpoint class)
+    out.ckpt_release = CheckpointRelease(tf)
+    return out
 
 
 # --------------------------------------------------------------------------

@@ -30,8 +30,13 @@ from prefect_flow_arc_indexer_spark.session import get_spark
 
 # Queries whose registered plan contains an unpartitioned window over an
 # input PROVABLY bounded by values (a histogram of distinct lengths/scores),
-# vocabulary, catalog size (#indexes), calendar (days/months), or a
-# LIMIT-k — never by corpus row count. Every entry says which.
+# vocabulary, catalog size (#indexes), or calendar (days/months) — never by
+# corpus row count. Every entry says which. LIMIT-k-fed windows are NOT
+# listed here: those are detected structurally (a WindowExec whose unary
+# input chain passes through TakeOrderedAndProject/GlobalLimit is bounded
+# by construction — see unpartitioned_windows), which is how the former
+# q_pagerank / q_returned_top_customers / q_negative_sampling /
+# q_source_keywords / q_zipf_fit / q_vocab_coverage entries retired.
 BOUNDED_GLOBAL_WINDOWS: dict[str, str] = {
     "q_backlog_sweep": "cumsum over the DAILY delta table (calendar axis)",
     "q_ccnet_buckets": "tercile cut over the score HISTOGRAM (distinct "
@@ -40,20 +45,35 @@ BOUNDED_GLOBAL_WINDOWS: dict[str, str] = {
     "q_ks_drift": "ECDF cumsum over distinct feature values (histogram)",
     "q_length_trim": "percentile cut over the token-length HISTOGRAM",
     "q_mom_growth": "lag over the per-MONTH revenue rollup",
-    "q_negative_sampling": "inverse-CDF cumsum over the LIMIT-k vocab table",
-    "q_pagerank": "row_number over the LIMIT-k survivors "
-    "(TakeOrderedAndProject feeds it)",
-    "q_returned_top_customers": "row_number over the LIMIT-20 survivors",
     "q_revenue_acf": "lag windows over the DAILY revenue series",
     "q_rolling_revenue": "rolling sum over the DAILY revenue rollup",
     "q_skyline_docs": "frontier running-max over the token-count HISTOGRAM "
     "(distinct lengths)",
-    "q_source_keywords": "scalar total over the LIMIT-k vocab x sources "
-    "table",
     "q_topk_tail": "rank over per-INDEX doc counts (catalog-bounded)",
-    "q_vocab_coverage": "coverage cumsum over the vocab frequency table",
-    "q_zipf_fit": "rank over the term-frequency VOCAB table",
 }
+
+# RATCHET (VERDICT r10 task 5): the allowlist may only SHRINK. This frozen
+# snapshot is the r11 state; a new query with a global window must fix its
+# plan (top-k-first via orderBy+limit — the q_pagerank pattern — or a real
+# partition key), not add a line above. Any key present in
+# BOUNDED_GLOBAL_WINDOWS but absent here is an audit failure by itself,
+# and tests/test_round11.py pins both directions.
+ALLOWLIST_RATCHET = frozenset(
+    {
+        "q_backlog_sweep",
+        "q_ccnet_buckets",
+        "q_ece_calibration",
+        "q_ks_drift",
+        "q_length_trim",
+        "q_mom_growth",
+        "q_revenue_acf",
+        "q_rolling_revenue",
+        "q_skyline_docs",
+        "q_topk_tail",
+    }
+)
+
+RATCHET_VIOLATIONS = sorted(set(BOUNDED_GLOBAL_WINDOWS) - ALLOWLIST_RATCHET)
 
 
 def _iter_plan_nodes(node):
@@ -73,11 +93,45 @@ def _iter_plan_nodes(node):
         yield from _iter_plan_nodes(ch.apply(i))
 
 
+_LIMIT_NODES = (
+    "TakeOrderedAndProjectExec",
+    "GlobalLimitExec",
+    "CollectLimitExec",
+)
+
+
+def _limit_bounded(node) -> bool:
+    """True when every row reaching ``node`` passed through a LIMIT: walk
+    the input chain downward while it stays unary (project/sort/filter/
+    exchange/codegen wrappers — all row-preserving-or-reducing pass-
+    throughs), descending through AQE/query-stage wrappers; a
+    TakeOrderedAndProject/GlobalLimit on that chain bounds the window
+    input by the literal k regardless of corpus size. A multi-child node
+    (join/union) before any limit means unbounded — some input escapes
+    the limit."""
+    while True:
+        name = node.getClass().getSimpleName()
+        if name in _LIMIT_NODES:
+            return True
+        if name == "AdaptiveSparkPlanExec":
+            node = node.inputPlan()
+            continue
+        if name.endswith("QueryStageExec"):
+            node = node.plan()
+            continue
+        ch = node.children()
+        if ch.size() != 1:
+            return False
+        node = ch.apply(0)
+
+
 def unpartitioned_windows(plan_root) -> list[str]:
     """Order specs of WindowExec nodes with an empty partition spec,
-    excluding the sanctioned two-pass offset pattern (ordered by a
+    excluding (a) the sanctioned two-pass offset pattern (ordered by a
     ``pid``/``_pid`` spark_partition_id column — one row per range
-    partition, bounded by construction)."""
+    partition, bounded by construction) and (b) windows whose unary input
+    chain passes through a LIMIT node (top-k-first: the window runs over
+    at most k survivor rows — the q_pagerank pattern)."""
     found = []
     for n in _iter_plan_nodes(plan_root):
         if n.getClass().getSimpleName() not in (
@@ -89,6 +143,8 @@ def unpartitioned_windows(plan_root) -> list[str]:
             continue
         order = n.orderSpec().toString()
         if re.search(r"\b_?pid#", order):
+            continue
+        if _limit_bounded(n.children().apply(0)):
             continue
         found.append(order)
     return found
@@ -128,6 +184,16 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     qs = all_queries()
     flagged = 0
+    # emit the allowlist with the run so a diff of audit output shows any
+    # attempted growth; the ratchet makes growth a failure outright
+    print(f"allowlist ({len(BOUNDED_GLOBAL_WINDOWS)} entries, "
+          f"ratchet {len(ALLOWLIST_RATCHET)}): "
+          + ", ".join(sorted(BOUNDED_GLOBAL_WINDOWS)))
+    if RATCHET_VIOLATIONS:
+        flagged += len(RATCHET_VIOLATIONS)
+        print("RATCHET-VIOLATION: allowlist grew beyond the frozen "
+              f"baseline: {RATCHET_VIOLATIONS} — fix the plan "
+              "(top-k-first / partition key), do not allowlist")
     for name, rq in sorted(qs.items()):
         if names and name not in names:
             continue
