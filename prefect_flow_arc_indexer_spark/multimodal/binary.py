@@ -688,7 +688,7 @@ SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
         hamming = F.bit_count(
             F.col("pa").bitwiseXOR(F.col("pb"))
         ).cast("bigint")
-        return (
+        out = (
             a.join(b, ["band_id", "band_val"])
             .where(
                 (F.col("doc_a") < F.col("doc_b"))
@@ -697,6 +697,14 @@ SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
             .select("doc_a", "doc_b", hamming.alias("hamming"))
             .distinct()
         )
+        # caller-release contract for the fingerprint checkpoint (ADVICE
+        # r10's naked-checkpoint class; harness sweeps blanket-release)
+        from prefect_flow_arc_indexer_spark.functions.caching import (
+            CheckpointRelease,
+        )
+
+        out.ckpt_release = CheckpointRelease(fp)
+        return out
 
 
 _register_phash_pairs()

@@ -189,7 +189,7 @@ def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             "t2"
         ),
     )
-    return scores.crossJoin(F.broadcast(thr)).select(
+    out = scores.crossJoin(F.broadcast(thr)).select(
         "doc_id",
         "score_micronat",
         F.when(F.col("score_micronat") <= F.col("t1"), F.lit("head"))
@@ -197,6 +197,13 @@ def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("tail"))
         .alias("bucket"),
     )
+    # caller-release contract for the fitted-model checkpoint (ADVICE r10)
+    from prefect_flow_arc_indexer_spark.functions.caching import (
+        CheckpointRelease,
+    )
+
+    out.ckpt_release = CheckpointRelease(freq)
+    return out
 
 
 # --------------------------------------------------------------------------

@@ -116,9 +116,13 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count_distinct("v").alias("n_vertices"))
     )
     n_edges = edges.agg(F.count("*").alias("n_edges"))
-    return verts.join(F.broadcast(n_edges)).join(F.broadcast(tri)).select(
+    out = verts.join(F.broadcast(n_edges)).join(F.broadcast(tri)).select(
         "n_vertices", "n_edges", "n_triangles"
     )
+    # caller-release contract for the shared edge-list checkpoint (ADVICE
+    # r10's naked-checkpoint class)
+    out.ckpt_release = CheckpointRelease(edges)
+    return out
 
 
 @register(
@@ -156,7 +160,7 @@ def q_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tot = freq.agg(F.sum("n").alias("total"))
     surprisal = -F.log(F.col("n").cast("double") / F.col("total"))
-    return (
+    out = (
         stream.join(F.broadcast(freq), "term")
         .join(F.broadcast(tot))
         .groupBy("doc_id")
@@ -165,6 +169,9 @@ def q_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg(surprisal), 6).alias("mean_surprisal"),
         )
     )
+    # caller-release contract for the fitted-model checkpoint (ADVICE r10)
+    out.ckpt_release = CheckpointRelease(freq)
+    return out
 
 
 def _dd_bigrams() -> str:
@@ -600,7 +607,7 @@ def q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("w").alias("v_w"))
     )
     oov = F.sum(F.when(F.col("v_w").isNull(), 1).otherwise(0)).cast("long")
-    return (
+    out = (
         tf.join(F.broadcast(vocab), F.col("w") == F.col("v_w"), "left")
         .groupBy("doc_id")
         .agg(
@@ -609,6 +616,10 @@ def q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(oov.cast("double") / F.count("*"), 6).alias("oov_rate"),
         )
     )
+    # caller-release contract for the shared token-stream checkpoint
+    # (ADVICE r10's naked-checkpoint class)
+    out.ckpt_release = CheckpointRelease(tf)
+    return out
 
 
 # --------------------------------------------------------------------------

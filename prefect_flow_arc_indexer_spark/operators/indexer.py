@@ -511,7 +511,7 @@ def q_sync_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_carried"),
     )
-    return pending.join(before_carried, "idx", "left").select(
+    out = pending.join(before_carried, "idx", "left").select(
         F.col("idx").alias("index_name"),
         F.coalesce("live_before", F.lit(0)).alias("live_before"),
         "n_pending",
@@ -522,3 +522,13 @@ def q_sync_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("live_after"),
         (F.col("n_pending") == 0).alias("skip_batch"),
     )
+    # caller-release contracts for the two compaction checkpoints (lazy:
+    # materialized by the result's first action) — ADVICE r10's
+    # naked-checkpoint class
+    from prefect_flow_arc_indexer_spark.functions.caching import (
+        CheckpointRelease,
+    )
+
+    out.ckpt_release = CheckpointRelease(snap)
+    out.dn_release = CheckpointRelease(batch)
+    return out

@@ -1735,7 +1735,7 @@ SELECT c.id_a, c.id_b,
         )
         # knn_a/knn_b have one row per endpoint (|side| rows) — NOT
         # broadcastable at corpus scale; plain equi-joins let AQE pick
-        return (
+        out = (
             crossed.join(knn_a, "id_a")
             .join(knn_b, "id_b")
             .select(
@@ -1759,6 +1759,15 @@ SELECT c.id_a, c.id_b,
             .orderBy(F.col("margin").desc(), "id_a", "id_b")
             .limit(MARGIN_TOP)
         )
+        # caller-release contract for the scored-matrix checkpoint (lazy:
+        # materialized by the result's first action) — ADVICE r10's
+        # naked-checkpoint class
+        from prefect_flow_arc_indexer_spark.functions.caching import (
+            CheckpointRelease,
+        )
+
+        out.ckpt_release = CheckpointRelease(crossed)
+        return out
 
 
 _register_bitext_margin()

@@ -21,6 +21,9 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
+from prefect_flow_arc_indexer_spark.functions.caching import (
+    release_local_checkpoint,
+)
 from prefect_flow_arc_indexer_spark.functions.textfns import (
     dd_tokens,
     dd_word_ngrams,
@@ -688,6 +691,7 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         merges.append((rank, f"{a} {b}", a + b, int(best["support"])))
         # left-to-right non-overlapping merge: the lookahead keeps the
         # trailing boundary unconsumed so "a a a" -> "aa a", like BPE
+        prev = vocab
         vocab = vocab.select(
             "cnt",
             F.regexp_replace(
@@ -697,6 +701,13 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("syms"),
         ).select("cnt", F.trim("syms").alias("syms"))
         vocab = vocab.localCheckpoint()
+        # the new round is materialized (eager default); the superseded
+        # round's checkpoint blocks are dead weight — free them NOW, inside
+        # the loop (the q_pagerank per-iteration leak class, ADVICE r10)
+        release_local_checkpoint(prev)
+    # the merge table is driver-local; the final round's checkpoint has no
+    # consumer past the loop
+    release_local_checkpoint(vocab)
     return spark.createDataFrame(
         merges, "rank int, pair string, merged string, support bigint"
     )

@@ -51,6 +51,7 @@ _OPERATOR_MODULES = (
     "prefect_flow_arc_indexer_spark.operators.vector_ops",
     "prefect_flow_arc_indexer_spark.operators.corpus_policy",
     "prefect_flow_arc_indexer_spark.operators.sequence_mining",
+    "prefect_flow_arc_indexer_spark.operators.publish",
     "prefect_flow_arc_indexer_spark.multimodal.binary",
 )
 
@@ -68,48 +69,65 @@ _OPERATOR_MODULES = (
 # citizens everywhere else (bench, selfcheck, tests); only the recorded
 # 50-sample is curated.
 #
-# r10 rotation (VERDICT r9 task 1): the 20 reference-surface q_ids stay
-# pinned; ALL 30 extension slots are first-exposure.  The three queries
-# REGISTERED this round lead so new code meets the gate in its first
-# round: q_simhash_capped + q_simhash_band_census (the r9 verdict's named
-# capped twin + census for the last n^2-output contract, task 2) and
-# q_stream_batch_parity (driver-gate the streaming half against
-# q_cdc_merge's oracle, task 5).  The remaining 27 slots are the head of
-# REPLICA_r10_candidates.json (rotate_window.py's round-robin cross-family
-# sample over the never-checked backlog, pre-validated 30/30 on the
-# driver's toPandas path at round-9 close); the 3 deferred candidates
-# (q_reservoir_sample, q_class_weights, q_mixture_apply) head the r11
-# window.  COVERAGE_LEDGER.json is the audit trail: 65 never-checked
-# before this round, 35 after it goes green.
+# r11 rotation (VERDICT r10 task 1): CLOSE the ledger — this window holds
+# the ENTIRE never-driver-checked remainder.  q_publish_manifest leads
+# (registered this round: the X6 atomic-publish lifecycle driver-gated for
+# the first time, task 6).  Then ALL 33 never-checked exact-oracle queries
+# (pre-validated 33/33 on the driver's toPandas path at round-10 close,
+# REPLICA_r11_candidates.json) and the 5 rows-only-BY-DESIGN sketch/FFT
+# entries (no oracle form exists: MG/GK/HLL sketch internals and FFT are
+# engine-specific — the r9 q_heavy_hitters precedent; listed in
+# _WINDOW_ROWS_ONLY_OK so the curated-window policy stays explicit).  To
+# make room, the pinned reference surface contracts from 20 to the 11
+# queries spanning every §2 family (S/P/A/J/O/T/X representatives below);
+# the 9 unpinned reference queries have been driver-green in ALL TEN prior
+# rounds and stay on selfcheck/bench/pytest.  After this window goes
+# green, every one of the 263 registered queries has driver exposure —
+# exact-oracle for 258, rows-only for the 5 sketch/FFT entries.
 _DRIVER_WINDOW = (
-    # reference surface (SURVEY §2) — pinned every round
-    "q_distinct_indexes", "q_index_order", "q_count_active",
-    "q_count_updated", "q_full_select", "q_incremental_select",
-    "q_json_extract", "q_lower_ids", "q_index_name", "q_doc_charlen",
-    "q_cdc_merge", "q_variant_stats", "q_doc_actions", "q_doc_actions_full",
-    "q_anti_join_cleanup", "q_dup_alias_having", "q_dup_alias_semi",
-    "q_count_reconcile", "q_schema_probe", "q_topk_tail",
-    # registered this round — first-round gate exposure (VERDICT r9
-    # tasks 2 and 5)
-    "q_simhash_capped", "q_simhash_band_census", "q_stream_batch_parity",
-    # round-robin cross-family first-exposure sample
-    # (REPLICA_r10_candidates.json, pre-validated at round-9 close)
-    "q_rank_suite", "q_video_scene", "q_incremental_rollup",
-    "q_skyline_docs", "q_epoch_plan", "q_cooccurrence",
-    "q_contrastive_batches", "q_pair_features", "q_interarrival",
-    "q_vocab_coverage", "q_shard_balance", "q_array_profile",
-    "q_important_stock", "q_revenue_acf", "q_embedding_audit",
-    "q_string_agg", "q_speech_vad", "q_top_p_corpus",
-    "q_dataset_card", "q_embed_outliers", "q_abtest_lift",
-    "q_oov_rate", "q_write_bins", "q_regr_stats",
-    "q_customer_distribution", "q_cluster_profile", "q_mom_growth",
+    # registered this round — first-round gate exposure (VERDICT r10
+    # task 6: X6 atomic publish)
+    "q_publish_manifest",
+    # reference surface (SURVEY §2) — pinned: one representative per
+    # family (S1 full scan, S2+T2 incremental, P2 JSONB, A2+O1 flagship,
+    # A5/A6 having, J1/X8 anti-join cleanup, J3/X7 reconcile, S5/T7/O2
+    # schema probe, O3 top-k tail, T2/CDC merge, S3/P12/T3 actions)
+    "q_index_order", "q_full_select", "q_incremental_select",
+    "q_json_extract", "q_cdc_merge", "q_doc_actions",
+    "q_anti_join_cleanup", "q_dup_alias_having", "q_count_reconcile",
+    "q_schema_probe", "q_topk_tail",
+    # the full never-checked exact-oracle remainder (33, round-robin
+    # cross-family order from rotate_window.py; REPLICA_r11_candidates)
+    "q_reservoir_sample", "q_class_weights", "q_mixture_apply",
+    "q_promo_revenue", "q_top_supplier", "q_parts_supplier_counts",
+    "q_large_orders", "q_sales_opportunity", "q_min_price_supplier",
+    "q_waiting_suppliers", "q_forecast_revenue", "q_shipmode_priority",
+    "q_promo_part_suppliers", "q_dq_checks", "q_stats_merge",
+    "q_skew_metrics", "q_column_profile", "q_kanon_audit",
+    "q_dp_counts", "q_ab_srm", "q_feature_hash",
+    "q_pit_labels", "q_target_encoding", "q_negative_sampling",
+    "q_rank_fusion", "q_spearman", "q_hash_embed",
+    "q_dim_variance", "q_kfold", "q_gini",
+    "q_knn_classify", "q_chi_square", "q_zipf_fit",
+    # rows-only-BY-DESIGN sketch/FFT entries (driver records a weaker
+    # rows-only row — the honest label for estimates with no SQL oracle)
+    "q_approx_distinct", "q_approx_percentiles", "q_heavy_hitters",
+    "q_hll_merge", "q_audio_spectral",
 )
 
-# Rows-only entries deliberately allowed inside the window this round —
-# none in r10: every window entry is exact-oracle-gated (the r9 policy
-# exceptions q_heavy_hitters/q_hll_merge got their rows-only driver rows
-# last round and rotate out with the rest of the checked set).
-_WINDOW_ROWS_ONLY_OK = frozenset()
+# Rows-only entries deliberately allowed inside the window this round:
+# the five permanently-rows-only sketch/FFT queries (VERDICT r10 task 1
+# names them explicitly — their driver exposure completes the ledger;
+# every other window entry is exact-oracle-gated).
+_WINDOW_ROWS_ONLY_OK = frozenset(
+    {
+        "q_approx_distinct",
+        "q_approx_percentiles",
+        "q_heavy_hitters",
+        "q_hll_merge",
+        "q_audio_spectral",
+    }
+)
 
 
 def _ordered(reg: dict[str, "RegisteredQuery"]) -> dict[str, "RegisteredQuery"]:

@@ -89,11 +89,14 @@ def test_driver_window_extension_slots_are_first_exposure():
     from prefect_flow_arc_indexer_spark.plans.registry import _DRIVER_WINDOW
 
     ledger = json.load(open("/root/repo/COVERAGE_LEDGER.json"))
-    reference_surface = set(_DRIVER_WINDOW[:20])
+    # r11 window shape: slot 0 is the this-round registration
+    # (q_publish_manifest), slots 1-11 the pinned reference surface; every
+    # later slot must be first-exposure (never driver-green before)
+    pinned = set(_DRIVER_WINDOW[:12])
     stale = [
         q
         for q in _DRIVER_WINDOW
-        if q not in reference_surface and q in ledger["last_green_round"]
+        if q not in pinned and q in ledger["last_green_round"]
     ]
     assert not stale, (
         f"driver-window slots already driver-green (rotate them out): {stale}"
