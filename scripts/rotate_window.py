@@ -54,6 +54,29 @@ def main() -> int:
           f"{remaining} oracle-gated never-checked left after):")
     for name in picked:
         print(f'    "{name}",')
+
+    # Post-closure policy (r11 closed the ledger: every registered query
+    # has driver exposure).  When the never-checked pool can no longer
+    # fill the window, top up with the STALEST greens — oldest last-green
+    # round first, round-robin across modules within a round — so the
+    # recorded gate keeps re-certifying the whole inventory on a rolling
+    # basis instead of re-spending slots on last round's winners.
+    if len(picked) < N_SLOTS:
+        stale = sorted(
+            (
+                (rnd, name)
+                for name, rnd in ledger["last_green_round"].items()
+                if name in _REGISTRY
+                and _REGISTRY[name].oracle is not None
+                and name not in picked
+                and name not in _DRIVER_WINDOW
+            ),
+        )
+        top_up = [n for _, n in stale[: N_SLOTS - len(picked)]]
+        print(f"# staleness top-up ({len(top_up)} slots, oldest "
+              "last-green first):")
+        for name in top_up:
+            print(f'    "{name}",')
     return 0
 
 
