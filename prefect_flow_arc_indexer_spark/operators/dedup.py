@@ -1521,7 +1521,21 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (measured 12.2s at sf0.1); the join form streams candidates through
     # the bit_count filter so only true near-dup pairs reach the distinct
     # exchange, and AQE skew-join splits any remaining hot bucket.
-    fp = simhash_fingerprints(docs).localCheckpoint(eager=True)
+    #
+    # The repartition before the checkpoint is PARALLELISM INSURANCE for
+    # the pair join, not data movement that matters: AQE right-sizes the
+    # fingerprint aggregation's exchange for its own tiny output (50k
+    # narrow rows coalesce to ~4 partitions), but the checkpoint freezes
+    # that count and the broadcast band join then enumerates ALL candidate
+    # pairs across exactly those stream-side partitions — 4 tasks doing
+    # 175.6M pairs of work at sf1 (measured 3.2x wall vs 16). The shuffle
+    # moved is doc_id+int64 per row — negligible at every scale against
+    # the pair enumeration it parallelizes.
+    fp = (
+        simhash_fingerprints(docs)
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        .localCheckpoint(eager=True)
+    )
     mask = (1 << SIMHASH_BAND_BITS) - 1
     band_structs = [
         F.struct(
@@ -1604,7 +1618,15 @@ def _simhash_capped_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     on the SAME key the candidate self-join uses, so the cap adds no extra
     exchange — the join reuses the window's partitioning."""
     docs = load_table(spark, sf_dir, "documents", fan_out=True)
-    fp = simhash_fingerprints(docs).localCheckpoint(eager=True)
+    # repartition before the checkpoint: parallelism insurance for the
+    # downstream candidate join (see q_simhash_pairs — AQE coalesces the
+    # tiny fingerprint exchange and the checkpoint freezes that count as
+    # the join's stream-side task parallelism)
+    fp = (
+        simhash_fingerprints(docs)
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        .localCheckpoint(eager=True)
+    )
     mask = (1 << SIMHASH_BAND_BITS) - 1
     band_structs = [
         F.struct(

@@ -115,6 +115,44 @@ def main() -> int:
             scols = sdf.columns
             ssig = frame_signature(scols, srows)
         except Exception as e:
+            if "maxResultSize" in str(e) and rq.oracle is not None:
+                # legitimately collect-too-big result (e.g. q_simhash_pairs
+                # at sf1: 175.6M pairs) — apply the same gate shape
+                # distributed: count + 32-bit row-checksum sum + numeric
+                # column sums on both engines, no driver collect
+                sys.path.insert(0, str(Path(__file__).resolve().parent))
+                from verify_bigresult import checksum_gate
+
+                try:
+                    srow, drow = checksum_gate(
+                        rq.builder(spark, sf_dir), rq.oracle, con
+                    )
+                except Exception as e2:
+                    print(f"FAIL  {name}: checksum fallback error: {e2}")
+                    results[name] = {"mode": "oracle-distributed-checksum",
+                                     "pass": False,
+                                     "err": f"checksum: {e2}"[:300]}
+                    failures += 1
+                    continue
+                ok = srow == drow
+                results[name] = {
+                    "mode": "oracle-distributed-checksum",
+                    "pass": ok,
+                    "spark_rows": srow[0],
+                    "oracle_rows": drow[0],
+                    "note": "collect exceeded spark.driver.maxResultSize; "
+                    "verified via scripts/verify_bigresult.py's "
+                    "checksum_gate (count + 32-bit row-checksum sum + "
+                    "numeric column sums, both engines, no collect)",
+                    "secs": round(time.time() - t0, 1),
+                }
+                if ok:
+                    print(f"ok    {name}: distributed checksum "
+                          f"{srow[0]} rows match ({time.time()-t0:.1f}s)")
+                else:
+                    failures += 1
+                    print(f"FAIL  {name}: checksum spark={srow} duck={drow}")
+                continue
             print(f"FAIL  {name}: spark error: {e}")
             results[name] = {"mode": "oracle" if rq.oracle else "rows-only",
                              "pass": False, "err": f"spark: {e}"[:300]}

@@ -35,12 +35,59 @@ from prefect_flow_arc_indexer_spark.session import get_spark
 from prefect_flow_arc_indexer_spark.sources.parquet import TABLES
 
 
+def checksum_gate(sdf, oracle_sql: str, con) -> tuple[tuple, tuple]:
+    """Collect-free oracle gate: (count, 32-bit row-checksum sum, numeric
+    column sums) computed by BOTH engines over the full result; returns
+    (spark_row, duck_row) — equal iff the result sets match order-free.
+    Shared by this CLI and scripts/selfcheck.py's maxResultSize fallback."""
+    from pyspark.sql import functions as F
+
+    cols = sorted(sdf.columns)
+    int_cols = [
+        f.name
+        for f in sdf.schema.fields
+        if f.dataType.simpleString() in ("int", "bigint", "smallint")
+    ]
+    # NULLs must canonicalize identically on both engines: concat_ws
+    # SKIPS null columns while DuckDB's `||` nulls the whole key (and
+    # sum() then drops the row's md5) — coalesce to a sentinel on both
+    # sides, mirroring selfcheck's NULL handling (ADVICE r7)
+    row_key = F.concat_ws(
+        "\x1f",
+        *[
+            F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
+            for c in cols
+        ],
+    )
+    aggs = [
+        F.count("*").alias("n"),
+        F.sum(
+            F.conv(F.substring(F.md5(row_key), 1, 8), 16, 10).cast(
+                "bigint"
+            )
+        ).alias("chk"),
+        *[F.sum(c).alias(f"s_{c}") for c in int_cols],
+    ]
+    srow = tuple(sdf.agg(*aggs).collect()[0])
+    dkey = " || chr(31) || ".join(
+        f"coalesce({c}::VARCHAR, chr(0))" for c in cols
+    )
+    dsums = "".join(f", sum({c}) AS s_{c}" for c in int_cols)
+    drow = tuple(
+        con.execute(
+            f"WITH r AS ({oracle_sql}) SELECT count(*) AS n, "
+            f"sum(('0x' || substr(md5({dkey}), 1, 8))::UBIGINT::BIGINT) "
+            f"AS chk{dsums} FROM r"
+        ).fetchone()
+    )
+    return srow, drow
+
+
 def main() -> int:
     if len(sys.argv) < 3:
         print(__doc__)
         return 2
     sf_dir, names = sys.argv[1], sys.argv[2:]
-    from pyspark.sql import functions as F
 
     spark = get_spark("verify-bigresult")
     con = duckdb.connect()
@@ -54,44 +101,7 @@ def main() -> int:
             print(f"skip  {name}: no oracle")
             continue
         sdf = rq.builder(spark, sf_dir)
-        cols = sorted(sdf.columns)
-        int_cols = [
-            f.name
-            for f in sdf.schema.fields
-            if f.dataType.simpleString() in ("int", "bigint", "smallint")
-        ]
-        # NULLs must canonicalize identically on both engines: concat_ws
-        # SKIPS null columns while DuckDB's `||` nulls the whole key (and
-        # sum() then drops the row's md5) — coalesce to a sentinel on both
-        # sides, mirroring selfcheck's NULL handling (ADVICE r7)
-        row_key = F.concat_ws(
-            "\x1f",
-            *[
-                F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
-                for c in cols
-            ],
-        )
-        aggs = [
-            F.count("*").alias("n"),
-            F.sum(
-                F.conv(F.substring(F.md5(row_key), 1, 8), 16, 10).cast(
-                    "bigint"
-                )
-            ).alias("chk"),
-            *[F.sum(c).alias(f"s_{c}") for c in int_cols],
-        ]
-        srow = tuple(sdf.agg(*aggs).collect()[0])
-        dkey = " || chr(31) || ".join(
-            f"coalesce({c}::VARCHAR, chr(0))" for c in cols
-        )
-        dsums = "".join(f", sum({c}) AS s_{c}" for c in int_cols)
-        drow = tuple(
-            con.execute(
-                f"WITH r AS ({rq.oracle}) SELECT count(*) AS n, "
-                f"sum(('0x' || substr(md5({dkey}), 1, 8))::UBIGINT::BIGINT) "
-                f"AS chk{dsums} FROM r"
-            ).fetchone()
-        )
+        srow, drow = checksum_gate(sdf, rq.oracle, con)
         ok = srow == drow
         failures += 0 if ok else 1
         print(f"{'ok   ' if ok else 'FAIL '} {name}: spark={srow} duck={drow}")
