@@ -245,11 +245,14 @@ def q_curriculum_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_tot = sig.agg(F.count(F.lit(1)).alias("n"))
     ranked = global_rank(
         sig, [F.col("difficulty").asc(), F.col("doc_id").asc()], "rnk"
-    ).crossJoin(F.broadcast(n_tot))
-    return ranked.select(
+    )
+    rel = ranked.ckpt_release  # distrank's pinned-partitioning handle
+    out = ranked.crossJoin(F.broadcast(n_tot)).select(
         "doc_id",
         "difficulty",
         F.expr(f"cast(({CURR_STAGES} * (rnk - 1)) div n as int)").alias(
             "stage"
         ),
     )
+    out.ckpt_release = rel
+    return out

@@ -625,10 +625,11 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     cum = global_cumsum(
         t, F.col("n_tokens"), [F.col("doc_id").asc()], "_cum"
     )
+    rel = cum.ckpt_release  # distrank's pinned-partitioning handle
     start = (
         F.col("_cum") - F.coalesce(F.col("n_tokens"), F.lit(0))
     ).cast("bigint")
-    return cum.select(
+    out = cum.select(
         "doc_id", "n_tokens", start.alias("_start")
     ).select(
         "doc_id",
@@ -636,6 +637,8 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"_start div {PACK_CONTEXT}").alias("pack_id"),
         (F.col("_start") % PACK_CONTEXT).alias("pack_offset"),
     )
+    out.ckpt_release = rel
+    return out
 
 
 # --------------------------------------------------------------------------

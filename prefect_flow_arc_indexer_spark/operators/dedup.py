@@ -1982,7 +1982,13 @@ SELECT *,
 )
 def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents", fan_out=True)
-    sh = _hashed_shingles(docs)
+    # the shingle stream feeds FIVE plan branches (sizes, minsh, the
+    # anchor-gram probe side, and both _pair_intersections sides);
+    # without materialization each branch re-tokenizes the corpus —
+    # measured 9.8 -> 7.7 s at sf1. Caller releases via ckpt_release
+    # after consuming (q_pagerank/q_golden_record contract; harness
+    # sweeps also blanket-release between queries).
+    sh = _hashed_shingles(docs).localCheckpoint(eager=True)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     minsh = sh.groupBy("doc_id", "source").agg(F.min("h").alias("mh"))
     # anchor-gram blocking: m's min shingle occurs anywhere in o
@@ -2036,7 +2042,7 @@ def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
-    return (
+    out = (
         scored.select(
             "doc_a",
             "doc_b",
@@ -2059,6 +2065,8 @@ def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .limit(20)
     )
+    out.ckpt_release = CheckpointRelease(sh)
+    return out
 
 
 # --------------------------------------------------------------------------

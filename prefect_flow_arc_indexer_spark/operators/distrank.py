@@ -44,6 +44,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
+from prefect_flow_arc_indexer_spark.functions.caching import CheckpointRelease
+
 # Floor for the range-partition fan-out (small SFs fit in a handful) and the
 # target bytes each range partition should sort. When callers don't pass
 # ``num_parts``, the fan-out is DERIVED from the input's optimizer size
@@ -123,11 +125,19 @@ def global_rank(
         "_lr", F.row_number().over(local_w)
     ).localCheckpoint(eager=False)
     offs = _offsets(local, F.count(F.lit(1)))
-    return (
+    out = (
         local.join(F.broadcast(offs), "_pid")
         .withColumn(out_col, (F.col("_lr") + F.col("_off")).cast("bigint"))
         .drop("_pid", "_lr", "_off")
     )
+    # caller-release contract for the pinned partitioning (lazy checkpoint,
+    # materialized by the consumer's first action — the ADVICE r10
+    # naked-checkpoint class): DataFrame attributes don't survive further
+    # transformations, so callers that derive new frames must capture
+    # ``out.ckpt_release`` at call time and re-attach it to whatever they
+    # return; harness sweeps also blanket-release between queries.
+    out.ckpt_release = CheckpointRelease(local)
+    return out
 
 
 def global_cumsum(
@@ -163,8 +173,11 @@ def global_cumsum(
         "_lc", F.sum("_v").over(local_w)
     ).localCheckpoint(eager=False)
     offs = _offsets(local, F.sum("_v"))
-    return (
+    out = (
         local.join(F.broadcast(offs), "_pid")
         .withColumn(out_col, F.col("_lc") + F.col("_off"))
         .drop("_pid", "_v", "_lc", "_off")
     )
+    # same caller-release contract as global_rank
+    out.ckpt_release = CheckpointRelease(local)
+    return out

@@ -322,7 +322,10 @@ SELECT "index",
     "NULLs; integer sums stay exact",
 )
 def q_variant_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = index_documents(spark, sf_dir)
+    # fan_out: the VARIANT parse is the cost here, and the events source
+    # reads as 1-4 partitions at test SFs — without the spread the parse
+    # serializes onto that many cores (r11 sf1-ratio flag)
+    docs = index_documents(spark, sf_dir, fan_out=True)
     v = F.parse_json("document")
     k = F.try_variant_get(v, "$.k", "long")
     return (

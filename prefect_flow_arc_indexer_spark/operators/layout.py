@@ -106,30 +106,75 @@ SELECT l_returnflag, bin,
     "fully tie-broken order (price, orderkey, linenumber — total order => "
     "identical bin assignment on both engines), then per-bin count/min/max "
     "— the quantile-bucketization step of a feature pipeline and the "
-    "boundary computation of a range-partitioned writer. The per-group "
-    "window sort is the cost; at 100 TB the same boundaries come from "
-    "percentile_approx (q_approx_percentiles) without a global sort, with "
-    "ntile kept as the exact-semantics reference",
+    "boundary computation of a range-partitioned writer. Executed WITHOUT "
+    "the row-level ntile window (which hash-clusters the whole corpus on "
+    "l_returnflag — 3 groups => 3 corpus-sized sort tasks no matter how "
+    "many executors exist, the q_zipf_fit single-task-sort class): every "
+    "output cell is determined by the per-price COUNTS alone. n_items is "
+    "closed-form ntile arithmetic from the per-flag total, and "
+    "bin_min/bin_max are the prices whose cumulative-rank interval "
+    "intersects the bin's rank interval — value-at-rank depends only on "
+    "how many rows hold each price, never on the tie-break order, so the "
+    "total order contributes nothing to the values. Plan: map-side-"
+    "combined groupBy(flag, price) count (full scan parallelism), then a "
+    "cumsum + bin-interval explode over the DOMAIN-bounded histogram "
+    "(594k distinct (flag, price) at sf1 AND sf0.1 — 2-dp currency "
+    "saturates; the q_ks_drift/q_length_trim histogram-window class, "
+    "partitioned by flag), then a 30-group re-aggregate. No corpus-sized "
+    "sort at any scale; q_approx_percentiles is the sketch fallback for "
+    "value domains that genuinely don't saturate. Oracle keeps the ntile "
+    "window as the exact-semantics reference definition",
 )
 def q_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    w = Window.partitionBy("l_returnflag").orderBy(
-        F.col("l_extendedprice").asc(),
-        F.col("l_orderkey").asc(),
-        F.col("l_linenumber").asc(),
+    hist = li.groupBy("l_returnflag", "l_extendedprice").agg(
+        F.count("*").alias("cnt")
     )
-    return (
-        li.select(
-            "l_returnflag",
-            "l_extendedprice",
-            F.ntile(QBIN_N).over(w).alias("bin"),
+    wflag = Window.partitionBy("l_returnflag")
+    cum = hist.select(
+        "l_returnflag",
+        "l_extendedprice",
+        "cnt",
+        F.sum("cnt")
+        .over(wflag.orderBy("l_extendedprice"))
+        .alias("cum"),
+        F.sum("cnt").over(wflag).alias("n"),
+    )
+    # ntile bucket arithmetic: q = n div N, rem = n mod N; bins 1..rem get
+    # q+1 rows. bin_of(rank) inverts it (q == 0 <=> n < N => unit bins);
+    # all-integer `div` so the inversion is exact at any n. A price covers
+    # ranks (cum-cnt, cum]; it contributes min/max to every bin its
+    # interval intersects — at most N bins, via one tiny explode.
+    def bin_of(rank: str) -> str:
+        q, rem = f"(n div {QBIN_N})", f"(n % {QBIN_N})"
+        return (
+            f"CAST(CASE WHEN n < {QBIN_N} THEN {rank} "
+            f"WHEN {rank} <= {rem} * ({q} + 1) "
+            f"THEN ({rank} + {q}) div ({q} + 1) "
+            f"ELSE {rem} + ({rank} - {rem} * ({q} + 1) + {q} - 1) div {q} "
+            f"END AS INT)"
         )
-        .groupBy("l_returnflag", "bin")
-        .agg(
-            F.count("*").alias("n_items"),
-            F.round(F.min("l_extendedprice"), 2).alias("bin_min"),
-            F.round(F.max("l_extendedprice"), 2).alias("bin_max"),
-        )
+
+    spans = cum.withColumn(
+        "lo_rank", F.col("cum") - F.col("cnt") + 1
+    ).select(
+        "l_returnflag",
+        "l_extendedprice",
+        "n",
+        F.explode(
+            F.expr(f"sequence({bin_of('lo_rank')}, {bin_of('cum')})")
+        ).alias("bin"),
+    )
+    # n_items closed-form from the same arithmetic (n rides along on every
+    # row — constant within a flag, so max() just reads it back)
+    n_items = F.expr(
+        f"max(n) div {QBIN_N} "
+        f"+ CAST(bin <= max(n) % {QBIN_N} AS BIGINT)"
+    )
+    return spans.groupBy("l_returnflag", "bin").agg(
+        n_items.alias("n_items"),
+        F.round(F.min("l_extendedprice"), 2).alias("bin_min"),
+        F.round(F.max("l_extendedprice"), 2).alias("bin_max"),
     )
 
 

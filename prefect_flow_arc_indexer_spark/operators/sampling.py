@@ -157,12 +157,16 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang", "n_chars"
     )
     tot = docs.agg(F.sum("n_chars").cast("long").alias("total"))
-    w = global_cumsum(
+    cum = global_cumsum(
         docs, F.col("n_chars"), [F.col("doc_id").asc()], "cum"
-    ).join(F.broadcast(tot))
+    )
+    rel = cum.ckpt_release  # distrank's pinned-partitioning handle
+    w = cum.join(F.broadcast(tot))
     ticket = F.expr(f"(cum * {WEIGHTED_K}) div total")
     prev_ticket = F.expr(f"((cum - n_chars) * {WEIGHTED_K}) div total")
-    return (
+    out = (
         w.where(ticket > prev_ticket)
         .select("doc_id", "lang", "n_chars", ticket.cast("long").alias("ticket"))
     )
+    out.ckpt_release = rel
+    return out

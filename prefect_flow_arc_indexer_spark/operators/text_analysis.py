@@ -269,11 +269,15 @@ def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents", fan_out=True).where(
         F.col("text").isNotNull() & (F.length("text") > 0)
     )
-    # '[\s\S]' (everything, including line terminators) instead of '.':
-    # Java's dot excludes \n \r \u0085 \u2028 \u2029 while RE2's excludes
-    # only \n — any excluded char silently breaks oracle parity AND the
-    # H = log2(n) - sum(c*log2(c))/n identity, since n counts every char
-    chars = F.regexp_extract_all(F.col("text"), F.lit(r"[\s\S]"), F.lit(0))
+    # split on the empty pattern yields every character INCLUDING line
+    # terminators with no trailing empty element ('abc' -> [a,b,c]) — the
+    # same char multiset as the oracle's regexp_extract_all('[\s\S]')
+    # (kept regex-form there because DuckDB lacks the empty-split idiom),
+    # without running a regex engine per character: the regex form
+    # measured ~3.5x split's per-row cost at sf1, the whole gap behind
+    # this query's r11 sf1-ratio flag. The length>0 filter above keeps
+    # split('','') = [''] out of the fold.
+    chars = F.split(F.col("text"), "")
     # one O(n log n) pass per row: sort the chars, then fold the sorted
     # array once, closing each run with its c*log2(c) term as the char
     # changes. The per-distinct-char recount (transform over
@@ -625,9 +629,11 @@ SELECT (SELECT CAST(n_cal AS BIGINT) FROM qhat LIMIT 1) AS n_cal,
         joined = joined.localCheckpoint(eager=True)  # both splits reuse it
         cal0 = joined.where("is_cal")
         n_cal_df = cal0.agg(F.count(F.lit(1)).alias("n_cal"))
-        cal = global_rank(
+        ranked = global_rank(
             cal0, [F.col("s_micro").asc(), F.col("doc_id").asc()], "rk"
-        ).crossJoin(F.broadcast(n_cal_df))
+        )
+        rk_release = ranked.ckpt_release  # distrank's handle
+        cal = ranked.crossJoin(F.broadcast(n_cal_df))
         qhat = cal.where(
             F.col("rk")
             == F.least(
@@ -641,7 +647,7 @@ SELECT (SELECT CAST(n_cal AS BIGINT) FROM qhat LIMIT 1) AS n_cal,
             F.col("s_micro").alias("q_hat_micro"),
         )
         ev = joined.where(~F.col("is_cal")).crossJoin(F.broadcast(qhat))
-        return ev.groupBy("n_cal", "q_hat_micro").agg(
+        out = ev.groupBy("n_cal", "q_hat_micro").agg(
             F.count("*").alias("n_eval"),
             F.sum(
                 (F.col("s_micro") <= F.col("q_hat_micro")).cast("int")
@@ -657,6 +663,16 @@ SELECT (SELECT CAST(n_cal AS BIGINT) FROM qhat LIMIT 1) AS n_cal,
                 F.col("n_covered").cast("double") / F.col("n_eval"), 6
             ).alias("coverage"),
         )
+        # caller-release contracts for the two checkpoints (ADVICE r10
+        # naked-checkpoint class): the scored/split frame and distrank's
+        # pinned range partitioning
+        from prefect_flow_arc_indexer_spark.functions.caching import (
+            CheckpointRelease,
+        )
+
+        out.ckpt_release = CheckpointRelease(joined)
+        out.rk_release = rk_release
+        return out
 
 
 _register_conformal()

@@ -94,14 +94,19 @@ def table_row_count(spark: SparkSession, sf_dir: str, name: str) -> int:
         return spark.read.parquet(path).count()
 
 
-def index_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+def index_documents(
+    spark: SparkSession, sf_dir: str, fan_out: bool = False
+) -> DataFrame:
     """The reference's source table as a logical view over ``events``.
 
     Mirrors the 5-column schema implied by reference ``flows/main_flow.py``
     (index text / id text / document jsonb / is_deleted bool / updated_at
-    timestamptz — see SURVEY §1.1).
+    timestamptz — see SURVEY §1.1). ``fan_out`` as in :func:`load_table` —
+    pass it from consumers whose per-row work (JSON/VARIANT parsing)
+    dominates the scan; the events file reads as 1-4 partitions at test
+    SFs, which would serialize that CPU.
     """
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events", fan_out=fan_out)
     return ev.select(
         F.col("event_type").alias("index"),
         F.col("event_id").cast("string").alias("id"),
