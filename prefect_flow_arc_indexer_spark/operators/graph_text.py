@@ -18,6 +18,8 @@ Scale posture:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from prefect_flow_arc_indexer_spark.functions.caching import (
@@ -342,6 +344,16 @@ PAGERANK_TOP_K = 25
 # <= 5e-13 rank units against an output rounded at 1e-6.
 PAGERANK_QUANT = 10**12
 
+# Broadcast the rank vector into the per-iteration joins while the node set
+# stays under this bound (~30 bytes/row -> ~150 MB built relation at the
+# cap, inside the guide's few-hundred-MB comfort zone). Past it the loop
+# keeps the shuffle-join shape, so a 10^9-term raw web vocabulary still
+# works — the gate is data-derived, not a local[32] constant. Env override
+# for cluster profiles with bigger driver/executor memory.
+PAGERANK_BCAST_MAX = int(
+    os.environ.get("SPARK_GRAFT_PAGERANK_BCAST_MAX", 5_000_000)
+)
+
 
 def _dd_pagerank_sql() -> str:
     """Unrolled PageRank iterations in DuckDB SQL — textually parallel to
@@ -429,6 +441,13 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from prefect_flow_arc_indexer_spark.functions.textfns import word_ngrams
 
     docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    # Persist the AGGREGATED edge list — |distinct bigrams| rows, the small
+    # product of the expensive corpus pass (scan + tokenize + explode +
+    # groupBy). Everything downstream (out_w, trans, nodes, the dangling
+    # set) derives from this cache, so the corpus is tokenized exactly once
+    # per call; previously only `trans`/`nodes` were persisted and their
+    # *population* plus no_out's checkpoint each re-ran the full corpus
+    # pass (3 tokenization passes measured in the r11 setup profile).
     edges = (
         docs.where(F.col("text").isNotNull())
         .select(F.explode(word_ngrams(tokens(F.col("text")), 2)).alias("b"))
@@ -438,6 +457,7 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("src", "dst")
         .agg(F.count("*").alias("w"))
+        .persist()
     )
     out_w = edges.groupBy("src").agg(F.sum("w").alias("outw"))
     trans = (
@@ -451,9 +471,10 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         edges.select(F.col("src").alias("term"))
         .union(edges.select("dst"))
         .distinct()
-        .persist()
     )
     try:
+        # the single setup action: materializes the `edges` persist (one
+        # corpus pass) and counts the node set off the cached aggregate
         n = nodes.count()
         d, q = PAGERANK_DAMPING, float(PAGERANK_QUANT)
         # fixed-point units of 1/QUANT, BIGINT throughout the loop: the
@@ -464,29 +485,45 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         if n == 0:
             # empty corpus: the oracle's CTEs all collapse to zero rows;
             # without the guard the q/n literal divides by zero under ANSI.
-            # Checked BEFORE no_out is checkpointed so the early return
+            # Checked BEFORE rank is checkpointed so the early return
             # cannot strand checkpoint blocks (ADVICE r10).
             return spark.createDataFrame(
                 [], "rank_pos int, term string, pagerank double"
             )
-        # the dangling-node SET is loop-invariant (nodes and out-edges never
-        # change); materialize it once — the anti join's out_w side derives
-        # from the full corpus scan + tokenization, so leaving it inside the
-        # loop re-scanned the documents every iteration (the actual cost of
-        # the old 7s/5-iter profile, not the rank-vector math)
-        no_out = (
-            nodes.join(out_w, nodes.term == out_w.src, "left_anti")
-            .select("term")
+        # the rank vector is |vocab| rows of (term, bool, long) — small
+        # enough to broadcast for any realistic vocabulary, which turns
+        # both per-iteration joins into broadcast hash joins (no shuffle
+        # of the cached edge table, no shuffle of the checkpointed rank);
+        # past the gate the loop falls back to the shuffle-join shape.
+        bcast = n <= PAGERANK_BCAST_MAX
+
+        def _b(df):
+            return F.broadcast(df) if bcast else df
+
+        # dangling membership rides IN the rank vector as a boolean — the
+        # loop-invariant no_out set needs no separate checkpoint and the
+        # per-iteration dangling aggregate becomes a filter over the
+        # already-checkpointed rank instead of a semi join.
+        rank = (
+            nodes.join(
+                out_w.select(
+                    F.col("src").alias("term"), F.lit(True).alias("has_out")
+                ),
+                "term",
+                "left",
+            )
+            .select(
+                "term",
+                F.coalesce(F.col("has_out"), F.lit(False)).alias("has_out"),
+                F.round(F.lit(q) / F.lit(float(n))).cast("long").alias("rq"),
+            )
             .localCheckpoint(eager=True)
-        )
-        rank = nodes.select(
-            "term",
-            F.round(F.lit(q) / F.lit(float(n))).cast("long").alias("rq"),
         )
         for _ in range(PAGERANK_ITERS):
             prev = rank
             contrib = (
-                trans.join(rank, trans.src == rank.term)
+                trans.join(_b(rank.select("term", "rq")),
+                           trans.src == F.col("term"))
                 .select(
                     "dst",
                     F.round(F.col("p") * F.col("rq").cast("double"))
@@ -500,14 +537,15 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             # uniformly. The 1-row dangling aggregate stays IN the plan as a
             # broadcast cross join instead of a per-iteration driver collect
             # (one action per round instead of two).
-            dang = rank.join(no_out, "term", "left_semi").agg(
+            dang = rank.where(~F.col("has_out")).agg(
                 F.coalesce(F.sum("rq"), F.lit(0)).cast("long").alias("dmassq")
             )
             rank = (
-                nodes.join(contrib, nodes.term == contrib.dst, "left")
+                rank.join(_b(contrib), rank.term == contrib.dst, "left")
                 .crossJoin(F.broadcast(dang))
                 .select(
                     "term",
+                    "has_out",
                     F.round(
                         F.lit(1.0 - d) * F.lit(q) / F.lit(float(n))
                         + F.lit(d)
@@ -528,10 +566,7 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             # inside the loop; otherwise every call strands one block set
             # per iteration for the session's lifetime (the r8 leak class;
             # caught by tests/test_cache_soak.py's r9-rewrite soak).
-            # Round 0's `rank` is a plain select — release is a no-op.
             release_local_checkpoint(prev)
-        # the loop-invariant dangling set has no consumer past the loop
-        release_local_checkpoint(no_out)
         # top-k FIRST via orderBy+limit (plans as TakeOrderedAndProject —
         # parallel partial top-k, no single-task sort of the node table),
         # then number the k survivors; identical to rank-then-filter
@@ -555,7 +590,7 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out
     finally:
         trans.unpersist()
-        nodes.unpersist()
+        edges.unpersist()
 
 
 # --------------------------------------------------------------------------
