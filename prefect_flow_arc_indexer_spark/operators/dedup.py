@@ -1066,7 +1066,13 @@ def q_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
 # connected components over the near-dup graph -> dedup clusters
 # --------------------------------------------------------------------------
 CC_MAX_ITERS = 20
-CC_JUMP_AFTER = 4
+# r11 measurement: the fuzzy-match graph (q_golden_record) has name chains
+# that need 7 plain-propagation rounds; jumping from round 2 converges it in
+# 5 (3.29 -> 2.83 s standalone CC at sf0.1) while clique-ish LSH graphs that
+# already converge by round 2-3 pay at most one jump round of overhead
+# (q_dedup_components measured flat). Labels are jump-schedule-invariant, so
+# every consumer's oracle hash is unchanged by construction.
+CC_JUMP_AFTER = 2
 
 
 def connected_components(
