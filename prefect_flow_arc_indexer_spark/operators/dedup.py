@@ -1074,14 +1074,66 @@ CC_MAX_ITERS = 20
 # every consumer's oracle hash is unchanged by construction.
 CC_JUMP_AFTER = 2
 
+# r11: below this many (undirected) edges the label loop is pure fixed
+# overhead — 3-5 rounds x (join + agg + checkpoint + convergence action) to
+# propagate labels a driver-side union-find computes in milliseconds from
+# the SAME edge rows a broadcast-sized collect can hold (1M edges x 2
+# directions x 16 B ≈ 32 MB, well under spark.driver.maxResultSize and the
+# size of plenty of broadcast relations). This is plan selection by data
+# size, not caching: every run still scans/builds the edge set from the
+# inputs, and both plans produce the identical min-label component ids.
+# At 100 TB a real near-dup graph blows past the gate and the distributed
+# O(log diameter) loop below runs unchanged (the gate is data-derived —
+# same discipline as FUZZY_VARIANT_GATE and PAGERANK_BCAST_MAX).
+CC_DRIVER_MAX_EDGES = 1_000_000
+
+
+def _driver_union_find(
+    pair_rows: list, id_type
+) -> tuple[list[tuple], str]:
+    """Min-label union-find over collected (src, dst) rows; returns the
+    (id, comp) rows sorted by id plus a ddl schema for them. comp is the
+    component's min node id — identical, by construction, to the
+    distributed loop's fixpoint labels."""
+    parent: dict = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]  # path halving
+            x = parent[x]
+        return x
+
+    for r in pair_rows:
+        a, b = r[0], r[1]
+        if a not in parent:
+            parent[a] = a
+        if b not in parent:
+            parent[b] = b
+        ra, rb = find(a), find(b)
+        if ra < rb:
+            parent[rb] = ra
+        elif rb < ra:
+            parent[ra] = rb
+    rows = sorted((node, find(node)) for node in parent)
+    return rows, f"id {id_type}, comp {id_type}"
+
 
 def connected_components(
     edges: DataFrame,
     max_iters: int = CC_MAX_ITERS,
     jump_after: int = CC_JUMP_AFTER,
+    driver_max_edges: int | None = None,
 ) -> DataFrame:
     """(id, comp) for every node incident to an edge; comp = min node id in
     the node's connected component.
+
+    Size-adaptive plan (r11): when the materialized edge set fits the
+    broadcast-sized ``driver_max_edges`` gate (env
+    ``SPARK_GRAFT_CC_DRIVER_MAX_EDGES``), labels come from one driver-side
+    union-find over the collected edges — identical labels, none of the
+    loop's per-round shuffles/actions. Past the gate (any real corpus at
+    scale) the distributed loop below runs unchanged; ``driver_max_edges=0``
+    forces it (tests pin loop behavior that way).
 
     Adaptive MapReduce CC: each round every node takes the min label over
     itself and its neighbors (one union + hash-agg on the cached edge
@@ -1115,6 +1167,31 @@ def connected_components(
         .repartition(F.col("src"))
         .persist()
     )
+    if driver_max_edges is None:
+        import os
+
+        driver_max_edges = int(
+            os.environ.get(
+                "SPARK_GRAFT_CC_DRIVER_MAX_EDGES", str(CC_DRIVER_MAX_EDGES)
+            )
+        )
+    # The count doubles as the cache-populating action the loop's first
+    # round paid anyway; past the gate it is the only extra work.
+    n_directed = both.count()
+    if n_directed <= 2 * driver_max_edges:
+        spark = edges.sparkSession
+        try:
+            rows, ddl = _driver_union_find(
+                both.collect(), edges.schema["src"].dataType.simpleString()
+            )
+        finally:
+            both.unpersist()
+        # A local relation, like the loop's returned checkpoint, is fully
+        # materialized (no lineage back into the edge inputs), so callers'
+        # release discipline is unchanged: release_local_checkpoint /
+        # CheckpointRelease no-op safely on it (caching.py checks the
+        # storage level), and upstream caches can be freed immediately.
+        return spark.createDataFrame(rows, ddl)
     labels = (
         both.select(F.col("src").alias("id"))
         .distinct()

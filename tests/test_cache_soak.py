@@ -55,8 +55,12 @@ def test_near_dedup_keepers_soak_no_cache_growth(spark):
         # the documented service-loop contract: release the component-label
         # checkpoint once keepers is materialized (a checkpoint is
         # invisible to df.unpersist AND never collected by the
-        # ContextCleaner from PySpark — functions/caching.py)
-        assert keepers.ckpt_release.release() is True
+        # ContextCleaner from PySpark — functions/caching.py). Since the
+        # r11 CC driver gate, broadcast-sized graphs return labels as a
+        # LOCAL relation (nothing persisted, release() -> False); the
+        # storage-settles assertion below is the actual soak property
+        # and holds on both paths.
+        keepers.ckpt_release.release()
         del keepers, census
     final = _settles_to(spark, baseline)
     assert final <= baseline, (
@@ -117,8 +121,12 @@ def test_fuzzy_family_soak_no_cache_growth(spark):
         g = reg["q_golden_record"].builder(spark, SF_DIR)
         assert g.count() > 0
         # builder already released the edge snapshot + fuzzy caches; the
-        # label checkpoint is the caller's (ADVICE r8)
-        assert g.ckpt_release.release() is True
+        # label checkpoint is the caller's (ADVICE r8). With the r11 CC
+        # driver gate a broadcast-sized pair graph yields local-relation
+        # labels instead (release() -> False, nothing persisted); the
+        # settles-to-baseline assertion below pins the no-leak property
+        # for whichever path ran.
+        g.ckpt_release.release()
         del g
     final = _settles_to(spark, baseline)
     assert final <= baseline, (
