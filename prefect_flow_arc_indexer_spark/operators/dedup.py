@@ -355,13 +355,17 @@ def near_dedup_keepers(
     assigned = docs.select("doc_id").join(comp, "doc_id", "left").select(
         "doc_id", F.coalesce("comp", "doc_id").alias("component_id")
     )
-    sizes = assigned.groupBy("component_id").agg(
+    # keepers ARE the size aggregation: component_id is the min member id,
+    # which is itself a member, so every component (incl. singletons)
+    # surfaces exactly one group row (keeper_doc_id == component_id). The
+    # r11 fusion drops the filter + join-back — one corpus scan and one
+    # shuffle instead of two of each, same rows by construction.
+    keepers = assigned.groupBy("component_id").agg(
         F.count("*").alias("component_size")
-    )
-    keepers = (
-        assigned.where(F.col("doc_id") == F.col("component_id"))
-        .join(sizes, "component_id")
-        .select("doc_id", "component_id", "component_size")
+    ).select(
+        F.col("component_id").alias("doc_id"),
+        "component_id",
+        "component_size",
     )
     # keepers reads the component labels through connected_components'
     # returned localCheckpoint; the caller releases those blocks once
@@ -1161,12 +1165,6 @@ def connected_components(
     # InMemoryRelation keeps its outputPartitioning, so no exchange lands on
     # the edge side) — at scale this is the difference between shuffling the
     # whole edge set every round and shuffling only the (node, comp) labels.
-    both = (
-        edges.select("src", "dst")
-        .union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-        .repartition(F.col("src"))
-        .persist()
-    )
     if driver_max_edges is None:
         import os
 
@@ -1175,23 +1173,37 @@ def connected_components(
                 "SPARK_GRAFT_CC_DRIVER_MAX_EDGES", str(CC_DRIVER_MAX_EDGES)
             )
         )
-    # The count doubles as the cache-populating action the loop's first
-    # round paid anyway; past the gate it is the only extra work.
-    n_directed = both.count()
-    if n_directed <= 2 * driver_max_edges:
+    # Materialize the (often expensive: LSH / fuzzy-match) edge lineage
+    # exactly once, BEFORE the undirected expansion: the gate count reads
+    # it, the driver path collects it as-is (half the rows of the
+    # undirected form, no repartition shuffle), and the distributed path
+    # builds `both` from the cache instead of re-running the lineage.
+    directed = edges.select("src", "dst").persist()
+    n_edges = directed.count()
+    if n_edges <= driver_max_edges:
         spark = edges.sparkSession
         try:
             rows, ddl = _driver_union_find(
-                both.collect(), edges.schema["src"].dataType.simpleString()
+                directed.collect(),
+                edges.schema["src"].dataType.simpleString(),
             )
         finally:
-            both.unpersist()
+            directed.unpersist()
         # A local relation, like the loop's returned checkpoint, is fully
         # materialized (no lineage back into the edge inputs), so callers'
         # release discipline is unchanged: release_local_checkpoint /
         # CheckpointRelease no-op safely on it (caching.py checks the
         # storage level), and upstream caches can be freed immediately.
         return spark.createDataFrame(rows, ddl)
+    both = (
+        directed.union(
+            directed.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst")
+            )
+        )
+        .repartition(F.col("src"))
+        .persist()
+    )
     labels = (
         both.select(F.col("src").alias("id"))
         .distinct()
@@ -1263,6 +1275,7 @@ def connected_components(
         return labels
     finally:
         both.unpersist()
+        directed.unpersist()
         if not returned:  # error exit: don't strand the working labels
             release_frame(labels)
 
