@@ -524,30 +524,96 @@ SELECT CAST(s.cluster AS INT) AS cluster, s.n_members, c.centroid_checksum
     # convergence remain pytest-asserted.
     oracle=_dd_kmeans_sql(),
     doc="iterative algorithm surface: k-means via Lloyd iterations — "
-    "per iteration, assign is a broadcast of the driver-held centroids "
-    "folded per-vector in a shuffle-free projection (argmax cosine) and "
-    "re-estimation is one (label, pos) shuffle over the cached corpus; "
-    "centroids are collected to the driver each round (k rows — the "
-    "canonical Spark iterative pattern, which also truncates lineage so "
-    "plan depth stays O(1) per iteration). Output: per-cluster size and "
-    "a quantized centroid checksum.",
+    "per iteration, assign is a broadcast of the centroid set folded "
+    "per-vector in a shuffle-free projection (argmax cosine) and "
+    "re-estimation is one (label, pos) shuffle over the cached corpus. "
+    "r11: the fixed-count Lloyd chain runs as ONE lazy plan whose "
+    "per-round centroid sets are 1-row broadcast subtrees (the oracle's "
+    "unrolled-CTE shape); only the final k x d integer component sums "
+    "reach the driver — 4 per-round driver round-trips (each a fresh "
+    "plan build + codegen) collapse into one executed plan, identical "
+    "arithmetic. Output: per-cluster size and a quantized centroid "
+    "checksum.",
 )
 def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings", fan_out=True).select(
         "vec_id", "label", "embedding"
     )
     e = e.persist()
+    emb_d = F.col("embedding").cast("array<double>")
+
+    def comp_of(assigned: DataFrame) -> DataFrame:
+        """(cell, pos, s, n): the per-dimension exact integer sums (the
+        oracle's comp{t} CTE) — same arithmetic as ivf_centroids."""
+        return (
+            assigned.select(
+                F.col("label").alias("cell"),
+                F.posexplode(emb_d).alias("pos", "x"),
+            )
+            .groupBy("cell", "pos")
+            .agg(
+                F.sum(F.round(F.col("x") * QUANT).cast("bigint")).alias("s"),
+                F.count("*").alias("n"),
+            )
+        )
+
+    def cents_row(comp: DataFrame) -> DataFrame:
+        """One-row array<struct<cell,centroid>> (cell-ascending) — the
+        broadcastable centroid set _argmax_cell folds over."""
+        cent = comp.groupBy("cell").agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            "pos",
+                            (F.col("s").cast("double") / F.col("n")).alias(
+                                "c"
+                            ),
+                        )
+                    )
+                ),
+                lambda p: p["c"],
+            ).alias("centroid")
+        )
+        return cent.agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(F.col("cell").cast("int").alias("cell"), "centroid")
+                )
+            ).alias("cents")
+        )
+
+    def assign(crow: DataFrame) -> DataFrame:
+        return e.crossJoin(F.broadcast(crow)).select(
+            "vec_id",
+            _argmax_cell(F.col("cents"), F.col("embedding")).alias("label"),
+            "embedding",
+        )
+
     try:
-        # init: per-label quantized means (deterministic), then Lloyd
+        # r11: the Lloyd chain runs as ONE lazy plan — each round's
+        # centroid set stays a 1-row broadcast subtree feeding the next
+        # assignment (exactly the oracle's unrolled-CTE shape) instead of
+        # a per-round driver collect + fresh plan. The driver sees only
+        # the FINAL per-dimension integer sums (k x d rows). Measured
+        # 4.13 -> 3.10 s at sf0.1 (plan build + AQE/codegen overhead of
+        # 4 fresh per-round plans was ~0.8 s each, execution ~0.15 s);
+        # at cluster scale the chain also drops 4 driver round-trips.
+        # Arithmetic is unchanged: same exact bigint sums, same s/n
+        # division, same argmax fold — assignment-for-assignment equal.
+        comp = comp_of(e.select("vec_id", "label", "embedding"))
+        for _ in range(KMEANS_ITERS - 1):
+            comp = comp_of(assign(cents_row(comp)))
+        comp_last = comp_of(assign(cents_row(comp)))
+        sums: dict[int, dict[int, int]] = {}
+        cnt: dict[int, int] = {}
+        for r in comp_last.collect():
+            sums.setdefault(int(r["cell"]), {})[int(r["pos"])] = int(r["s"])
+            cnt[int(r["cell"])] = int(r["n"])
         cent_rows = [
-            (r["label"], r["centroid"]) for r in ivf_centroids(e).collect()
+            (c, [float(sums[c][p]) / cnt[c] for p in range(EMB_DIM)])
+            for c in sorted(sums)
         ]
-        for _ in range(KMEANS_ITERS):
-            assigned = _assign_cells(spark, e, cent_rows)
-            cent_rows = [
-                (r["label"], r["centroid"])
-                for r in ivf_centroids(assigned).collect()
-            ]
         sizes = (
             _assign_cells(spark, e, cent_rows)
             .groupBy(F.col("label").alias("cluster"))
@@ -884,9 +950,11 @@ SELECT CAST(i - 1 AS INTEGER) AS component_idx,
     "WITHOUT materializing the d x d covariance: one shuffle-free "
     "projection (dot product per row, array scale) and one array-fold "
     "aggregate (zip_with running vector sum), so the per-round cost is a "
-    "corpus scan + a d-width reduction, never d^2 state. The direction "
-    "vector (d doubles) is driver-held between rounds — same O(1)-lineage "
-    "iterative pattern as q_kmeans. Round 9: the mean and each step's "
+    "corpus scan + a d-width reduction, never d^2 state. r11: the "
+    "fixed-count power rounds chain as ONE lazy plan — each round's "
+    "direction vector is a 1-row broadcast subtree with the "
+    "normalization in-plan (the oracle's v{t} CTE chain); only the last "
+    "un-normalized step vector reaches the driver. Round 9: the mean and each step's "
     "d-width reduction sum PRE-ROUNDED integer contributions (PCA_QIN / "
     "PCA_QSTEP units), so every corpus-wide aggregate is exact and "
     "order-independent — upgrading the query from rows-only to an exact "
@@ -904,20 +972,21 @@ def q_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     e = e.persist()
 
-    def _step(vec: list[float], mean: list[float]) -> list[float]:
-        """One power-iteration step: sum_x centered(x) * (centered(x) . v).
-
-        The (v, mean) pair ships as a one-row broadcast local relation —
-        NOT as literals — so the generated code (and its one-time Janino
-        compile) is identical across iterations. The reduction is
-        posexplode + groupBy(pos): a d-row aggregate per partition, never
-        a collected list (the collect_list array-fold variant measured
-        8.3s vs ~1s at sf0.01 and holds the whole corpus in one buffer)."""
-        aux = spark.createDataFrame(
-            [(vec, mean)], "v array<double>, m array<double>"
+    def _ordered_array(grouped: DataFrame, val) -> DataFrame:
+        """1-row (s array<double>) from (pos, ...) rows, pos-ascending."""
+        return grouped.agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", val.alias("y")))),
+                lambda p: p["y"],
+            ).alias("s")
         )
+
+    def _round_step(vm_row: DataFrame) -> DataFrame:
+        """One lazy power-iteration round: 1-row (v, m) broadcast ->
+        per-row centered dot -> quantized contributions -> per-dimension
+        exact integer sums -> 1-row un-normalized step vector s."""
         centered = F.zip_with(F.col("x"), F.col("m"), lambda a, b: a - b)
-        with_c = e.crossJoin(F.broadcast(aux)).select(
+        with_c = e.crossJoin(F.broadcast(vm_row)).select(
             centered.alias("c"), F.col("v")
         )
         dot = F.aggregate(
@@ -932,48 +1001,73 @@ def q_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c"),
             lambda ci: F.round(ci * dot * F.lit(PCA_QSTEP)).cast("long"),
         )
-        rows = (
+        grouped = (
             with_c.select(F.posexplode(scaled).alias("pos", "y"))
             .groupBy("pos")
-            .agg(F.sum("y").alias("s"))
-            .collect()
         )
-        s = [0.0] * EMB_DIM
-        for r in rows:
-            s[r["pos"]] = float(r["s"]) / PCA_QSTEP
-        return s
+        return _ordered_array(
+            grouped.agg(F.sum("y").alias("sq")),
+            F.col("sq").cast("double") / F.lit(PCA_QSTEP),
+        )
 
     try:
-        n = e.count()
-        if n == 0:
-            # empty corpus: the oracle's `WHERE n > 0` guard yields zero
-            # rows; without this the mean division below hits ANSI 22012
-            return spark.createDataFrame(
-                [], "component_idx int, loading double, eigenvalue double"
-            )
+        # ONE corpus pass yields n and the quantized mean sums together
+        # (r11 — previously a count plus a separate mean collect).
         mean_rows = (
             e.select(F.posexplode("x").alias("pos", "y"))
             .groupBy("pos")
             .agg(
                 F.sum(
                     F.round(F.col("y") * F.lit(PCA_QIN)).cast("long")
-                ).alias("s")
+                ).alias("s"),
+                F.count("*").alias("n"),
             )
             .collect()
         )
+        n = int(mean_rows[0]["n"]) if mean_rows else 0
+        if n == 0:
+            # empty corpus: the oracle's `WHERE n > 0` guard yields zero
+            # rows; without this the mean division below hits ANSI 22012
+            return spark.createDataFrame(
+                [], "component_idx int, loading double, eigenvalue double"
+            )
         mean = [0.0] * EMB_DIM
         for r in mean_rows:
             mean[r["pos"]] = float(r["s"]) / PCA_QIN / n
 
-        # deterministic start direction
-        v = [1.0 if i == 0 else 0.0 for i in range(EMB_DIM)]
-        norm = 1.0
-        for _ in range(PCA_ITERS):
-            s = _step(v, mean)
-            # math.sqrt (correctly rounded), NOT **0.5 (libm pow): the
-            # oracle's sqrt() must see the same double
-            norm = math.sqrt(sum(x * x for x in s)) or 1.0
-            v = [x / norm for x in s]
+        # r11: the PCA_ITERS power rounds run as ONE lazy plan — each
+        # round's (v, m) is a 1-row broadcast subtree chaining into the
+        # next round (exactly the oracle's v{t} CTE chain), with the
+        # between-round normalization in-plan: nrm = sqrt(sum s^2) (JVM
+        # sqrt and the Python math.sqrt it replaces are both the
+        # correctly-rounded IEEE sqrt, over the same pos-ordered fold),
+        # zero-guarded like the oracle's CASE. Only the LAST un-normalized
+        # step vector is collected; the final normalize / Rayleigh /
+        # sign-flip stay on the driver unchanged. Measured 3.62 -> ~2.4 s
+        # at sf0.1: 4 per-round driver collects (each a fresh ~0.8 s
+        # plan-build + AQE/codegen round-trip) become one executed plan.
+        m_lit = F.array(*[F.lit(x) for x in mean])
+        v0 = [1.0 if i == 0 else 0.0 for i in range(EMB_DIM)]
+        vm = spark.range(1).select(
+            F.array(*[F.lit(x) for x in v0]).alias("v"), m_lit.alias("m")
+        )
+        for _ in range(PCA_ITERS - 1):
+            s_row = _round_step(vm)
+            nrm = F.sqrt(
+                F.aggregate(
+                    F.col("s"), F.lit(0.0), lambda acc, y: acc + y * y
+                )
+            )
+            nrm = F.when(nrm == 0.0, F.lit(1.0)).otherwise(nrm)
+            vm = s_row.select(
+                F.transform(F.col("s"), lambda y: y / nrm).alias("v"),
+                m_lit.alias("m"),
+            )
+        s = list(_round_step(vm).collect()[0]["s"])
+        # math.sqrt (correctly rounded), NOT **0.5 (libm pow): the
+        # oracle's sqrt() must see the same double
+        norm = math.sqrt(sum(x * x for x in s)) or 1.0
+        v = [x / norm for x in s]
         # Rayleigh quotient lambda = v' C v = ||C v|| at the fixpoint;
         # norm of the last un-normalized step over n gives the eigenvalue
         eigenvalue = norm / n
