@@ -2406,6 +2406,8 @@ SELECT * FROM (
         "duplicates never reach the LSH exchange.",
     )
     def q_dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pyspark import StorageLevel
+
         from prefect_flow_arc_indexer_spark.functions.textfns import (
             NORM_RE as norm_re,
         )
@@ -2416,15 +2418,27 @@ SELECT * FROM (
         norm_c = F.trim(
             F.regexp_replace(F.lower(F.col("text")), norm_re, " ")
         )
-        w_hash = Window.partitionBy(F.md5(norm_c))
-        base = docs.select(
-            "doc_id",
-            "text",
-            F.min("doc_id").over(w_hash).alias("keeper"),
+        # r11: the window-min keeper is a plain hash aggregation — the
+        # keeper is min(doc_id) per normalized-hash group and min_by
+        # recovers its (original, un-normalized) text; doc_id is unique so
+        # both are deterministic. A groupBy partial-aggregates map-side
+        # (the window form sorted the full corpus), carries the group
+        # count so BOTH censuses fall out of the same pass (corpus =
+        # sum of group sizes, exact survivors = group count), and the
+        # persist means normalize+hash runs ONCE per call — the previous
+        # shape re-ran the window pass for each census and again for the
+        # LSH branch and the near-kept join (4 corpus passes).
+        groups = (
+            docs.groupBy(F.md5(norm_c).alias("_h"))
+            .agg(
+                F.min("doc_id").alias("doc_id"),
+                F.expr("min_by(text, doc_id)").alias("text"),
+                F.count("*").alias("grp_n"),
+            )
+            .persist(StorageLevel.MEMORY_AND_DISK)
         )
-        exact_kept = base.where(F.col("doc_id") == F.col("keeper")).select(
-            "doc_id", "text"
-        )
+        release = _CacheRelease(groups)
+        exact_kept = groups.select("doc_id", "text")
         edges = lsh_candidate_pairs(minhash_signature(exact_kept)).select(
             F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
         )
@@ -2436,19 +2450,33 @@ SELECT * FROM (
                 F.coalesce("comp", "doc_id") == F.col("doc_id")
             )
         )
+        two = groups.agg(
+            F.sum("grp_n").alias("n_corpus"),
+            F.count("*").alias("n_exact"),
+        )
 
-        def census(df: DataFrame, stage: str, ord_: int) -> DataFrame:
-            return df.agg(
+        def pick(col: str, stage: str, ord_: int) -> DataFrame:
+            return two.select(
                 F.lit(stage).alias("stage"),
                 F.lit(ord_).alias("ord"),
-                F.count("*").alias("n_docs"),
+                F.col(col).alias("n_docs"),
             )
 
-        return (
-            census(base, "corpus", 0)
-            .unionByName(census(exact_kept, "exact_kept", 1))
-            .unionByName(census(near_kept, "near_kept", 2))
+        out = (
+            pick("n_corpus", "corpus", 0)
+            .unionByName(pick("n_exact", "exact_kept", 1))
+            .unionByName(
+                near_kept.agg(
+                    F.lit("near_kept").alias("stage"),
+                    F.lit(2).alias("ord"),
+                    F.count("*").alias("n_docs"),
+                )
+            )
         )
+        # the keeper-group cache backs the returned plan; service loops
+        # release it after materializing (weakref backstop otherwise)
+        out.sig_release = release
+        return out
 
 
 _register_dedup_cascade()
