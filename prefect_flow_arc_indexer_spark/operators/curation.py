@@ -638,14 +638,21 @@ def q_coreset_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
         out_rows: list[tuple[int, int, int]] = [(0, int(seed), 0)]
 
         for rnd in range(1, CORESET_K):
-            centers = spark.createDataFrame(
-                [([list(v) for _, v in selected],)],
-                "centers array<array<double>>",
+            # r11: the selected set ships as an in-plan ARRAY LITERAL, not
+            # a one-row aux relation — the per-round BroadcastExchange +
+            # BroadcastNestedLoopJoin stage disappears and the round is a
+            # bare scan+aggregate (measured 0.53 -> 0.31 s/round at
+            # sf0.1). Values are the same driver-held doubles either way,
+            # and the center count grows every round, so the aux form's
+            # one advantage (stable codegen across rounds) never applied
+            # here.
+            cents = F.array(
+                *[F.array(*[F.lit(float(x)) for x in v]) for _, v in selected]
             )
             # squared L2 to the nearest selected center, in exact 1e-6 units
             d2 = F.aggregate(
                 F.transform(
-                    F.col("centers"),
+                    cents,
                     lambda c: F.aggregate(
                         F.zip_with(
                             F.col("x"), c, lambda a, b: (a - b) * (a - b)
@@ -657,7 +664,7 @@ def q_coreset_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(float("inf")),
                 lambda acc, v: F.least(acc, v),
             )
-            scored = e.crossJoin(F.broadcast(centers)).select(
+            scored = e.select(
                 "vec_id",
                 "x",
                 F.round(d2 * QUANT).cast("bigint").alias("d2u"),
