@@ -579,7 +579,14 @@ def q_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("support") >= BASKET_MIN_SUPPORT)
     )
     item_counts = d.groupBy("l_partkey").agg(F.count("*").alias("c"))
-    n_orders = d.select("l_orderkey").distinct().count()
+    # r11: the basket total stays IN the plan as a 1-row broadcast cross
+    # join (the oracle's `CROSS JOIN n` shape) instead of an eager
+    # driver count during build — one executed plan instead of two, and
+    # the scalar's distinct can share d's exchange. The bigint count is
+    # exactly representable as the double the lift formula multiplies.
+    n_row = d.agg(
+        F.countDistinct("l_orderkey").cast("double").alias("n_orders")
+    )
     ca = item_counts.select(
         F.col("l_partkey").alias("part_a"), F.col("c").alias("ca")
     )
@@ -596,6 +603,7 @@ def q_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         pairs.join(ca, "part_a")
         .join(cb, "part_b")
+        .crossJoin(F.broadcast(n_row))
         .select(
             "part_a",
             "part_b",
@@ -603,7 +611,7 @@ def q_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(sup / F.col("ca"), 6).alias("conf_a_to_b"),
             F.round(sup / F.col("cb"), 6).alias("conf_b_to_a"),
             F.round(
-                sup * F.lit(float(n_orders))
+                sup * F.col("n_orders")
                 / (F.col("ca").cast("double") * F.col("cb")),
                 6,
             ).alias("lift"),
