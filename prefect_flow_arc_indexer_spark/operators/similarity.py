@@ -28,7 +28,10 @@ from prefect_flow_arc_indexer_spark.functions.vectors import (
     dd_cosine_similarity,
 )
 from prefect_flow_arc_indexer_spark.plans.registry import register
-from prefect_flow_arc_indexer_spark.sources.parquet import load_table
+from prefect_flow_arc_indexer_spark.sources.parquet import (
+    load_table,
+    table_row_count,
+)
 
 TOP_K = 5
 N_QUERIES = 5  # vec_id < 5 play the query set
@@ -1323,8 +1326,11 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings", fan_out=True).select(
         "vec_id", "embedding"
     )
-    # one scalar driver agg, same rule as the oracle's nk CTE
-    n = e.count()
+    # r11: k derives from the TABLE row count, which the parquet footer
+    # answers for free (the table_row_count gate pattern) — e.count()
+    # paid a scan THROUGH the fan_out repartition (the shuffle blocks
+    # count pushdown). Same number as the oracle's count(*), exactly.
+    n = table_row_count(spark, sf_dir, "embeddings")
     k = max(SEM_MIN_ANCHORS, math.ceil(math.sqrt(n))) if n else SEM_MIN_ANCHORS
     return semdedup(e, k)
 
@@ -1353,7 +1359,8 @@ def q_semdedup_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings", fan_out=True).select(
         "vec_id", "embedding"
     )
-    n = e.count()
+    # footer row count, not a scan-through-repartition job (see q_semdedup)
+    n = table_row_count(spark, sf_dir, "embeddings")
     k = (
         max(SEM_MIN_ANCHORS, math.ceil(n / SEM_TARGET_CLUSTER))
         if n
