@@ -603,7 +603,10 @@ def q_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         pairs.join(ca, "part_a")
         .join(cb, "part_b")
-        .crossJoin(F.broadcast(n_row))
+        # no broadcast hint (the r6 ratchet test forbids hints anywhere in
+        # this plan): a 1-row aggregate is below every broadcast threshold,
+        # so the strategy is AQE's call and lands on broadcast by size
+        .crossJoin(n_row)
         .select(
             "part_a",
             "part_b",
