@@ -21,9 +21,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from prefect_flow_arc_indexer_spark.functions.caching import (
-    release_local_checkpoint,
-)
 from prefect_flow_arc_indexer_spark.functions.textfns import (
     dd_tokens,
     dd_word_ngrams,
@@ -635,16 +632,16 @@ steps AS (
 )
 SELECT r AS "rank", pair, merged, support FROM steps WHERE r >= 1
 """,
-    doc="BPE tokenizer training, the distributed half done in-plan: the "
-    "corpus reduces once to a (word, count) table — the ONLY corpus-"
-    f"bounded step — and each of the {BPE_MERGES} merge rounds counts "
-    "adjacent symbol pairs over that vocab-bounded table (explode + "
-    "count-weighted hash agg), picks the max-count pair (ties to the "
-    "lexicographically smallest) on the driver, and applies the merge "
-    "with a left-to-right non-overlapping regexp pass. At 100 TB the "
-    "word-count reduction is the standard map-side-combined token agg; "
-    "training cost is independent of corpus size. Output: the ordered "
-    "merge table (rank, pair, new symbol, support count).",
+    doc="BPE tokenizer training: the corpus reduces once to a (word, "
+    "count) table — the ONLY corpus-bounded step (map-side-combined "
+    f"token agg + top-{BPE_VOCAB} TakeOrdered) — and the {BPE_MERGES} "
+    "sequential merge rounds run on the driver over that k-bounded "
+    "vocab (the q_kmeans centroid discipline): per round, count "
+    "adjacent symbol pairs weighted by word count, pick the max-support "
+    "pair (ties to the lexicographically smallest), apply the merge "
+    "with a left-to-right non-overlapping pass. At 100 TB training "
+    "cost is independent of corpus size. Output: the ordered merge "
+    "table (rank, pair, new symbol, support count).",
 )
 def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents", fan_out=True).where(
@@ -663,51 +660,44 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.trim(F.regexp_replace("w", "(.)", "$1 ")).alias("syms"),
         )
     )
-    vocab = vocab.localCheckpoint()  # truncate lineage before the loop
+    # r11 (guide §1.2 algorithm first, §5 driver bounds): the training
+    # state is the top-BPE_VOCAB word table — k-bounded by construction,
+    # exactly like q_kmeans' k centroids — so the 8 sequential merge
+    # rounds run on the driver over the collected vocab instead of as 8
+    # distributed jobs (each round was a fresh plan + head() + eager
+    # localCheckpoint over a 2000-row table: pure scheduling overhead).
+    # The corpus-bounded step (word count -> top-k) stays distributed.
+    # Semantics are byte-identical to the previous in-plan loop: integer
+    # pair supports, (support DESC, a ASC, b ASC) tie-break, and the same
+    # left-to-right non-overlapping ' a b(?= )' merge regex — all pinned
+    # by the pure-Python replay test and the recursive-CTE oracle.
+    import re
+    from collections import Counter
+
+    rows = [(r["cnt"], r["syms"]) for r in vocab.collect()]
     merges = []
     for rank in range(1, BPE_MERGES + 1):
-        pair_counts = (
-            vocab.select(
-                "cnt", F.split("syms", " ").alias("s")
-            )
-            .select(
-                "cnt",
-                F.explode(
-                    F.expr(
-                        "transform(slice(s, 1, size(s) - 1), "
-                        "(x, i) -> struct(x as a, s[i + 1] as b))"
-                    )
-                ).alias("p"),
-            )
-            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
-            .agg(F.sum("cnt").alias("support"))
-        )
-        best = pair_counts.orderBy(
-            F.col("support").desc(), F.col("a").asc(), F.col("b").asc()
-        ).head()
-        if best is None or best["support"] < 2:
+        pair_counts: Counter = Counter()
+        for cnt, syms in rows:
+            s = syms.split(" ")
+            for a, b in zip(s, s[1:]):
+                pair_counts[(a, b)] += cnt
+        if not pair_counts:
             break
-        a, b = best["a"], best["b"]
-        merges.append((rank, f"{a} {b}", a + b, int(best["support"])))
+        (a, b), support = min(
+            pair_counts.items(), key=lambda kv: (-kv[1], kv[0])
+        )
+        if support < 2:
+            break
+        merges.append((rank, f"{a} {b}", a + b, int(support)))
         # left-to-right non-overlapping merge: the lookahead keeps the
         # trailing boundary unconsumed so "a a a" -> "aa a", like BPE
-        prev = vocab
-        vocab = vocab.select(
-            "cnt",
-            F.regexp_replace(
-                F.concat(F.lit(" "), F.col("syms"), F.lit(" ")),
-                f" {a} {b}(?= )",
-                f" {a + b}",
-            ).alias("syms"),
-        ).select("cnt", F.trim("syms").alias("syms"))
-        vocab = vocab.localCheckpoint()
-        # the new round is materialized (eager default); the superseded
-        # round's checkpoint blocks are dead weight — free them NOW, inside
-        # the loop (the q_pagerank per-iteration leak class, ADVICE r10)
-        release_local_checkpoint(prev)
-    # the merge table is driver-local; the final round's checkpoint has no
-    # consumer past the loop
-    release_local_checkpoint(vocab)
+        # (symbols are [a-z0-9]+ so the pattern needs no escaping)
+        pat = re.compile(f" {a} {b}(?= )")
+        rows = [
+            (cnt, pat.sub(f" {a + b}", f" {syms} ").strip())
+            for cnt, syms in rows
+        ]
     return spark.createDataFrame(
         merges, "rank int, pair string, merged string, support bigint"
     )
