@@ -42,6 +42,9 @@ from prefect_flow_arc_indexer_spark.functions.vectors import (
     cosine_similarity,
     dd_cosine_similarity,
 )
+from prefect_flow_arc_indexer_spark.functions.caching import (
+    CheckpointRelease,
+)
 from prefect_flow_arc_indexer_spark.plans.registry import register
 from prefect_flow_arc_indexer_spark.sources.parquet import load_table
 
@@ -312,11 +315,18 @@ SELECT doc_a, doc_b, CAST(n_shared AS BIGINT) AS n_shared,
     "itself never leaves the scan stage.",
 )
 def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r11 (guide §5): the fingerprint frame feeds FOUR consumers (df
+    # census, per-doc sizes, both self-join sides) and its pipeline is
+    # expensive (per-char substring hashing + the rolling-min window) —
+    # the before-plan recomputed it 5x (10 parquet scans, 5 WindowExec).
+    # A lazy localCheckpoint materializes it once as narrow (doc_id, fp)
+    # rows; measured 1.64 -> 1.13 s at sf0.1. Caller-release contract as
+    # in q_band_sweep (ADVICE r10's naked-checkpoint class).
     fp = winnow_postings(
         load_table(spark, sf_dir, "documents", fan_out=True).select(
             "doc_id", "text"
         )
-    )
+    ).localCheckpoint(eager=False)
     keep = fp.groupBy("fp").agg(F.count("*").alias("df")).where(
         F.col("df") <= WINNOW_MAX_DF
     )
@@ -331,7 +341,7 @@ def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_shared"))
         .where(F.col("n_shared") >= WINNOW_MIN_SHARED)
     )
-    return (
+    out = (
         pairs.join(
             sizes.select(F.col("doc_id").alias("doc_a"), F.col("nf").alias("na")),
             "doc_a",
@@ -351,6 +361,8 @@ def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("overlap"),
         )
     )
+    out.ckpt_release = CheckpointRelease(fp)
+    return out
 
 
 # --------------------------------------------------------------------------
