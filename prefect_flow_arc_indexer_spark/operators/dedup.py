@@ -1326,15 +1326,20 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     )
     comp = connected_components(edges).withColumnRenamed("id", "doc_id")
-    assigned = docs.select("doc_id").join(comp, "doc_id", "left").select(
+    # r11 (guide §2.4 shuffle fewer bytes): component sizes are derivable
+    # from the label table ALONE — every doc absent from it is a
+    # singleton (size 1), and a labeled doc's component consists only of
+    # labeled docs (labels cover exactly the docs incident to an edge).
+    # The previous shape aggregated sizes over the full corpus-sized
+    # `assigned` frame and joined them back (a corpus-wide exchange +
+    # join); now the groupBy runs over `comp` (edge-incident docs only)
+    # and the corpus sees one broadcast-friendly left join.
+    sizes = comp.groupBy("comp").agg(F.count("*").alias("sz"))
+    labeled = comp.join(sizes, "comp")
+    return docs.select("doc_id").join(labeled, "doc_id", "left").select(
         "doc_id",
         F.coalesce("comp", "doc_id").alias("component_id"),
-    )
-    sizes = assigned.groupBy("component_id").agg(
-        F.count("*").alias("component_size")
-    )
-    return assigned.join(sizes, "component_id").select(
-        "doc_id", "component_id", "component_size"
+        F.coalesce("sz", F.lit(1)).cast("bigint").alias("component_size"),
     )
 
 
