@@ -246,10 +246,23 @@ SELECT query_id, neighbor_id, adc_dist, rank FROM (
     "per-query-constant.",
 )
 def q_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from prefect_flow_arc_indexer_spark.functions.caching import (
+        CheckpointRelease,
+    )
+
     e = load_table(spark, sf_dir, "embeddings", fan_out=True).select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("x")
     )
-    cb = _codebook(e.select("label", F.col("x").alias("embedding")))
+    # r11 (guide §5): the one-row codebook feeds TWO consumers (code table
+    # + query LUT) and each crossJoin(broadcast(cb)) re-derived the whole
+    # centroid aggregation from its own corpus scan — no exchange reuse
+    # fires between two separately-built broadcasts. An eager one-row
+    # localCheckpoint evaluates the subtree once; caller releases via
+    # ckpt_release (ADVICE r10 naked-checkpoint contract).
+    cb = _codebook(
+        e.select("label", F.col("x").alias("embedding"))
+    ).localCheckpoint(eager=True)
+    cb_release = CheckpointRelease(cb)
     cents, x = F.col("cents"), F.col("x")
     coded = (
         e.select("vec_id", "x")
@@ -327,11 +340,13 @@ def q_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("query_id").orderBy(
         F.col("adc_dist").asc(), F.col("neighbor_id").asc()
     )
-    return (
+    out = (
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= PQ_TOP_K)
         .select("query_id", "neighbor_id", "adc_dist", "rank")
     )
+    out.ckpt_release = cb_release
+    return out
 
 
 # --------------------------------------------------------------------------
@@ -418,14 +433,15 @@ SELECT e.query_id,
             .where(F.col("rk") <= PQ_TOP_K)
             .select("query_id", "neighbor_id")
         )
-        approx = q_pq_adc(spark, sf_dir).select(
+        adc = q_pq_adc(spark, sf_dir)
+        approx = adc.select(
             F.col("query_id").alias("a_qid"),
             F.col("neighbor_id").alias("a_nid"),
         )
         hit = F.sum(
             F.when(F.col("a_nid").isNotNull(), 1).otherwise(0)
         ).cast("long")
-        return (
+        out = (
             exact.join(
                 approx,
                 (F.col("query_id") == F.col("a_qid"))
@@ -441,6 +457,9 @@ SELECT e.query_id,
                 ),
             )
         )
+        # propagate the ADC codebook checkpoint's release handle
+        out.ckpt_release = adc.ckpt_release
+        return out
 
 
 _register_pq_recall()
@@ -519,6 +538,9 @@ SELECT query_id, neighbor_id, adc_dist, rank FROM (
     "raw-unit centroids route identically to the IVF micro-unit ones).",
 )
 def q_ivfpq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from prefect_flow_arc_indexer_spark.functions.caching import (
+        CheckpointRelease,
+    )
     from prefect_flow_arc_indexer_spark.functions.vectors import (
         cosine_similarity,
     )
@@ -526,7 +548,12 @@ def q_ivfpq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings", fan_out=True).select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("x")
     )
-    cb = _codebook(e.select("label", F.col("x").alias("embedding")))
+    # one evaluation of the codebook subtree for the two consumers (coded
+    # corpus + query probe/LUT side) — the q_pq_adc r11 checkpoint shape
+    cb = _codebook(
+        e.select("label", F.col("x").alias("embedding"))
+    ).localCheckpoint(eager=True)
+    cb_release = CheckpointRelease(cb)
     cents, x = F.col("cents"), F.col("x")
 
     def _best_cell(vec: Column) -> Column:
@@ -621,8 +648,10 @@ def q_ivfpq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("query_id").orderBy(
         F.col("adc_dist").asc(), F.col("neighbor_id").asc()
     )
-    return (
+    out = (
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= PQ_TOP_K)
         .select("query_id", "neighbor_id", "adc_dist", "rank")
     )
+    out.ckpt_release = cb_release
+    return out
