@@ -176,6 +176,54 @@ GOPHER_MAX_SYMBOL_RATIO = 0.1
 GOPHER_MIN_STOP_HITS = 2
 
 
+def gopher_cols(tok: Column, text: Column) -> dict[str, Column]:
+    """Row-local Gopher signal/verdict expressions over a token-array and
+    text column — the single source of the rule family, shared by
+    q_gopher_rules and the fused single-scan composers (q_quality_ensemble,
+    q_conformal_threshold, …) so the verdict cannot drift between the
+    standalone operator and the pipelines that embed it. Thresholds
+    compare the RAW ratio values; only the output columns are rounded,
+    exactly as the oracle does."""
+    n_tokens = F.size(tok)
+    char_sum = F.aggregate(
+        F.transform(tok, lambda t: F.length(t)), F.lit(0), lambda a, v: a + v
+    )
+    mean_word_len = char_sum.cast("double") / F.greatest(n_tokens, F.lit(1))
+    symbol_ratio = F.length(
+        F.regexp_replace(text, r"[A-Za-z0-9\s]", "")
+    ).cast("double") / F.greatest(F.length(text), F.lit(1))
+    stop_hits = F.size(F.filter(tok, lambda t: t.isin(*_EN_STOP)))
+    fail = (
+        F.when(
+            (n_tokens < GOPHER_MIN_TOKENS) | (n_tokens > GOPHER_MAX_TOKENS),
+            F.lit("n_tokens"),
+        )
+        .when(
+            (mean_word_len < GOPHER_MIN_WORD_LEN)
+            | (mean_word_len > GOPHER_MAX_WORD_LEN),
+            F.lit("word_len"),
+        )
+        .when(symbol_ratio > GOPHER_MAX_SYMBOL_RATIO, F.lit("symbol_ratio"))
+        .when(stop_hits < GOPHER_MIN_STOP_HITS, F.lit("stopwords"))
+    )
+    keep = (
+        (n_tokens >= GOPHER_MIN_TOKENS)
+        & (n_tokens <= GOPHER_MAX_TOKENS)
+        & (mean_word_len >= GOPHER_MIN_WORD_LEN)
+        & (mean_word_len <= GOPHER_MAX_WORD_LEN)
+        & (symbol_ratio <= GOPHER_MAX_SYMBOL_RATIO)
+        & (stop_hits >= GOPHER_MIN_STOP_HITS)
+    )
+    return {
+        "n_tokens": n_tokens,
+        "mean_word_len": F.round(mean_word_len, 4),
+        "symbol_ratio": F.round(symbol_ratio, 4),
+        "stop_hits": stop_hits,
+        "fail_reason": fail,
+        "keep": keep,
+    }
+
+
 @register(
     "q_gopher_rules",
     oracle=f"""WITH {_TOKS_CTE},
@@ -219,62 +267,15 @@ def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("text").isNotNull())
         .withColumn("tok", tokens(F.col("text")))
     )
-    tok = F.col("tok")
-    n_tokens = F.size(tok)
-    char_sum = F.aggregate(
-        F.transform(tok, lambda t: F.length(t)), F.lit(0), lambda a, v: a + v
-    )
-    mean_word_len = char_sum.cast("double") / F.greatest(n_tokens, F.lit(1))
-    symbol_ratio = F.length(
-        F.regexp_replace("text", r"[A-Za-z0-9\s]", "")
-    ).cast("double") / F.greatest(F.length("text"), F.lit(1))
-    stop_hits = F.size(
-        F.filter(
-            tok,
-            lambda t: t.isin(*_EN_STOP),
-        )
-    )
-    sig = docs.select(
+    g = gopher_cols(F.col("tok"), F.col("text"))
+    return docs.select(
         "doc_id",
-        n_tokens.alias("n_tokens"),
-        mean_word_len.alias("mean_word_len"),
-        symbol_ratio.alias("symbol_ratio"),
-        stop_hits.alias("stop_hits"),
-    )
-    nt, mw, sr, sh = (
-        F.col("n_tokens"),
-        F.col("mean_word_len"),
-        F.col("symbol_ratio"),
-        F.col("stop_hits"),
-    )
-    fail = (
-        F.when(
-            (nt < GOPHER_MIN_TOKENS) | (nt > GOPHER_MAX_TOKENS),
-            F.lit("n_tokens"),
-        )
-        .when(
-            (mw < GOPHER_MIN_WORD_LEN) | (mw > GOPHER_MAX_WORD_LEN),
-            F.lit("word_len"),
-        )
-        .when(sr > GOPHER_MAX_SYMBOL_RATIO, F.lit("symbol_ratio"))
-        .when(sh < GOPHER_MIN_STOP_HITS, F.lit("stopwords"))
-    )
-    keep = (
-        (nt >= GOPHER_MIN_TOKENS)
-        & (nt <= GOPHER_MAX_TOKENS)
-        & (mw >= GOPHER_MIN_WORD_LEN)
-        & (mw <= GOPHER_MAX_WORD_LEN)
-        & (sr <= GOPHER_MAX_SYMBOL_RATIO)
-        & (sh >= GOPHER_MIN_STOP_HITS)
-    )
-    return sig.select(
-        "doc_id",
-        "n_tokens",
-        F.round(mw, 4).alias("mean_word_len"),
-        F.round(sr, 4).alias("symbol_ratio"),
-        "stop_hits",
-        fail.alias("fail_reason"),
-        keep.alias("keep"),
+        g["n_tokens"].alias("n_tokens"),
+        g["mean_word_len"].alias("mean_word_len"),
+        g["symbol_ratio"].alias("symbol_ratio"),
+        g["stop_hits"].alias("stop_hits"),
+        g["fail_reason"].alias("fail_reason"),
+        g["keep"].alias("keep"),
     )
 
 
@@ -929,31 +930,42 @@ SELECT doc_id, gopher_keep, repetitive, char_entropy,
         "auditable reference form the fused plan is validated against.",
     )
     def q_quality_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
-        g = _REGISTRY["q_gopher_rules"].builder(spark, sf_dir).select(
-            "doc_id", F.col("keep").alias("gopher_keep")
+        # r11 (guide §2.4): all three component signals are row-local, so
+        # the ensemble is ONE fused scan — no per-component corpus scan,
+        # no doc_id joins. The signal expressions come from the SAME
+        # helpers the registered components build on (gopher_cols /
+        # repetition_cols / char_entropy_col), so the fused verdict stays
+        # in lockstep with them by construction. Row set: the previous
+        # inner joins kept exactly the docs with non-null, non-empty text
+        # (g: text IS NOT NULL; e: ... AND length > 0; r: all docs), which
+        # is the filter applied here.
+        from prefect_flow_arc_indexer_spark.operators.text_analysis import (
+            char_entropy_col,
         )
-        r = _REGISTRY["q_repetition"].builder(spark, sf_dir).select(
-            "doc_id", "repetitive"
+        from prefect_flow_arc_indexer_spark.operators.textprep import (
+            repetition_cols,
         )
-        e = _REGISTRY["q_char_entropy"].builder(spark, sf_dir).select(
-            "doc_id", "char_entropy"
+
+        docs = (
+            load_table(spark, sf_dir, "documents", fan_out=True)
+            .where(F.col("text").isNotNull() & (F.length("text") > 0))
+            .withColumn("tok", tokens(F.col("text")))
         )
+        keep = gopher_cols(F.col("tok"), F.col("text"))["keep"]
+        repetitive = repetition_cols(F.col("tok"))[3]
+        ent = char_entropy_col(F.col("text"))
         votes = (
-            F.col("gopher_keep").cast("int")
-            + (~F.col("repetitive")).cast("int")
-            + (F.col("char_entropy") >= ENSEMBLE_ENTROPY_MIN).cast("int")
+            keep.cast("int")
+            + (~repetitive).cast("int")
+            + (ent >= ENSEMBLE_ENTROPY_MIN).cast("int")
         )
-        return (
-            g.join(r, "doc_id")
-            .join(e, "doc_id")
-            .select(
-                "doc_id",
-                "gopher_keep",
-                "repetitive",
-                "char_entropy",
-                votes.cast("int").alias("n_votes"),
-                (votes >= ENSEMBLE_MIN_VOTES).alias("keep_ensemble"),
-            )
+        return docs.select(
+            "doc_id",
+            keep.alias("gopher_keep"),
+            repetitive.alias("repetitive"),
+            ent.alias("char_entropy"),
+            votes.cast("int").alias("n_votes"),
+            (votes >= ENSEMBLE_MIN_VOTES).alias("keep_ensemble"),
         )
 
 

@@ -240,6 +240,50 @@ def _clog2(cnt: Column) -> Column:
     return F.when(cnt > 0.0, cnt * F.log2(cnt)).otherwise(F.lit(0.0))
 
 
+def char_entropy_col(text: Column) -> Column:
+    """Row-local rounded character entropy of a (non-null, non-empty)
+    text column — shared by q_char_entropy and the fused single-scan
+    q_quality_ensemble so the signal cannot drift.
+
+    split on the empty pattern yields every character INCLUDING line
+    terminators with no trailing empty element ('abc' -> [a,b,c]) — the
+    same char multiset as the oracle's regexp_extract_all('[\\s\\S]')
+    (kept regex-form there because DuckDB lacks the empty-split idiom),
+    without running a regex engine per character: the regex form
+    measured ~3.5x split's per-row cost at sf1, the whole gap behind
+    this query's r11 sf1-ratio flag. Callers filter length>0 to keep
+    split('','') = [''] out of the fold.
+
+    One O(n log n) pass per row: sort the chars, then fold the sorted
+    array once, closing each run with its c*log2(c) term as the char
+    changes. The per-distinct-char recount (transform over
+    array_distinct with a nested filter) is O(distinct * n) per row —
+    measured 4.2s vs sub-second at sf0.1 for the same output.
+    State: (prev char, current run length, accumulated sum)."""
+    chars = F.split(text, "")
+    run_sum = F.aggregate(
+        F.array_sort(chars),
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0.0).alias("cnt"),
+            F.lit(0.0).alias("acc"),
+        ),
+        lambda st, c: F.struct(
+            c.alias("prev"),
+            F.when(st.prev.isNotNull() & (c == st.prev), st.cnt + 1.0)
+            .otherwise(F.lit(1.0))
+            .alias("cnt"),
+            F.when(st.prev.isNotNull() & (c == st.prev), st.acc)
+            .otherwise(st.acc + _clog2(st.cnt))
+            .alias("acc"),
+        ),
+        lambda st: st.acc + _clog2(st.cnt),  # close the final run
+    )
+    n = F.length(text).cast("double")
+    return F.round(F.log2(n) - run_sum / n, 6)
+
+
+
 @register(
     "q_char_entropy",
     oracle="""WITH chars AS (
@@ -269,43 +313,9 @@ def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents", fan_out=True).where(
         F.col("text").isNotNull() & (F.length("text") > 0)
     )
-    # split on the empty pattern yields every character INCLUDING line
-    # terminators with no trailing empty element ('abc' -> [a,b,c]) — the
-    # same char multiset as the oracle's regexp_extract_all('[\s\S]')
-    # (kept regex-form there because DuckDB lacks the empty-split idiom),
-    # without running a regex engine per character: the regex form
-    # measured ~3.5x split's per-row cost at sf1, the whole gap behind
-    # this query's r11 sf1-ratio flag. The length>0 filter above keeps
-    # split('','') = [''] out of the fold.
-    chars = F.split(F.col("text"), "")
-    # one O(n log n) pass per row: sort the chars, then fold the sorted
-    # array once, closing each run with its c*log2(c) term as the char
-    # changes. The per-distinct-char recount (transform over
-    # array_distinct with a nested filter) is O(distinct * n) per row —
-    # measured 4.2s vs sub-second at sf0.1 for the same output.
-    # State: (prev char, current run length, accumulated sum).
-    run_sum = F.aggregate(
-        F.array_sort(chars),
-        F.struct(
-            F.lit(None).cast("string").alias("prev"),
-            F.lit(0.0).alias("cnt"),
-            F.lit(0.0).alias("acc"),
-        ),
-        lambda st, c: F.struct(
-            c.alias("prev"),
-            F.when(st.prev.isNotNull() & (c == st.prev), st.cnt + 1.0)
-            .otherwise(F.lit(1.0))
-            .alias("cnt"),
-            F.when(st.prev.isNotNull() & (c == st.prev), st.acc)
-            .otherwise(st.acc + _clog2(st.cnt))
-            .alias("acc"),
-        ),
-        lambda st: st.acc + _clog2(st.cnt),  # close the final run
-    )
-    n = F.length("text").cast("double")
     return docs.select(
         "doc_id",
-        F.round(F.log2(n) - run_sum / n, 6).alias("char_entropy"),
+        char_entropy_col(F.col("text")).alias("char_entropy"),
     )
 
 

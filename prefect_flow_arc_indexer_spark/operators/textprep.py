@@ -19,7 +19,7 @@ whole corpus's postings in one task.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
 
 from prefect_flow_arc_indexer_spark.functions.textfns import (
     dd_tokens,
@@ -73,6 +73,63 @@ def q_pii_pseudonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # repetition detection (Gopher-style quality rule)
 # --------------------------------------------------------------------------
+def repetition_cols(tok: Column) -> tuple[Column, Column, Column, Column]:
+    """Row-local repetition signals (n_tokens, distinct_ratio,
+    top_bigram_frac, repetitive) over a token-array column.
+
+    The most-frequent-bigram count is computed INSIDE the row: sort the
+    doc's bigram array and fold it once, tracking the longest equal run —
+    bigram counts never cross a document boundary, so the previous
+    explode + groupBy(doc_id, g) + groupBy(doc_id) + join-back shape paid
+    two corpus-sized exchanges and a second tokenize pass for a per-row
+    max (r11, guide §2.4). Shared by q_repetition and the fused
+    q_quality_ensemble scan so the signals cannot drift."""
+    n_tokens = F.coalesce(F.size(tok), F.lit(0))
+    n_distinct = F.coalesce(F.size(F.array_distinct(tok)), F.lit(0))
+    bigram = F.when(
+        F.size(tok) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(tok) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(tok, i), F.element_at(tok, i + F.lit(1))
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    # longest run in the sorted bigram array == max per-bigram count;
+    # state: (previous bigram, current run length, max run so far)
+    max_bigram = F.aggregate(
+        F.array_sort(bigram),
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).cast("long").alias("cnt"),
+            F.lit(0).cast("long").alias("mx"),
+        ),
+        lambda st, g: F.struct(
+            g.alias("prev"),
+            F.when(st.prev.isNotNull() & (g == st.prev), st.cnt + 1)
+            .otherwise(F.lit(1).cast("long"))
+            .alias("cnt"),
+            F.greatest(
+                st.mx,
+                F.when(st.prev.isNotNull() & (g == st.prev), st.cnt + 1)
+                .otherwise(F.lit(1).cast("long")),
+            ).alias("mx"),
+        ),
+        lambda st: st.mx,
+    )
+    top_frac = F.round(
+        max_bigram.cast("double") / F.greatest(n_tokens - 1, F.lit(1)), 6
+    )
+    return (
+        n_tokens,
+        F.round(
+            n_distinct.cast("double") / F.greatest(n_tokens, F.lit(1)), 6
+        ),
+        top_frac,
+        top_frac > REPETITION_FLAG_FRAC,
+    )
+
+
 @register(
     "q_repetition",
     oracle=f"""WITH toks AS (
@@ -111,46 +168,15 @@ def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents", fan_out=True).select(
         "doc_id", tokens(F.col("text")).alias("tok")
     )
-    tok = F.col("tok")
-    stats = docs.select(
+    n_tokens, distinct_ratio, top_frac, repetitive = repetition_cols(
+        F.col("tok")
+    )
+    return docs.select(
         "doc_id",
-        F.coalesce(F.size(tok), F.lit(0)).alias("n_tokens"),
-        F.coalesce(F.size(F.array_distinct(tok)), F.lit(0)).alias(
-            "n_distinct"
-        ),
-    )
-    bigram = F.when(
-        F.size(tok) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size(tok) - 1),
-            lambda i: F.concat_ws(
-                " ", F.element_at(tok, i), F.element_at(tok, i + F.lit(1))
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    topbg = (
-        docs.select("doc_id", F.explode(bigram).alias("g"))
-        .groupBy("doc_id", "g")
-        .agg(F.count("*").alias("c"))
-        .groupBy("doc_id")
-        .agg(F.max("c").alias("max_bigram"))
-    )
-    joined = stats.join(topbg, "doc_id", "left")
-    top_frac = F.round(
-        F.coalesce(F.col("max_bigram"), F.lit(0)).cast("double")
-        / F.greatest(F.col("n_tokens") - 1, F.lit(1)),
-        6,
-    )
-    return joined.select(
-        "doc_id",
-        "n_tokens",
-        F.round(
-            F.col("n_distinct").cast("double")
-            / F.greatest(F.col("n_tokens"), F.lit(1)),
-            6,
-        ).alias("distinct_ratio"),
+        n_tokens.alias("n_tokens"),
+        distinct_ratio.alias("distinct_ratio"),
         top_frac.alias("top_bigram_frac"),
-        (top_frac > REPETITION_FLAG_FRAC).alias("repetitive"),
+        repetitive.alias("repetitive"),
     )
 
 
