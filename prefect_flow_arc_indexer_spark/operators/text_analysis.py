@@ -332,6 +332,41 @@ LOGI_W_PUNCT = -3.0  # punctuation ratio
 LOGI_W_STOP = 2.5  # stopword ratio
 
 
+def quality_logistic_cols(tok: Column, text: Column) -> dict[str, Column]:
+    """Row-local expressions of the fixed-weight logistic quality
+    classifier (features in integer micro-units, exact bigint linear
+    combination, rounded sigmoid) — the single source of the model,
+    shared by q_quality_logistic and the fused single-scan composers
+    (q_ece_calibration, q_conformal_threshold) so scores cannot drift."""
+    n_tok = F.size(tok)
+    punct = F.length(
+        F.regexp_replace(text, r"[A-Za-z0-9\s]", "")
+    ).cast("double") / F.greatest(F.length(text), F.lit(1))
+    stop_hits = F.size(F.filter(tok, lambda t: t.isin(*_EN)))
+
+    def micros(c: Column) -> Column:
+        return F.round(c * 1_000_000).cast("bigint")
+
+    u_len = micros(F.log(1 + n_tok))
+    u_punct = micros(punct)
+    u_stop = micros(stop_hits.cast("double") / F.greatest(n_tok, F.lit(1)))
+    z = (
+        F.lit(int(LOGI_W0 * 100)) * F.lit(1_000_000).cast("bigint")
+        + F.lit(int(LOGI_W_LEN * 100)) * u_len
+        + F.lit(int(LOGI_W_PUNCT * 100))
+        * F.coalesce(u_punct, F.lit(0).cast("bigint"))
+        + F.lit(int(LOGI_W_STOP * 100)) * u_stop
+    ).cast("bigint")
+    p = F.round(1.0 / (1.0 + F.exp(-(z / F.lit(100_000_000.0)))), 6)
+    return {
+        "u_len": u_len,
+        "u_punct": u_punct,
+        "u_stop": u_stop,
+        "z": z,
+        "p": p,
+    }
+
+
 @register(
     "q_quality_logistic",
     oracle=f"""WITH toks AS (
@@ -381,42 +416,15 @@ def q_quality_logistic(spark: SparkSession, sf_dir: str) -> DataFrame:
         "tok",
         F.coalesce(tokens(F.col("text")), F.array().cast("array<string>")),
     )
-    n_tok = F.size("tok")
-    punct = F.length(
-        F.regexp_replace(F.col("text"), r"[A-Za-z0-9\s]", "")
-    ).cast("double") / F.greatest(F.length("text"), F.lit(1))
-    stop_hits = F.size(F.filter(F.col("tok"), lambda t: t.isin(*_EN)))
-    micros = lambda c: F.round(c * 1_000_000).cast("bigint")  # noqa: E731
-    feats = docs.select(
+    q = quality_logistic_cols(F.col("tok"), F.col("text"))
+    return docs.select(
         "doc_id",
-        micros(F.log(1 + n_tok)).alias("u_len"),
-        micros(punct).alias("u_punct"),
-        micros(stop_hits.cast("double") / F.greatest(n_tok, F.lit(1))).alias(
-            "u_stop"
-        ),
-    )
-    z_u = (
-        F.lit(int(LOGI_W0 * 100)) * F.lit(1_000_000).cast("bigint")
-        + F.lit(int(LOGI_W_LEN * 100)) * F.col("u_len")
-        + F.lit(int(LOGI_W_PUNCT * 100))
-        * F.coalesce(F.col("u_punct"), F.lit(0).cast("bigint"))
-        + F.lit(int(LOGI_W_STOP * 100)) * F.col("u_stop")
-    ).cast("bigint")
-    scored = feats.select(
-        "doc_id", "u_len", "u_punct", "u_stop", z_u.alias("z_centi_micro")
-    )
-    p = F.round(
-        1.0 / (1.0 + F.exp(-(F.col("z_centi_micro") / F.lit(100_000_000.0)))),
-        6,
-    )
-    return scored.select(
-        "doc_id",
-        (F.col("u_len") / 1_000_000.0).alias("f_len"),
-        (F.col("u_punct") / 1_000_000.0).alias("f_punct"),
-        (F.col("u_stop") / 1_000_000.0).alias("f_stop"),
-        "z_centi_micro",
-        p.alias("p_quality"),
-        (p >= 0.5).alias("keep"),
+        (q["u_len"] / 1_000_000.0).alias("f_len"),
+        (q["u_punct"] / 1_000_000.0).alias("f_punct"),
+        (q["u_stop"] / 1_000_000.0).alias("f_stop"),
+        q["z"].alias("z_centi_micro"),
+        q["p"].alias("p_quality"),
+        (q["p"] >= 0.5).alias("keep"),
     )
 
 
@@ -480,17 +488,26 @@ SELECT bin, CAST(n AS BIGINT) AS n, n_pos, conf, acc, gap,
     def q_ece_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         from pyspark.sql import Window
 
-        pred = _REGISTRY["q_quality_logistic"].builder(spark, sf_dir).select(
-            "doc_id", "p_quality"
+        from prefect_flow_arc_indexer_spark.operators.corpus_quality import (
+            gopher_cols,
         )
-        lab = _REGISTRY["q_gopher_rules"].builder(spark, sf_dir).select(
-            "doc_id", F.col("keep").cast("int").alias("y")
+
+        # r11 (guide §2.4): classifier score and Gopher label are both
+        # row-local, so the audit is ONE fused scan instead of two corpus
+        # scans joined on doc_id. Row set: pred covers all docs, lab only
+        # text-non-null docs — the inner join kept exactly the latter,
+        # which is the filter here. Expressions come from the same shared
+        # helpers the registered operators build on.
+        docs = (
+            load_table(spark, sf_dir, "documents", fan_out=True)
+            .where(F.col("text").isNotNull())
+            .withColumn("tok", tokens(F.col("text")))
         )
-        joined = pred.join(lab, "doc_id").select(
-            F.round(F.col("p_quality") * 1_000_000)
-            .cast("bigint")
-            .alias("p_micro"),
-            "y",
+        p = quality_logistic_cols(F.col("tok"), F.col("text"))["p"]
+        keep = gopher_cols(F.col("tok"), F.col("text"))["keep"]
+        joined = docs.select(
+            F.round(p * 1_000_000).cast("bigint").alias("p_micro"),
+            keep.cast("int").alias("y"),
         )
         binned = (
             joined.groupBy(
@@ -614,19 +631,24 @@ SELECT (SELECT CAST(n_cal AS BIGINT) FROM qhat LIMIT 1) AS n_cal,
             global_rank,
         )
 
-        pred = _REGISTRY["q_quality_logistic"].builder(spark, sf_dir).select(
-            "doc_id", "p_quality"
+        from prefect_flow_arc_indexer_spark.operators.corpus_quality import (
+            gopher_cols,
         )
-        lab = (
-            _REGISTRY["q_gopher_rules"].builder(spark, sf_dir)
-            .where(F.col("keep"))
-            .select("doc_id")
+
+        # r11 (guide §2.4): score and label fused into ONE scan — the
+        # q_ece_calibration shape; the keep filter restricts to the same
+        # rows the pred-join-lab WHERE lab.keep kept.
+        docs = (
+            load_table(spark, sf_dir, "documents", fan_out=True)
+            .where(F.col("text").isNotNull())
+            .withColumn("tok", tokens(F.col("text")))
         )
-        joined = pred.join(lab, "doc_id").select(
+        p = quality_logistic_cols(F.col("tok"), F.col("text"))["p"]
+        keep = gopher_cols(F.col("tok"), F.col("text"))["keep"]
+        joined = docs.where(keep).select(
             "doc_id",
             (
-                F.lit(1_000_000)
-                - F.round(F.col("p_quality") * 1_000_000).cast("bigint")
+                F.lit(1_000_000) - F.round(p * 1_000_000).cast("bigint")
             ).alias("s_micro"),
             (
                 stable_hash(
