@@ -325,18 +325,32 @@ def _register_neardup_apply():
     )
     def q_neardup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         from prefect_flow_arc_indexer_spark.operators.dedup import (
-            q_dedup_components,
+            component_label_sizes,
         )
 
-        comp = q_dedup_components(spark, sf_dir)
-        keepers = comp.where(F.col("doc_id") == F.col("component_id")).select(
-            "doc_id", F.col("component_size").alias("n_dups")
-        )
+        # r11 (guide §2.4): join the small CC label table once against the
+        # metadata scan. The previous shape materialized the full
+        # q_dedup_components output (its own corpus-wide left join) and
+        # joined the corpus AGAIN for the metadata — two documents scans
+        # and a corpus-to-corpus join for what the label table already
+        # decides: keeper iff unlabeled (singleton) or comp == doc_id.
         docs = load_table(spark, sf_dir, "documents", fan_out=True).select(
             "doc_id", "lang", "source"
         )
-        return docs.join(keepers, "doc_id").select(
-            "doc_id", "lang", "source", "n_dups"
+        labeled = component_label_sizes(
+            load_table(spark, sf_dir, "documents", fan_out=True)
+        )
+        return (
+            docs.join(labeled, "doc_id", "left")
+            .where(
+                F.col("comp").isNull() | (F.col("comp") == F.col("doc_id"))
+            )
+            .select(
+                "doc_id",
+                "lang",
+                "source",
+                F.coalesce("sz", F.lit(1)).cast("bigint").alias("n_dups"),
+            )
         )
 
 

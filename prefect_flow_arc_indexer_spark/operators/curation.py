@@ -1276,20 +1276,41 @@ SELECT dup_bucket,
         "3 rows.",
     )
     def q_dup_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-        comp = _REGISTRY["q_dedup_components"].builder(spark, sf_dir).select(
-            "doc_id", "component_size"
+        from prefect_flow_arc_indexer_spark.functions.textfns import tokens
+        from prefect_flow_arc_indexer_spark.operators.corpus_quality import (
+            gopher_cols,
         )
-        gopher = _REGISTRY["q_gopher_rules"].builder(spark, sf_dir).select(
-            "doc_id", "keep"
+        from prefect_flow_arc_indexer_spark.operators.dedup import (
+            component_label_sizes,
         )
+
+        # r11 (guide §2.4): the Gopher verdict is row-local, so it rides
+        # the SAME corpus scan that anchors the cluster-size lookup — the
+        # previous shape joined the full q_dedup_components output (itself
+        # a corpus-wide left join) against a second corpus-sized gopher
+        # scan. Row set: the inner join kept gopher's rows (text IS NOT
+        # NULL), which is the filter here; component_size for a doc
+        # absent from the label table is 1 (singleton), exactly
+        # q_dedup_components' coalesce.
+        docs = (
+            load_table(spark, sf_dir, "documents", fan_out=True)
+            .where(F.col("text").isNotNull())
+            .withColumn("tok", tokens(F.col("text")))
+        )
+        keep = gopher_cols(F.col("tok"), F.col("text"))["keep"]
+        labeled = component_label_sizes(
+            load_table(spark, sf_dir, "documents", fan_out=True)
+        )
+        comp_size = F.coalesce("sz", F.lit(1))
         bucket = (
-            F.when(F.col("component_size") == 1, "unique")
-            .when(F.col("component_size") <= 4, "small_cluster")
+            F.when(comp_size == 1, "unique")
+            .when(comp_size <= 4, "small_cluster")
             .otherwise("large_cluster")
         )
         return (
-            comp.join(gopher, "doc_id")
-            .select(bucket.alias("dup_bucket"), F.col("keep").cast("int").alias("kept"))
+            docs.select("doc_id", keep.cast("int").alias("kept"))
+            .join(labeled.select("doc_id", "sz"), "doc_id", "left")
+            .select(bucket.alias("dup_bucket"), "kept")
             .groupBy("dup_bucket")
             .agg(
                 F.count("*").alias("n_docs"),

@@ -1280,6 +1280,24 @@ def connected_components(
             release_frame(labels)
 
 
+def component_label_sizes(docs: DataFrame) -> DataFrame:
+    """(doc_id, comp, sz) for every edge-incident doc of the MinHash-LSH
+    near-dup graph — the label table q_dedup_components and its composers
+    (q_neardup_apply, q_dup_quality) share. Component sizes are derivable
+    from the label table ALONE (r11, guide §2.4 shuffle fewer bytes):
+    every doc absent from it is a singleton (size 1), and a labeled doc's
+    component consists only of labeled docs (labels cover exactly the
+    docs incident to an edge), so the size groupBy runs over the small
+    label table and the corpus sees one broadcast-friendly left join."""
+    edges = lsh_candidate_pairs(minhash_signature(docs)).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    comp = connected_components(edges).withColumnRenamed("id", "doc_id")
+    sizes = comp.groupBy("comp").agg(F.count("*").alias("sz"))
+    return comp.join(sizes, "comp")
+
+
+
 @register(
     "q_dedup_components",
     oracle=f"""WITH RECURSIVE {_dd_shingle_cte()},
@@ -1322,20 +1340,7 @@ SELECT doc_id, component_id,
 )
 def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents", fan_out=True)
-    edges = lsh_candidate_pairs(minhash_signature(docs)).select(
-        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
-    )
-    comp = connected_components(edges).withColumnRenamed("id", "doc_id")
-    # r11 (guide §2.4 shuffle fewer bytes): component sizes are derivable
-    # from the label table ALONE — every doc absent from it is a
-    # singleton (size 1), and a labeled doc's component consists only of
-    # labeled docs (labels cover exactly the docs incident to an edge).
-    # The previous shape aggregated sizes over the full corpus-sized
-    # `assigned` frame and joined them back (a corpus-wide exchange +
-    # join); now the groupBy runs over `comp` (edge-incident docs only)
-    # and the corpus sees one broadcast-friendly left join.
-    sizes = comp.groupBy("comp").agg(F.count("*").alias("sz"))
-    labeled = comp.join(sizes, "comp")
+    labeled = component_label_sizes(docs)
     return docs.select("doc_id").join(labeled, "doc_id", "left").select(
         "doc_id",
         F.coalesce("comp", "doc_id").alias("component_id"),
@@ -1523,21 +1528,19 @@ SELECT m.doc_id,
             ),
         )
         pairs = lsh_candidate_pairs(minhash_signature(docs))
-        p = (
-            pairs.join(
-                mem.select(
-                    F.col("doc_id").alias("doc_a"),
-                    F.col("is_existing").alias("a_existing"),
-                ),
-                "doc_a",
-            )
-            .join(
-                mem.select(
-                    F.col("doc_id").alias("doc_b"),
-                    F.col("is_existing").alias("b_existing"),
-                ),
-                "doc_b",
-            )
+        # r11 (guide §2.4): membership is a deterministic hash of the id
+        # itself, so the pair sides get it as an inline expression — the
+        # previous two joins against the corpus-sized membership frame
+        # (two extra documents scans + exchanges) computed exactly this
+        p = pairs.select(
+            "doc_a",
+            "doc_b",
+            (split_bucket(F.col("doc_a"), CORPUS_SALT) < EXISTING_PCT).alias(
+                "a_existing"
+            ),
+            (split_bucket(F.col("doc_b"), CORPUS_SALT) < EXISTING_PCT).alias(
+                "b_existing"
+            ),
         )
         edges = (
             p.where(~F.col("b_existing"))
