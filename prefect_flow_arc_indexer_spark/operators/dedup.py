@@ -1785,25 +1785,33 @@ SELECT doc_a, doc_b, CAST(bit_count(xor(sha, shb)) AS BIGINT) AS hamming
 )
 def q_simhash_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     capped = _simhash_capped_buckets(spark, sf_dir)
-    a = capped.select(
-        F.col("doc_id").alias("doc_a"),
-        F.col("simhash").alias("sha"),
-        "band_id",
-        "band_val",
+    # r11 (guide §2.4): pair generation happens INSIDE each capped bucket
+    # via array combinatorics (the lsh_candidate_pairs shape) instead of a
+    # bucket self-join — the join form evaluated the whole
+    # exchange+sort+cap-window subtree once per side. The collect_list row
+    # is bounded by the bucket cap (the window truncated the bucket
+    # first), and the groupBy shares the cap window's (band_id, band_val)
+    # partitioning, so no new exchange appears before pair explosion.
+    grouped = (
+        capped.groupBy("band_id", "band_val")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("doc_id", "simhash"))
+            ).alias("ms")
+        )
+        .where(F.size("ms") > 1)
     )
-    b = capped.select(
-        F.col("doc_id").alias("doc_b"),
-        F.col("simhash").alias("shb"),
-        "band_id",
-        "band_val",
+    pair_expr = F.expr(
+        "flatten(transform(ms, (x, i) -> "
+        "transform(slice(ms, i + 2, size(ms) - i - 1), "
+        "y -> struct(x.doc_id AS doc_a, y.doc_id AS doc_b, "
+        "x.simhash AS sha, y.simhash AS shb))))"
     )
     hamming = F.bit_count(F.col("sha").bitwiseXOR(F.col("shb"))).cast("bigint")
     out = (
-        a.join(b, ["band_id", "band_val"])
-        .where(
-            (F.col("doc_a") < F.col("doc_b"))
-            & (hamming <= SIMHASH_HAMMING_MAX)
-        )
+        grouped.select(F.explode(pair_expr).alias("p"))
+        .select("p.doc_a", "p.doc_b", "p.sha", "p.shb")
+        .where(hamming <= SIMHASH_HAMMING_MAX)
         .select("doc_a", "doc_b", hamming.alias("hamming"))
         .distinct()
     )
