@@ -1921,6 +1921,13 @@ SELECT source_a, source_b, count(*) AS shared_5grams
 )
 def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    # r11 (guide §2.4): the old distinct + gram self-join evaluated the
+    # whole tokenize+5-gram subtree once per join side (no exchange reuse
+    # across the aliased sides). One groupBy(g) with a map-side-combined
+    # collect_set replaces BOTH the distinct and the self-join: the
+    # per-gram source set is bounded by the source count (~tens), pairs
+    # fall out of in-row combinatorics over the sorted set — the
+    # lsh_candidate_pairs shape.
     gs = (
         docs.where(F.col("text").isNotNull())
         .select("source", tokens(F.col("text")).alias("tok"))
@@ -1928,17 +1935,20 @@ def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source",
             F.explode(word_ngrams(F.col("tok"), OVERLAP_GRAM)).alias("g"),
         )
-        .distinct()
     )
-    pairs = gs.alias("a").join(
-        gs.alias("b"),
-        (F.col("a.g") == F.col("b.g")) & (F.col("a.source") < F.col("b.source")),
+    grouped = (
+        gs.groupBy("g")
+        .agg(F.sort_array(F.collect_set("source")).alias("srcs"))
+        .where(F.size("srcs") > 1)
+    )
+    pair_expr = F.expr(
+        "flatten(transform(srcs, (x, i) -> "
+        "transform(slice(srcs, i + 2, size(srcs) - i - 1), "
+        "y -> struct(x AS source_a, y AS source_b))))"
     )
     return (
-        pairs.select(
-            F.col("a.source").alias("source_a"),
-            F.col("b.source").alias("source_b"),
-        )
+        grouped.select(F.explode(pair_expr).alias("p"))
+        .select("p.source_a", "p.source_b")
         .groupBy("source_a", "source_b")
         .agg(F.count("*").alias("shared_5grams"))
     )
