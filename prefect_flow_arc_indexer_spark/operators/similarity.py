@@ -304,10 +304,22 @@ SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= {TOP_K}
     "query touches corpus/n_cells candidates",
 )
 def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from prefect_flow_arc_indexer_spark.functions.caching import (
+        CheckpointRelease,
+    )
+
     e = load_table(spark, sf_dir, "embeddings", fan_out=True).select(
         "vec_id", "label", "embedding"
     )
-    cells = ivf_assign(e, ivf_centroids(e))
+    # r11 (guide §5): `cells` feeds BOTH join sides (query + corpus), and
+    # each side re-derived the whole centroid aggregation from its own
+    # corpus scan. Checkpointing the k-row centroid table evaluates that
+    # subtree once; the assignment projection itself stays lazy per side
+    # (scan-cost). The q_pq_adc r11 shape; caller releases via
+    # ckpt_release.
+    cents = ivf_centroids(e).localCheckpoint(eager=True)
+    cents_release = CheckpointRelease(cents)
+    cells = ivf_assign(e, cents)
     q = cells.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
@@ -327,7 +339,9 @@ def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             cosine_similarity(F.col("q_emb"), F.col("embedding")), 6
         ).alias("cos_sim"),
     )
-    return _topk(scored)
+    out = _topk(scored)
+    out.ckpt_release = cents_release
+    return out
 
 
 # --------------------------------------------------------------------------
@@ -775,14 +789,15 @@ SELECT e.query_id,
     )
     def q_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         exact = q_knn_cosine(spark, sf_dir).select("query_id", "neighbor_id")
-        approx = q_knn_ivf(spark, sf_dir).select(
+        ivf = q_knn_ivf(spark, sf_dir)
+        approx = ivf.select(
             F.col("query_id").alias("a_qid"),
             F.col("neighbor_id").alias("a_nid"),
         )
         hit = F.sum(
             F.when(F.col("a_nid").isNotNull(), 1).otherwise(0)
         ).cast("long")
-        return (
+        out = (
             exact.join(
                 approx,
                 (F.col("query_id") == F.col("a_qid"))
@@ -798,6 +813,9 @@ SELECT e.query_id,
                 ).alias("recall_at_k"),
             )
         )
+        # propagate the IVF centroid checkpoint's release handle
+        out.ckpt_release = ivf.ckpt_release
+        return out
 
 
 _register_ivf_recall()
@@ -1924,12 +1942,25 @@ def q_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings", fan_out=True).select(
         "vec_id", "label", "embedding"
     )
-    pred = ivf_assign(e, ivf_centroids(e)).select(
-        "vec_id", F.col("cell").alias("predicted")
+    # r11 (guide §2.4): the true label already sits on the assignment
+    # scan's own rows — carrying it through the broadcast argmax fold
+    # removes the second embeddings scan and the corpus-to-corpus join on
+    # vec_id the previous shape paid to re-attach it.
+    cent = ivf_centroids(e).agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(F.col("label").alias("cell"), F.col("centroid"))
+            )
+        ).alias("cents")
     )
     conf = (
-        e.select("vec_id", F.col("label").alias("actual"))
-        .join(pred, "vec_id")
+        e.crossJoin(F.broadcast(cent))
+        .select(
+            F.col("label").alias("actual"),
+            _argmax_cell(F.col("cents"), F.col("embedding")).alias(
+                "predicted"
+            ),
+        )
         .groupBy("actual", "predicted")
         .agg(F.count("*").alias("n"))
     )
