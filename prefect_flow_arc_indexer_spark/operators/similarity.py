@@ -852,17 +852,25 @@ SELECT a.label AS label_a, b.label AS label_b,
     "contributes exactly one (label, pos) aggregation scan",
 )
 def q_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from prefect_flow_arc_indexer_spark.functions.caching import (
+        CheckpointRelease,
+    )
+
     e = load_table(spark, sf_dir, "embeddings", fan_out=True).select(
         "label", "embedding"
     )
-    cent = ivf_centroids(e)
+    # r11 (guide §5): the k-row centroid table feeds both self-join sides;
+    # without the checkpoint each side re-derived the corpus aggregation
+    # (the q_knn_ivf shape). Caller releases via ckpt_release.
+    cent = ivf_centroids(e).localCheckpoint(eager=True)
+    cent_release = CheckpointRelease(cent)
     a = cent.select(
         F.col("label").alias("label_a"), F.col("centroid").alias("cent_a")
     )
     b = cent.select(
         F.col("label").alias("label_b"), F.col("centroid").alias("cent_b")
     )
-    return (
+    out = (
         a.join(F.broadcast(b), F.col("label_a") < F.col("label_b"))
         .select(
             "label_a",
@@ -872,6 +880,8 @@ def q_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cos_sim"),
         )
     )
+    out.ckpt_release = cent_release
+    return out
 
 
 # --------------------------------------------------------------------------
