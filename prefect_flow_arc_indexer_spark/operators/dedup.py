@@ -1080,24 +1080,31 @@ CC_JUMP_AFTER = 2
 
 # r11: below this many (undirected) edges the label loop is pure fixed
 # overhead — 3-5 rounds x (join + agg + checkpoint + convergence action) to
-# propagate labels a driver-side union-find computes in milliseconds from
-# the SAME edge rows a broadcast-sized collect can hold (1M edges x 2
-# directions x 16 B ≈ 32 MB, well under spark.driver.maxResultSize and the
-# size of plenty of broadcast relations). This is plan selection by data
-# size, not caching: every run still scans/builds the edge set from the
-# inputs, and both plans produce the identical min-label component ids.
+# propagate labels a driver-side union-find computes in seconds from the
+# SAME edge rows a broadcast-sized collect can hold. This is plan selection
+# by data size, not caching: every run still scans/builds the edge set from
+# the inputs, and both plans produce the identical min-label component ids.
 # At 100 TB a real near-dup graph blows past the gate and the distributed
 # O(log diameter) loop below runs unchanged (the gate is data-derived —
 # same discipline as FUZZY_VARIANT_GATE and PAGERANK_BCAST_MAX).
-CC_DRIVER_MAX_EDGES = 1_000_000
+#
+# Gate size: 5M edges x 16 B ≈ 80 MB Arrow-collected — the scale of an
+# ordinary broadcast relation (guide §3.1: "a few hundred MB is usually
+# fine"), far under spark.driver.maxResultSize. Raised from 1M when the
+# collect switched to the Arrow path (sf1 fuzzy graph measurement: 3.9M
+# edges Arrow-collect 1.2 s + union-find 3.4 s, vs 18.9 s for the
+# distributed loop on the same graph — the 1M gate was sized to the
+# pickled-Row collect's cost, not the data's). Env-overridable for
+# clusters with tighter drivers.
+CC_DRIVER_MAX_EDGES = 5_000_000
 
 
 def _driver_union_find(
-    pair_rows: list, id_type
+    srcs: list, dsts: list, id_type
 ) -> tuple[list[tuple], str]:
-    """Min-label union-find over collected (src, dst) rows; returns the
-    (id, comp) rows sorted by id plus a ddl schema for them. comp is the
-    component's min node id — identical, by construction, to the
+    """Min-label union-find over collected src/dst value lists; returns
+    the (id, comp) rows sorted by id plus a ddl schema for them. comp is
+    the component's min node id — identical, by construction, to the
     distributed loop's fixpoint labels."""
     parent: dict = {}
 
@@ -1107,8 +1114,7 @@ def _driver_union_find(
             x = parent[x]
         return x
 
-    for r in pair_rows:
-        a, b = r[0], r[1]
+    for a, b in zip(srcs, dsts):
         if a not in parent:
             parent[a] = a
         if b not in parent:
@@ -1183,8 +1189,13 @@ def connected_components(
     if n_edges <= driver_max_edges:
         spark = edges.sparkSession
         try:
+            # Arrow transfer (guide §6): measured 1.2 s for 3.9M edges vs
+            # 10.3 s for the pickled-Row collect() — the transfer, not the
+            # union-find, was the driver path's cost at the gate boundary.
+            pdf = directed.toPandas()
             rows, ddl = _driver_union_find(
-                directed.collect(),
+                pdf["src"].tolist(),
+                pdf["dst"].tolist(),
                 edges.schema["src"].dataType.simpleString(),
             )
         finally:
