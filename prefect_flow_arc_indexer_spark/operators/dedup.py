@@ -29,9 +29,8 @@ DuckDB oracles replicate values bit-for-bit.
 from __future__ import annotations
 
 import weakref
-from functools import reduce
 
-from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from prefect_flow_arc_indexer_spark.functions.caching import (
     CheckpointRelease,
@@ -41,8 +40,11 @@ from prefect_flow_arc_indexer_spark.functions.hashing import (
     HASH_PRIME,
     MINHASH_COEFFS,
     dd_stable_hash,
-    minhash_perm,
     stable_hash,
+)
+from prefect_flow_arc_indexer_spark.functions.shingle_kernel import (
+    minhash_signatures_arrow,
+    simhash_arrow,
 )
 from prefect_flow_arc_indexer_spark.functions.textfns import (
     dd_tokens,
@@ -97,47 +99,21 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # MinHash + LSH
 # --------------------------------------------------------------------------
-def _shingle_hashes(docs: DataFrame, distinct: bool = True) -> DataFrame:
-    """(doc_id, h): stable hash of each word-3-gram shingle.
-
-    The token array is projected as a real column BEFORE the n-gram
-    transform: referencing ``tokens(text)`` directly inside the lambda
-    embeds a copy of the split+filter subtree at every ``element_at``
-    site and Spark re-evaluates it per element (~200 regex splits per
-    row — measured 17s -> ~1s at sf0.1 for this change).
-
-    ``distinct=False`` skips the set-semantics shuffle for consumers whose
-    downstream aggregate is duplicate-insensitive (MinHash ``min``): the
-    dedup then happens implicitly in map-side partial aggregation, so the
-    only thing shuffled is one partial signature row per doc per partition
-    instead of every (doc_id, shingle-string) pair.
-    """
-    grams = word_ngrams(F.col("tok"), SHINGLE_N)
-    if distinct:
-        # per-doc set semantics computed map-side — no full-stream shuffle
-        grams = F.array_distinct(grams)
-    exploded = docs.select("doc_id", tokens(F.col("text")).alias("tok")).select(
-        "doc_id",
-        F.explode(grams).alias("s"),
-    )
-    return exploded.select("doc_id", stable_hash(F.col("s")).alias("h"))
-
-
 def minhash_signature(docs: DataFrame) -> DataFrame:
     """(doc_id, m0..m15): MinHash signature over shingle hashes.
 
-    min() over permuted hashes is insensitive to shingle multiplicity, so
-    the shingle stream is NOT deduplicated first — partial aggregation
-    reduces each partition to one 16-int row per doc before the shuffle
-    (measured 11.8s -> ~2s at sf0.1 vs. the distinct-first formulation).
+    r12 (guide §4.2): computed by ONE vectorized Arrow kernel
+    (:func:`functions.shingle_kernel.minhash_signatures_arrow`) — tokenize,
+    3-gram, md5 stable-hash and the 16 permutation mins all happen
+    row-locally per batch, so the signature never shuffles and the per-row
+    JVM expression chain (split / element_at n-grams / md5 / conv per
+    shingle) is gone. min() over permuted hashes is insensitive to shingle
+    multiplicity, so shingles are hashed positionally with no per-doc
+    distinct, exactly like the JVM ``distinct=False`` path this replaces
+    (same values, pinned by the pure-Python replica tests and every
+    consumer's DuckDB oracle).
     """
-    h = _shingle_hashes(docs, distinct=False)
-    return h.groupBy("doc_id").agg(
-        *[
-            F.min(minhash_perm(F.col("h"), i)).alias(f"m{i}")
-            for i in range(N_PERM)
-        ]
-    )
+    return minhash_signatures_arrow(docs, SHINGLE_N)
 
 
 def lsh_candidate_pairs(sig: DataFrame) -> DataFrame:
@@ -431,33 +407,16 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # SimHash
 # --------------------------------------------------------------------------
 def simhash_fingerprints(docs: DataFrame) -> DataFrame:
-    """(doc_id, simhash): 28-bit SimHash over distinct word unigrams,
-    computed as one aggregation (28 conditional sums, no explode)."""
-    tok_hashes = (
-        # per-doc distinct computed map-side (array_distinct before the
-        # explode): word-set semantics never cross a document boundary,
-        # so the row-level .distinct() shuffled the full (doc_id, word)
-        # stream for nothing (the _hashed_shingles fix, VERDICT r9 task 4)
-        docs.select(
-            "doc_id",
-            F.explode(F.array_distinct(tokens(F.col("text")))).alias("w"),
-        )
-        .select("doc_id", stable_hash(F.col("w")).alias("h"))
-    )
-    votes = [
-        F.sum(
-            F.when(F.shiftright("h", b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"v{b}")
-        for b in range(SIMHASH_BITS)
-    ]
-    per_doc = tok_hashes.groupBy("doc_id").agg(*votes)
-    fp: Column = reduce(
-        lambda acc, b: acc
-        + F.when(F.col(f"v{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0)),
-        range(SIMHASH_BITS),
-        F.lit(0).cast("bigint"),
-    )
-    return per_doc.select("doc_id", fp.alias("simhash"))
+    """(doc_id, simhash): 28-bit SimHash over distinct word unigrams.
+
+    r12 (guide §4.2): one vectorized Arrow kernel
+    (:func:`functions.shingle_kernel.simhash_arrow`) — the per-doc distinct
+    token set, unigram hashes and the 28 per-bit majority votes are
+    row-local by construction, so the explode + 28-conditional-sum groupBy
+    (one full exchange of the token-hash stream's partials) is gone
+    entirely. Values identical to the JVM aggregation (pure-Python replica
+    test + every consumer's oracle)."""
+    return simhash_arrow(docs, SIMHASH_BITS)
 
 
 def _dd_simhash_sql() -> str:
@@ -503,7 +462,16 @@ def _hashed_shingles(docs: DataFrame) -> DataFrame:
     explode instead of a row-level ``.distinct()`` — the row form
     shuffled the full (doc_id, source, shingle) stream (260k string rows
     at sf0.1, corpus-sized at 100 TB) for a dedup that never crosses a
-    document boundary (VERDICT r9 task 4)."""
+    document boundary (VERDICT r9 task 4).
+
+    r12 note: an Arrow-kernel producer
+    (functions/shingle_kernel.hashed_shingles_arrow) was measured and
+    REVERTED for the string-exploding consumers: emitting the shingle
+    STRING stream from Python costs ~0.47 s/pass vs 0.25 s for this JVM
+    chain at sf0.1 (the Python worker round-trip floor dominates when the
+    output is corpus-sized strings rather than 17-int signature rows).
+    The kernel stays for the signature/fingerprint shapes, where it also
+    deletes the aggregation exchange."""
     return (
         docs.select("doc_id", "source", tokens(F.col("text")).alias("tok"))
         .select(
@@ -514,6 +482,20 @@ def _hashed_shingles(docs: DataFrame) -> DataFrame:
             ).alias("s"),
         )
         .withColumn("h", stable_hash(F.col("s")))
+    )
+
+
+def _distinct_shingles(docs: DataFrame) -> DataFrame:
+    """(doc_id, s): per-doc-distinct shingle strings — the verify-stage
+    input of q_minhash_verified / q_minhash_estimate / q_pair_features
+    (they join on the STRING, not the hash, so a 28-bit collision can
+    never inflate an intersection). Same JVM-chain-beats-Arrow measurement
+    as :func:`_hashed_shingles`."""
+    return docs.select("doc_id", tokens(F.col("text")).alias("tok")).select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(word_ngrams(F.col("tok"), SHINGLE_N))
+        ).alias("s"),
     )
 
 
@@ -1018,20 +1000,7 @@ def q_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the verify stage was measured SLOWER here: the signature's
     # distinct=False path partial-aggregates map-side and never shuffles
     # shingle strings, which beats sharing the distinct's exchange.)
-    sh = (
-        docs.select("doc_id", tokens(F.col("text")).alias("tok"))
-        .select(
-            "doc_id",
-            # per-doc distinct computed map-side (array_distinct before
-            # the explode) — shingle distinctness never crosses a document
-            # boundary, so the row-level .distinct() here shuffled the
-            # full shingle stream for nothing (same fix as
-            # _hashed_shingles, VERDICT r9 task 4)
-            F.explode(
-                F.array_distinct(word_ngrams(F.col("tok"), SHINGLE_N))
-            ).alias("s"),
-        )
-    )
+    sh = _distinct_shingles(docs)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     sha = sh.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("sa"))
     shb = sh.select(F.col("doc_id").alias("_db"), F.col("s").alias("sb"))
@@ -2300,17 +2269,7 @@ SELECT e.doc_a, e.doc_b,
             .join(gb, "doc_b")
             .select("doc_a", "doc_b", n_match.alias("n_match"))
         )
-        sh = (
-            docs.select("doc_id", tokens(F.col("text")).alias("tok"))
-            .select(
-                "doc_id",
-                # per-doc distinct map-side — no full-stream shuffle
-                # (the _hashed_shingles fix, VERDICT r9 task 4)
-                F.explode(
-                    F.array_distinct(word_ngrams(F.col("tok"), SHINGLE_N))
-                ).alias("s"),
-            )
-        )
+        sh = _distinct_shingles(docs)
         sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
         sha = sh.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("sa"))
         shb = sh.select(F.col("doc_id").alias("_db"), F.col("s").alias("sb"))
@@ -2715,17 +2674,7 @@ SELECT c.doc_a, c.doc_b,
                 "n_tok"
             ),
         )
-        sh = (
-            docs.select("doc_id", tokens(F.col("text")).alias("tok"))
-            .select(
-                "doc_id",
-                # per-doc distinct map-side — no full-stream shuffle
-                # (the _hashed_shingles fix, VERDICT r9 task 4)
-                F.explode(
-                    F.array_distinct(word_ngrams(F.col("tok"), SHINGLE_N))
-                ).alias("s"),
-            )
-        )
+        sh = _distinct_shingles(docs)
         sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
         sha = sh.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("sa"))
         shb = sh.select(F.col("doc_id").alias("_db"), F.col("s").alias("sb"))
