@@ -211,26 +211,56 @@ def q_pivot_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
  GROUP BY l_returnflag
 """,
     doc="exact percentiles (linear interpolation) per return flag; at 100 TB "
-    "swap percentile -> percentile_approx (same call shape, bounded memory)",
+    "swap for a sketch (percentile_approx / q_approx_percentiles shape, "
+    "bounded memory). r12 (guide §4.2): evaluated by the q_mad grouped "
+    "NumPy kernel — the JVM percentile's value->count buffer degenerates "
+    "to one entry per row on continuous prices, so the exchange carried "
+    "the whole column as map entries into a single-threaded per-group "
+    "merge; the kernel sorts once per group and reads all four quantiles "
+    "off the sorted arrays with the bit-identical Spark interpolation",
 )
 def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
-    # one array-argument percentile = ONE sort buffer for all three price
-    # quantiles (separate scalar calls each buffer the full column)
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice", "l_quantity"
+    )
+
+    def pcts(pdf):
+        import pandas as pd
+
+        from prefect_flow_arc_indexer_spark.functions.quantiles import (
+            sorted_non_nan,
+            spark_exact_percentile,
+        )
+
+        v = sorted_non_nan(pdf["l_extendedprice"])
+        q = sorted_non_nan(pdf["l_quantity"])
+        price = [
+            spark_exact_percentile(v, p) if v.size else None
+            for p in (0.25, 0.50, 0.75)
+        ]
+        return pd.DataFrame(
+            {
+                "l_returnflag": [pdf["l_returnflag"].iloc[0]],
+                "p25": [price[0]],
+                "p50": [price[1]],
+                "p75": [price[2]],
+                "qm": [spark_exact_percentile(q, 0.5) if q.size else None],
+            }
+        )
+
     return (
         li.groupBy("l_returnflag")
-        .agg(
-            F.expr(
-                "percentile(l_extendedprice, array(0.25D, 0.50D, 0.75D))"
-            ).alias("_p"),
-            F.expr("percentile(l_quantity, 0.50D)").alias("_qm"),
+        .applyInPandas(
+            pcts,
+            "l_returnflag string, p25 double, p50 double, p75 double, "
+            "qm double",
         )
         .select(
             "l_returnflag",
-            F.round(F.element_at("_p", 1), 4).alias("price_p25"),
-            F.round(F.element_at("_p", 2), 4).alias("price_p50"),
-            F.round(F.element_at("_p", 3), 4).alias("price_p75"),
-            F.round("_qm", 4).alias("qty_median"),
+            F.round("p25", 4).alias("price_p25"),
+            F.round("p50", 4).alias("price_p50"),
+            F.round("p75", 4).alias("price_p75"),
+            F.round("qm", 4).alias("qty_median"),
         )
     )
 
@@ -336,29 +366,54 @@ SELECT l.l_returnflag,
   FROM lineitem l JOIN med ON med.l_returnflag = l.l_returnflag
  GROUP BY l.l_returnflag
 """,
-    doc="robust dispersion: median absolute deviation per group — two "
-    "passes by construction (the deviation needs the median first), both "
-    "shuffling on the same tiny group key; the medians broadcast back "
-    "onto the fact scan. The outlier-resistant scale estimate a corpus "
-    "pipeline uses where stddev would chase heavy tails",
+    doc="robust dispersion: median absolute deviation per group. r12 "
+    "(guide §4.2): ONE scan + ONE group exchange into a NumPy grouped "
+    "kernel that sorts the group's values once and evaluates both exact "
+    "quantiles (median first, then the deviation median) — the previous "
+    "shape paid two corpus scans and two JVM percentile aggregations "
+    "whose value->count buffers degenerate to one entry per row on "
+    "continuous prices (no partial-agg reduction), plus a broadcast "
+    "join. The kernel replicates Spark's Percentile interpolation "
+    "bit-for-bit (lower*(1-g) + higher*g at position (n-1)*p, verified "
+    "0/2000 bitwise mismatches), so results are unchanged. The "
+    "outlier-resistant scale estimate a corpus pipeline uses where "
+    "stddev would chase heavy tails",
 )
 def q_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_returnflag", "l_extendedprice"
     )
-    med = li.groupBy("l_returnflag").agg(
-        F.percentile("l_extendedprice", 0.5).alias("m")
-    )
-    return (
-        li.join(F.broadcast(med), "l_returnflag")
-        .groupBy("l_returnflag")
-        .agg(
-            F.round(F.any_value("m"), 4).alias("median_price"),
-            F.round(
-                F.percentile(F.abs(F.col("l_extendedprice") - F.col("m")), 0.5),
-                4,
-            ).alias("mad"),
+
+    def mad_exact(pdf):
+        import numpy as np
+        import pandas as pd
+
+        from prefect_flow_arc_indexer_spark.functions.quantiles import (
+            sorted_non_nan,
+            spark_exact_percentile,
         )
+
+        v = sorted_non_nan(pdf["l_extendedprice"])
+        if v.size == 0:  # all-null group: match the agg's NULL outputs
+            m = mad = None
+        else:
+            m = spark_exact_percentile(v, 0.5)
+            mad = spark_exact_percentile(np.sort(np.abs(v - m)), 0.5)
+        return pd.DataFrame(
+            {
+                "l_returnflag": [pdf["l_returnflag"].iloc[0]],
+                "m": [m],
+                "mad": [mad],
+            }
+        )
+
+    both = li.groupBy("l_returnflag").applyInPandas(
+        mad_exact, "l_returnflag string, m double, mad double"
+    )
+    return both.select(
+        "l_returnflag",
+        F.round("m", 4).alias("median_price"),
+        F.round("mad", 4).alias("mad"),
     )
 
 
