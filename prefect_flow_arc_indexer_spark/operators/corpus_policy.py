@@ -111,24 +111,28 @@ SELECT d.lang AS declared_lang, p.predicted_lang,
         "(q_lang_id composed verbatim — its oracle is embedded as a "
         "CTE), with a no-evidence count (zero stopword hits) per cell — "
         "the metadata-trust audit run before lang-conditional filtering "
-        "or mixture design. One id equi-join (both sides narrow "
-        "projections of the same scan) into a langs^2 values-bounded "
-        "rollup; NULL declared langs form their own row.",
+        "or mixture design. r12 (guide §2.4, the r11 row-local fusion "
+        "class): the declared lang rides the SAME scan that computes the "
+        "prediction (shared lang_id_frame helper — q_lang_id composed "
+        "structurally, not via a doc_id self-join of two projections of "
+        "one scan), so the plan is one scan into a langs^2 "
+        "values-bounded rollup; NULL declared langs form their own row.",
     )
     def q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
-        pred = _REGISTRY["q_lang_id"].builder(spark, sf_dir)
-        d = load_table(spark, sf_dir, "documents", fan_out=True).select(
-            "doc_id", F.col("lang").alias("declared_lang")
+        from prefect_flow_arc_indexer_spark.operators.text_analysis import (
+            lang_id_frame,
         )
-        return (
-            d.join(pred, "doc_id")
-            .groupBy("declared_lang", "predicted_lang")
-            .agg(
-                F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-                F.sum((F.col("best_hits") == 0).cast("int"))
-                .cast("bigint")
-                .alias("n_no_evidence"),
-            )
+
+        docs = load_table(spark, sf_dir, "documents", fan_out=True)
+        # the oracle's inner join on doc_id keeps every document row:
+        # q_lang_id emits one row per doc unconditionally, so the fused
+        # one-scan row set is identical by construction
+        pred = lang_id_frame(docs, [F.col("lang").alias("declared_lang")])
+        return pred.groupBy("declared_lang", "predicted_lang").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum((F.col("best_hits") == 0).cast("int"))
+            .cast("bigint")
+            .alias("n_no_evidence"),
         )
 
 

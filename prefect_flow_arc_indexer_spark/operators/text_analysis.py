@@ -164,23 +164,24 @@ SELECT doc_id, {case} AS predicted_lang, CAST({best} AS BIGINT) AS best_hits
 """
 
 
-@register(
-    "q_lang_id",
-    oracle=_dd_lang_id_sql(),
-    doc="language ID: stopword-hit argmax over per-language lists "
-    "(n-gram-heuristic family); alphabetical tie-break",
-)
-def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents", fan_out=True).withColumn(
-        "tok", tokens(F.col("text"))
-    )
+def lang_id_frame(docs: DataFrame, extra: list[Column]) -> DataFrame:
+    """(extra..., predicted_lang, best_hits): the stopword-argmax language
+    ID computed scan-side over ``docs`` — the shared row-local core of
+    q_lang_id and q_lang_confusion (the r11 quality_logistic_cols fusion
+    discipline: composition cannot drift from the component).
+
+    The hit counts are projected as REAL columns before the argmax so each
+    per-language aggregate fold evaluates once (inlining them into
+    greatest + the CASE chain would re-evaluate every fold 2-3x via
+    project collapsing — the q_minhash_verified r11 lesson)."""
+    d = docs.withColumn("tok", tokens(F.col("text")))
     tok = F.col("tok")
     # NULL text -> NULL token array -> F.aggregate returns NULL, while the
     # DuckDB oracle coalesces the list_aggregate sum to 0 and predicts the
     # first language alphabetically. Coalesce to 0 so both engines
     # canonicalize NULL-text rows identically (ADVICE r1, medium).
-    scored = docs.select(
-        "doc_id",
+    scored = d.select(
+        *extra,
         *[
             F.coalesce(_stopword_hits(tok, ws), F.lit(0)).alias(f"hits_{lang}")
             for lang, ws in STOPWORDS.items()
@@ -193,9 +194,21 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         langs[1:],
         F.when(F.col(f"hits_{langs[0]}") == best, langs[0]),
     )
+    keep = [f.name for f in scored.schema.fields if not f.name.startswith("hits_")]
     return scored.select(
-        "doc_id", pred.alias("predicted_lang"), best.alias("best_hits")
+        *keep, pred.alias("predicted_lang"), best.alias("best_hits")
     )
+
+
+@register(
+    "q_lang_id",
+    oracle=_dd_lang_id_sql(),
+    doc="language ID: stopword-hit argmax over per-language lists "
+    "(n-gram-heuristic family); alphabetical tie-break",
+)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    return lang_id_frame(docs, [F.col("doc_id")])
 
 
 # --------------------------------------------------------------------------
