@@ -630,21 +630,32 @@ SELECT c.col_name, m.n AS n_rows, c.n_nonnull, c.n_distinct,
 )
 def q_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
-    m = o.agg(
+    # r12 (guide §2.4): the plain folds and the distinct counts run as two
+    # SEPARATE aggregations joined as 1-row relations. In one aggregate,
+    # the multi-distinct rewrite's Expand branches share the plan with the
+    # string min/max, whose variable-width buffers force SortAggregate —
+    # i.e. a full Sort of the 4x-expanded corpus. Split, the fold side is
+    # a keyless single pass (no sort, no Expand) and the distinct side's
+    # count-only buffers hash-aggregate, partial-reducing each Expand
+    # branch to its distinct values before the exchange. Same rows.
+    plain = o.agg(
         F.count("*").alias("n"),
         F.count("o_custkey").alias("nn_cust"),
-        F.count_distinct("o_custkey").alias("nd_cust"),
         F.min("o_custkey").cast("string").alias("min_cust"),
         F.max("o_custkey").cast("string").alias("max_cust"),
         F.count("o_orderstatus").alias("nn_status"),
-        F.count_distinct("o_orderstatus").alias("nd_status"),
         F.min("o_orderstatus").cast("string").alias("min_status"),
         F.max("o_orderstatus").cast("string").alias("max_status"),
         F.count("o_totalprice").alias("nn_price"),
-        F.count_distinct("o_totalprice").alias("nd_price"),
         F.round(F.min("o_totalprice"), 2).cast("string").alias("min_price"),
         F.round(F.max("o_totalprice"), 2).cast("string").alias("max_price"),
     )
+    nd = o.agg(
+        F.count_distinct("o_custkey").alias("nd_cust"),
+        F.count_distinct("o_orderstatus").alias("nd_status"),
+        F.count_distinct("o_totalprice").alias("nd_price"),
+    )
+    m = plain.crossJoin(nd)
     return m.selectExpr(
         "n AS n_rows",
         """stack(3,
