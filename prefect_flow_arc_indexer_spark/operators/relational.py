@@ -13,6 +13,8 @@ table, correlated top-k) with plans that hold at 100 TB:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from prefect_flow_arc_indexer_spark.plans.registry import register
@@ -393,23 +395,54 @@ def q_disjunctive_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "key, so ONE hot join key spreads over R reducers instead of stalling "
     "a single task — the manual form of what AQE skew-join does "
     "reactively, needed when skew is known up front (and on the map-side "
-    "partial agg, which AQE cannot split). Semantically identical to the "
-    "plain equi-join the oracle runs — salting only changes the physical "
-    "key space",
+    "partial agg, which AQE cannot split). r12 (guide §2.5): the salt "
+    "width R is DERIVED from the data's measured skew in-plan — "
+    "clamp(ceil(max rows per join key / target rows per reducer), 2, 32) "
+    "as a 1-row broadcast scalar — instead of a constant 8. A constant "
+    "width replicates the build side R-fold whether or not the skew "
+    "exists (the r11 sf1 ratio flagged exactly that: 5.6x wall for 10x "
+    "data from an 8x build fan-out on unskewed keys); deriving it sizes "
+    "the replication to the hot key that motivates it while the floor "
+    "of 2 keeps the full salted mechanics engaged. Semantically "
+    "identical to the plain equi-join the oracle runs — salting only "
+    "changes the physical key space, and R never affects the aggregate",
 )
 def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    R = 8
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey",
-        "l_linenumber",
-        "l_extendedprice",
-        F.pmod(F.xxhash64("l_linenumber"), F.lit(R)).cast("int").alias("salt"),
+    # target rows a single hot key may leave on one reducer before the
+    # salt splits it further; production tunes via env without replan
+    target = int(os.environ.get("SPARK_GRAFT_SALT_TARGET_ROWS", "4"))
+    li0 = load_table(spark, sf_dir, "lineitem")
+    # the skew pre-flight (q_skew_metrics shape) as an in-plan 1-row
+    # scalar: max rows per join key, map-side combined, broadcast into
+    # both sides — no eager driver action, no second plan
+    r_row = (
+        li0.groupBy("l_orderkey")
+        .agg(F.count("*").alias("c"))
+        .agg(
+            F.least(
+                F.lit(32),
+                F.greatest(F.lit(2), F.ceil(F.max("c") / F.lit(target))),
+            )
+            .cast("int")
+            .alias("r")
+        )
+    )
+    li = (
+        li0.select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .crossJoin(r_row)
+        .select(
+            "l_orderkey",
+            "l_extendedprice",
+            F.pmod(F.xxhash64("l_linenumber"), F.col("r"))
+            .cast("int")
+            .alias("salt"),
+        )
     )
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderpriority"
     )
-    o_rep = o.withColumn(
-        "salt", F.explode(F.sequence(F.lit(0), F.lit(R - 1)))
+    o_rep = o.crossJoin(r_row).withColumn(
+        "salt", F.explode(F.sequence(F.lit(0), F.col("r") - 1))
     )
     joined = li.join(
         o_rep,
