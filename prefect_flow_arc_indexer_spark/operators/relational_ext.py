@@ -501,26 +501,27 @@ SELECT o.l_partkey, p.p_name,
  GROUP BY o.l_partkey, p.p_name, b.best_price
 """,
     doc="TPC-H Q2 shape (min-cost supplier, no partsupp): cheapest observed "
-    "supplier per part via min-over-group + join-back on the exact min "
-    "(doubles under MIN are order-stable, unlike SUM), deterministic "
-    "min-suppkey tie-break; both post-agg sides co-partition on partkey",
+    "supplier per part (doubles under MIN are order-stable, unlike SUM), "
+    "deterministic min-suppkey tie-break. r12 (guide §2.4): the min-over-"
+    "group + join-back-on-the-exact-min pair is a min-over-WINDOW + "
+    "filter — the per-(part,supplier) offers aggregation was evaluated "
+    "once per join side (a separately-planned subtree on each, no "
+    "exchange reuse), and the window keyed on the partkey the offers "
+    "exchange already established replaces the second aggregation AND "
+    "the join outright; filter-on-equality keeps exactly the join's rows",
 )
 def q_min_price_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     offers = li.groupBy("l_partkey", "l_suppkey").agg(
         F.min("l_extendedprice").alias("offer_price")
     )
-    best = offers.groupBy("l_partkey").agg(
-        F.min("offer_price").alias("best_price")
-    )
+    kept = offers.withColumn(
+        "best_price",
+        F.min("offer_price").over(Window.partitionBy("l_partkey")),
+    ).where(F.col("offer_price") == F.col("best_price"))
     p = load_table(spark, sf_dir, "part").select("p_partkey", "p_name")
     return (
-        offers.join(
-            best.withColumnRenamed("l_partkey", "b_partkey"),
-            (F.col("l_partkey") == F.col("b_partkey"))
-            & (F.col("offer_price") == F.col("best_price")),
-        )
-        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        kept.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("l_partkey", "p_name", "best_price")
         .agg(F.min("l_suppkey").alias("supplier"))
         .select(

@@ -1299,6 +1299,16 @@ def semdedup(e: DataFrame, k: int) -> DataFrame:
                 _argmax_cell(F.col("cents"), F.col("embedding")).alias("cluster"),
             )
         )
+    # r12 (guide §5): assigned feeds THREE branches (both pair sides and
+    # the keeper select), each of which re-ran the scan + nearest-anchor
+    # argmax/matmul. Materialize the assignment once; write-once-read-
+    # thrice is also the 100 TB shape (one k*d pass per vector instead of
+    # three). Caller releases via ckpt_release (q_containment contract).
+    from prefect_flow_arc_indexer_spark.functions.caching import (
+        CheckpointRelease,
+    )
+
+    assigned = assigned.localCheckpoint(eager=True)
     left = assigned.select(
         "vec_id", "cluster", F.col("embedding").alias("a_emb")
     )
@@ -1320,7 +1330,7 @@ def semdedup(e: DataFrame, k: int) -> DataFrame:
         .groupBy("vec_id")
         .agg(F.min("b_id").alias("dup_of"))
     )
-    return (
+    out = (
         assigned.select("vec_id", "cluster")
         .join(dups, "vec_id", "left")
         .select(
@@ -1330,6 +1340,8 @@ def semdedup(e: DataFrame, k: int) -> DataFrame:
             F.col("dup_of").isNull().alias("is_kept"),
         )
     )
+    out.ckpt_release = CheckpointRelease(assigned)
+    return out
 
 
 @register(

@@ -27,8 +27,12 @@ from prefect_flow_arc_indexer_spark.functions.textfns import (
     tokens,
     word_ngrams,
 )
+from prefect_flow_arc_indexer_spark.functions.caching import CheckpointRelease
 from prefect_flow_arc_indexer_spark.plans.registry import register
-from prefect_flow_arc_indexer_spark.sources.parquet import load_table
+from prefect_flow_arc_indexer_spark.sources.parquet import (
+    load_table,
+    table_row_count,
+)
 
 CHUNK_TOKENS = 8
 CHUNK_STRIDE = 4
@@ -271,8 +275,12 @@ SELECT doc_id, term, tf, df, score
     doc=f"TF-IDF top-{TOPTERMS_K} terms per doc (linear-idf variant "
     "(N+1)/(df+1) — IEEE-exact division, so both engines rank "
     "bit-identically; ln-idf would differ in the last ulp across libm "
-    "implementations and could flip tie-adjacent ranks); term frequencies "
-    "and document frequencies each computed in one partial-agg shuffle",
+    "implementations and could flip tie-adjacent ranks). r12 (guide §5/"
+    "§6): the tf aggregation is checkpointed once — the broadcast df "
+    "build is a separately-built broadcast, so exchange reuse never "
+    "fired and tf's explode+shuffle ran twice — and n_docs comes from "
+    "parquet footer metadata (the q_semdedup discipline) instead of a "
+    "third documents scan through its own broadcast",
 )
 def q_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents", fan_out=True)
@@ -280,28 +288,33 @@ def q_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
         .groupBy("doc_id", "term")
         .agg(F.count("*").alias("tf"))
-    )
+    ).localCheckpoint(eager=True)
     df = tf.groupBy("term").agg(F.count("*").alias("df"))
-    n = docs.agg(F.count("*").alias("n_docs"))
-    scored = tf.join(F.broadcast(df), "term").crossJoin(F.broadcast(n)).select(
+    # long + 1.0 in Spark is cast-to-double-then-add; Python float(n) + 1.0
+    # is the identical IEEE value for any table size under 2^53
+    n_docs = float(table_row_count(spark, sf_dir, "documents"))
+    scored = tf.join(F.broadcast(df), "term").select(
         "doc_id",
         "term",
         "tf",
         "df",
         F.round(
-            (F.col("tf") * (F.col("n_docs") + F.lit(1.0)))
-            / (F.col("df") + F.lit(1.0)),
+            (F.col("tf") * F.lit(n_docs + 1.0)) / (F.col("df") + F.lit(1.0)),
             6,
         ).alias("score"),
     )
     w = Window.partitionBy("doc_id").orderBy(
         F.col("score").desc(), F.col("term").asc()
     )
-    return (
+    out = (
         scored.withColumn("rk", F.row_number().over(w))
         .where(F.col("rk") <= TOPTERMS_K)
         .drop("rk")
     )
+    # caller releases the tf checkpoint blocks after materializing
+    # (q_containment contract; harness sweeps blanket-release)
+    out.ckpt_release = CheckpointRelease(tf)
+    return out
 
 
 # --------------------------------------------------------------------------
