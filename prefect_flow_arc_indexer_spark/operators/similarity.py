@@ -439,40 +439,6 @@ def q_knn_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
 KMEANS_ITERS = 3
 
 
-def _assign_cells(spark: SparkSession, e: DataFrame, cent_rows) -> DataFrame:
-    """(vec_id, label, embedding) with label = argmax-cosine cell.
-
-    ``cent_rows`` is the driver-collected [(label, centroid), ...] — tiny by
-    construction (k rows), so it ships as a ONE-ROW broadcast local relation
-    holding the centroid array (NOT as per-component literals: literal
-    centroids would change the generated code every iteration and force a
-    codegen recompile; a local relation keeps the plan shape — and the
-    compiled code — identical across iterations). The argmax is then a
-    shuffle-free fold per vector (see :func:`_argmax_cell`): a Lloyd
-    iteration's only exchange is the centroid re-estimation aggregate,
-    which is the theoretical minimum (that one is a real reduction).
-    """
-    cent = spark.createDataFrame(
-        [
-            (
-                sorted(
-                    (int(lbl), [float(x) for x in c]) for lbl, c in cent_rows
-                ),
-            )
-        ],
-        "cents array<struct<cell:int,centroid:array<double>>>",
-    )
-    return (
-        e.select("vec_id", "embedding")
-        .crossJoin(F.broadcast(cent))
-        .select(
-            "vec_id",
-            _argmax_cell(F.col("cents"), F.col("embedding")).alias("label"),
-            "embedding",
-        )
-    )
-
-
 def _dd_kmeans_sql() -> str:
     """Unrolled Lloyd iterations in DuckDB SQL (see q_kmeans's oracle
     comment). cent0 comes from the original labels; each round assigns by
@@ -527,6 +493,89 @@ SELECT CAST(s.cluster AS INT) AS cluster, s.n_members, c.centroid_checksum
 """
 
 
+def _lloyd_partials_kernel(cents):
+    """mapInArrow factory for one Lloyd round over (label, embedding):
+    assign each vector to its nearest centroid (``cents`` = cell-ascending
+    [(cell, centroid), ...]; None = keep the row's label column) and emit
+    ONE partial batch per task of the per-(cell, dimension) quantized
+    integer sums — the map-side half of the comp{t} aggregation.
+
+    Bit-exact JVM replicas throughout (guide §4.2): cosine is the
+    left-to-right double fold (np.cumsum), the 6-dp rounding and the
+    x*QUANT quantization use functions.rounding's Catalyst HALF_UP
+    replica, and argmax over cell-ascending rounded cosines resolves ties
+    to the smallest cell exactly like the (s DESC, cell ASC) struct max.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    from prefect_flow_arc_indexer_spark.functions.rounding import (
+        spark_round_half_up,
+        spark_round_half_up_long,
+    )
+
+    def run(it):
+        cmat = cnorm = cell_ids = None
+        if cents is not None:
+            cell_ids = np.array([c for c, _ in cents], dtype=np.int32)
+            cmat = np.array([v for _, v in cents], dtype=np.float64)
+            cnorm = np.sqrt(np.cumsum(cmat * cmat, axis=1)[:, -1])
+        acc_s: dict = {}
+        acc_n: dict = {}
+        for batch in it:
+            emb = np.array(batch.column(1).to_pylist(), dtype=np.float64)
+            if emb.size == 0:
+                continue
+            if cents is None:
+                labels = np.asarray(
+                    batch.column(0).to_pylist(), dtype=np.int64
+                )
+            else:
+                dots = np.cumsum(emb[:, None, :] * cmat[None, :, :], axis=2)[
+                    :, :, -1
+                ]
+                en = np.sqrt(np.cumsum(emb * emb, axis=1)[:, -1])
+                cos = dots / (en[:, None] * cnorm[None, :])
+                r6 = spark_round_half_up(cos.ravel(), 6).reshape(cos.shape)
+                labels = cell_ids[np.argmax(r6, axis=1)].astype(np.int64)
+            q = spark_round_half_up_long((emb * QUANT).ravel()).reshape(
+                emb.shape
+            )
+            for c in np.unique(labels):
+                mask = labels == c
+                s = q[mask].sum(axis=0)
+                if c in acc_s:
+                    acc_s[c] += s
+                    acc_n[c] += int(mask.sum())
+                else:
+                    acc_s[c] = s
+                    acc_n[c] = int(mask.sum())
+        if not acc_s:
+            return
+        cells: list[int] = []
+        poss: list[int] = []
+        ss: list[int] = []
+        ns: list[int] = []
+        for c in sorted(acc_s):
+            sv = acc_s[c]
+            d = len(sv)
+            cells.extend([int(c)] * d)
+            poss.extend(range(d))
+            ss.extend(int(v) for v in sv)
+            ns.extend([acc_n[c]] * d)
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(np.asarray(cells, dtype=np.int32)),
+                pa.array(np.asarray(poss, dtype=np.int32)),
+                pa.array(np.asarray(ss, dtype=np.int64)),
+                pa.array(np.asarray(ns, dtype=np.int64)),
+            ],
+            ["cell", "pos", "s", "n"],
+        )
+
+    return run
+
+
 @register(
     "q_kmeans",
     # Full DuckDB replay (r7 — was rows-only): KMEANS_ITERS is a constant,
@@ -557,96 +606,74 @@ def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "label", "embedding"
     )
     e = e.persist()
-    emb_d = F.col("embedding").cast("array<double>")
 
-    def comp_of(assigned: DataFrame) -> DataFrame:
-        """(cell, pos, s, n): the per-dimension exact integer sums (the
-        oracle's comp{t} CTE) — same arithmetic as ivf_centroids."""
+    def collect_comp(cents):
+        """One executed round: cached corpus -> Arrow partials -> tiny
+        (cell, pos) sum -> k x d rows on the driver."""
+        comp = e.select("label", "embedding").mapInArrow(
+            _lloyd_partials_kernel(cents),
+            "cell int, pos int, s long, n long",
+        )
         return (
-            assigned.select(
-                F.col("label").alias("cell"),
-                F.posexplode(emb_d).alias("pos", "x"),
-            )
-            .groupBy("cell", "pos")
-            .agg(
-                F.sum(F.round(F.col("x") * QUANT).cast("bigint")).alias("s"),
-                F.count("*").alias("n"),
-            )
+            comp.groupBy("cell", "pos")
+            .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
+            .collect()
         )
 
-    def cents_row(comp: DataFrame) -> DataFrame:
-        """One-row array<struct<cell,centroid>> (cell-ascending) — the
-        broadcastable centroid set _argmax_cell folds over."""
-        cent = comp.groupBy("cell").agg(
-            F.transform(
-                F.array_sort(
-                    F.collect_list(
-                        F.struct(
-                            "pos",
-                            (F.col("s").cast("double") / F.col("n")).alias(
-                                "c"
-                            ),
-                        )
-                    )
-                ),
-                lambda p: p["c"],
-            ).alias("centroid")
-        )
-        return cent.agg(
-            F.sort_array(
-                F.collect_list(
-                    F.struct(F.col("cell").cast("int").alias("cell"), "centroid")
-                )
-            ).alias("cents")
-        )
-
-    def assign(crow: DataFrame) -> DataFrame:
-        return e.crossJoin(F.broadcast(crow)).select(
-            "vec_id",
-            _argmax_cell(F.col("cents"), F.col("embedding")).alias("label"),
-            "embedding",
-        )
-
-    try:
-        # r11: the Lloyd chain runs as ONE lazy plan — each round's
-        # centroid set stays a 1-row broadcast subtree feeding the next
-        # assignment (exactly the oracle's unrolled-CTE shape) instead of
-        # a per-round driver collect + fresh plan. The driver sees only
-        # the FINAL per-dimension integer sums (k x d rows). Measured
-        # 4.13 -> 3.10 s at sf0.1 (plan build + AQE/codegen overhead of
-        # 4 fresh per-round plans was ~0.8 s each, execution ~0.15 s);
-        # at cluster scale the chain also drops 4 driver round-trips.
-        # Arithmetic is unchanged: same exact bigint sums, same s/n
-        # division, same argmax fold — assignment-for-assignment equal.
-        comp = comp_of(e.select("vec_id", "label", "embedding"))
-        for _ in range(KMEANS_ITERS - 1):
-            comp = comp_of(assign(cents_row(comp)))
-        comp_last = comp_of(assign(cents_row(comp)))
+    def cents_of(rows):
+        """Cell-ascending [(cell, centroid)]: exactly the cents_row
+        arithmetic — double(s)/n per dimension (s < 2^53, so the int ->
+        double cast and the division are the same IEEE ops)."""
         sums: dict[int, dict[int, int]] = {}
         cnt: dict[int, int] = {}
-        for r in comp_last.collect():
+        for r in rows:
             sums.setdefault(int(r["cell"]), {})[int(r["pos"])] = int(r["s"])
             cnt[int(r["cell"])] = int(r["n"])
-        cent_rows = [
+        return [
             (c, [float(sums[c][p]) / cnt[c] for p in range(EMB_DIM)])
             for c in sorted(sums)
         ]
-        sizes = (
-            _assign_cells(spark, e, cent_rows)
-            .groupBy(F.col("label").alias("cluster"))
-            .agg(F.count("*").alias("n_members"))
-        )
+
+    try:
+        # r12 (guide §4.2 + §1.2): each Lloyd round is a FLAT executed
+        # plan — cached corpus -> one Arrow kernel (assignment + map-side
+        # quantized partial sums) -> a k x d-row aggregation -> a k x d
+        # driver collect. The r11 single lazy chain had trivial execution
+        # (re-collect 0.09 s) but paid ~2.7 s of Python plan construction
+        # + Catalyst analysis/codegen for the 3-round nested tree
+        # (posexplode + argmax fold + collect_list per round); the flat
+        # rounds are shape-identical, so codegen caches across rounds.
+        # Per-round driver state is k x d integers — the MLlib KMeans
+        # shape; the round barrier is inherent to Lloyd either way.
+        # Arithmetic is unchanged and bit-exact (see kernel docstring);
+        # pinned by the kernel-vs-JVM-chain parity test and the oracle.
+        rows = collect_comp(None)
+        for _ in range(KMEANS_ITERS - 1):
+            rows = collect_comp(cents_of(rows))
+        rows = collect_comp(cents_of(rows))
+        cent_rows = cents_of(rows)
+        # the final membership census IS the per-cell count of one more
+        # assignment round over cent_rows — the same kernel produces it
+        # (n rides the partials at pos 0), replacing the separate
+        # _assign_cells job whose literal-centroid argmax re-paid the
+        # expression codegen the kernel rounds avoid
+        final_rows = collect_comp(cent_rows)
+        n_members = {
+            int(r["cell"]): int(r["n"]) for r in final_rows if r["pos"] == 0
+        }
     finally:
-        # the final job re-reads the (one-scan) parquet lineage; no cache leak
         e.unpersist()
-    checksums = spark.createDataFrame(
-        [
-            (int(lbl), sum(int(v) for v in (round(x * QUANT) for x in c)))
+    return spark.createDataFrame(
+        sorted(
+            (
+                int(lbl),
+                n_members.get(int(lbl), 0),
+                sum(int(v) for v in (round(x * QUANT) for x in c)),
+            )
             for lbl, c in cent_rows
-        ],
-        "cluster int, centroid_checksum bigint",
-    )
-    return sizes.join(F.broadcast(checksums), "cluster").orderBy("cluster")
+        ),
+        "cluster int, n_members bigint, centroid_checksum bigint",
+    ).where(F.col("n_members") > 0)
 
 
 @register(
@@ -972,6 +999,49 @@ SELECT CAST(i - 1 AS INTEGER) AS component_idx,
     )
 
 
+def _pca_step_kernel(v, m):
+    """mapInArrow factory for one power-iteration round over (x): center,
+    dot with the direction vector, quantize, and emit ONE partial batch
+    per task of the per-dimension integer sums (the map-side half of the
+    s{t} aggregation). Bit-exact JVM replicas: centering and the
+    (ci * dot) * QSTEP product are elementwise float64 ops, the dot is
+    the left-to-right fold (np.cumsum), and the quantization is the
+    Catalyst HALF_UP replica (guide §4.2)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from prefect_flow_arc_indexer_spark.functions.rounding import (
+        spark_round_half_up_long,
+    )
+
+    def run(it):
+        va = np.array(v, dtype=np.float64)
+        ma = np.array(m, dtype=np.float64)
+        acc = None
+        for batch in it:
+            x = np.array(batch.column(0).to_pylist(), dtype=np.float64)
+            if x.size == 0:
+                continue
+            c = x - ma[None, :]
+            dot = np.cumsum(c * va[None, :], axis=1)[:, -1]
+            contrib = spark_round_half_up_long(
+                ((c * dot[:, None]) * PCA_QSTEP).ravel()
+            ).reshape(c.shape)
+            part = contrib.sum(axis=0)
+            acc = part if acc is None else acc + part
+        if acc is None:
+            return
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(np.arange(acc.size, dtype=np.int32)),
+                pa.array(acc.astype(np.int64)),
+            ],
+            ["pos", "sq"],
+        )
+
+    return run
+
+
 @register(
     "q_pca_power",
     oracle=_dd_pca_sql(),
@@ -1003,44 +1073,6 @@ def q_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     e = e.persist()
 
-    def _ordered_array(grouped: DataFrame, val) -> DataFrame:
-        """1-row (s array<double>) from (pos, ...) rows, pos-ascending."""
-        return grouped.agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", val.alias("y")))),
-                lambda p: p["y"],
-            ).alias("s")
-        )
-
-    def _round_step(vm_row: DataFrame) -> DataFrame:
-        """One lazy power-iteration round: 1-row (v, m) broadcast ->
-        per-row centered dot -> quantized contributions -> per-dimension
-        exact integer sums -> 1-row un-normalized step vector s."""
-        centered = F.zip_with(F.col("x"), F.col("m"), lambda a, b: a - b)
-        with_c = e.crossJoin(F.broadcast(vm_row)).select(
-            centered.alias("c"), F.col("v")
-        )
-        dot = F.aggregate(
-            F.zip_with(F.col("c"), F.col("v"), lambda a, b: a * b),
-            F.lit(0.0),
-            lambda acc, y: acc + y,
-        )
-        # per-row contribution quantized BEFORE the per-dimension sum, so
-        # the reduction is an exact integer sum — order-independent and
-        # oracle-comparable (s{t} CTE in _dd_pca_sql)
-        scaled = F.transform(
-            F.col("c"),
-            lambda ci: F.round(ci * dot * F.lit(PCA_QSTEP)).cast("long"),
-        )
-        grouped = (
-            with_c.select(F.posexplode(scaled).alias("pos", "y"))
-            .groupBy("pos")
-        )
-        return _ordered_array(
-            grouped.agg(F.sum("y").alias("sq")),
-            F.col("sq").cast("double") / F.lit(PCA_QSTEP),
-        )
-
     try:
         # ONE corpus pass yields n and the quantized mean sums together
         # (r11 — previously a count plus a separate mean collect).
@@ -1066,35 +1098,41 @@ def q_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         for r in mean_rows:
             mean[r["pos"]] = float(r["s"]) / PCA_QIN / n
 
-        # r11: the PCA_ITERS power rounds run as ONE lazy plan — each
-        # round's (v, m) is a 1-row broadcast subtree chaining into the
-        # next round (exactly the oracle's v{t} CTE chain), with the
-        # between-round normalization in-plan: nrm = sqrt(sum s^2) (JVM
-        # sqrt and the Python math.sqrt it replaces are both the
-        # correctly-rounded IEEE sqrt, over the same pos-ordered fold),
-        # zero-guarded like the oracle's CASE. Only the LAST un-normalized
-        # step vector is collected; the final normalize / Rayleigh /
-        # sign-flip stay on the driver unchanged. Measured 3.62 -> ~2.4 s
-        # at sf0.1: 4 per-round driver collects (each a fresh ~0.8 s
-        # plan-build + AQE/codegen round-trip) become one executed plan.
-        m_lit = F.array(*[F.lit(x) for x in mean])
-        v0 = [1.0 if i == 0 else 0.0 for i in range(EMB_DIM)]
-        vm = spark.range(1).select(
-            F.array(*[F.lit(x) for x in v0]).alias("v"), m_lit.alias("m")
-        )
+        # r12 (guide §4.2 + §1.2): each power round is a FLAT executed
+        # plan — cached corpus -> one Arrow kernel (center + dot +
+        # quantized partial sums) -> a d-row aggregation -> a d-value
+        # driver collect. The r11 single lazy chain had trivial execution
+        # but paid the Python plan construction + Catalyst analysis of
+        # the 3-round nested tree per call (the q_kmeans measurement);
+        # the flat rounds are shape-identical, so codegen caches across
+        # rounds, and per-round driver state is d doubles. Arithmetic is
+        # unchanged and bit-exact: the between-round normalization is the
+        # identical left-to-right fold + correctly-rounded sqrt the
+        # in-plan form used (JVM sqrt == math.sqrt), zero-guarded the
+        # same way; pinned by the oracle's exact unrolled-CTE replay.
+        def step_collect(vec):
+            part = e.mapInArrow(
+                _pca_step_kernel(vec, mean), "pos int, sq long"
+            )
+            rows = (
+                part.groupBy("pos").agg(F.sum("sq").alias("sq")).collect()
+            )
+            sq = [0] * EMB_DIM
+            for r in rows:
+                sq[int(r["pos"])] = int(r["sq"])
+            return [float(x) / PCA_QSTEP for x in sq]
+
+        v_cur = [1.0 if i == 0 else 0.0 for i in range(EMB_DIM)]
         for _ in range(PCA_ITERS - 1):
-            s_row = _round_step(vm)
-            nrm = F.sqrt(
-                F.aggregate(
-                    F.col("s"), F.lit(0.0), lambda acc, y: acc + y * y
-                )
-            )
-            nrm = F.when(nrm == 0.0, F.lit(1.0)).otherwise(nrm)
-            vm = s_row.select(
-                F.transform(F.col("s"), lambda y: y / nrm).alias("v"),
-                m_lit.alias("m"),
-            )
-        s = list(_round_step(vm).collect()[0]["s"])
+            s_t = step_collect(v_cur)
+            acc = 0.0
+            for y in s_t:
+                acc += y * y
+            nrm = math.sqrt(acc)
+            if nrm == 0.0:
+                nrm = 1.0
+            v_cur = [y / nrm for y in s_t]
+        s = step_collect(v_cur)
         # math.sqrt (correctly rounded), NOT **0.5 (libm pow): the
         # oracle's sqrt() must see the same double
         norm = math.sqrt(sum(x * x for x in s)) or 1.0
