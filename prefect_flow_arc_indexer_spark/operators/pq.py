@@ -108,6 +108,143 @@ def _codebook(e: DataFrame) -> DataFrame:
     )
 
 
+def _collect_codebook(e: DataFrame) -> list:
+    """Driver-collected, cell-ascending [(cell, centroid floats)] — the
+    r12 kernel-side codebook. Identical values to the one-row broadcast
+    form: ivf_centroids' micro-unit doubles divided by QUANT per element
+    (float64 division, same IEEE op as the JVM transform)."""
+    from prefect_flow_arc_indexer_spark.operators.similarity import QUANT
+
+    rows = ivf_centroids(e).collect()
+    return sorted(
+        (int(r["label"]), [float(v) / float(QUANT) for v in r["centroid"]])
+        for r in rows
+    )
+
+
+def _pq_rowwise_kernel(cents, queries=None, probes=None):
+    """mapInArrow factory over (vec_id, x): PQ-encode each vector (8
+    argmin-L2 sub-codes) and emit either the encode outputs (codes string,
+    checksum, reconstruction MSE — ``queries is None``) or the ADC rows
+    ((query_id, neighbor_id, adc_dist) per query — ``queries`` =
+    [(query_id, qvec), ...]). With ``probes`` ({query_id: [cells]}, the
+    IVF-PQ mode) each row's coarse cell is additionally computed (argmax
+    rounded cosine, ties to the smallest cell — the _best_cell fold) and
+    a query only scores rows routed to one of its probed cells.
+
+    Bit-exact JVM replicas (guide §4.2): every subspace distance is the
+    left-to-right float64 fold (np.cumsum) of (a-b)^2 over the slice,
+    rounded through the Catalyst HALF_UP replica; argmin over
+    cell-ascending rounded distances resolves ties to the smallest cell
+    exactly like the (-d, -cell) struct max; the ADC sum accumulates the 8
+    LUT lookups in subspace order; the MSE folds err_0 + err_1 + ... in
+    subspace order before the /EMB_DIM * 1e6 scaling."""
+    import numpy as np
+    import pyarrow as pa
+
+    from prefect_flow_arc_indexer_spark.functions.rounding import (
+        spark_round_half_up,
+    )
+
+    def run(it):
+        cmat = np.array([c for _, c in cents], dtype=np.float64)  # (k, d)
+        cell_ids = np.array([lbl for lbl, _ in cents], dtype=np.int64)
+        sub = cmat.reshape(cmat.shape[0], PQ_M, PQ_DSUB)
+        if queries is not None:
+            # per-(query, sub, cell) rounded LUT, same fold as _sub_dist
+            qids = [q for q, _ in queries]
+            lut = np.empty((len(queries), PQ_M, cmat.shape[0]))
+            for qi, (_, qv) in enumerate(queries):
+                qs = np.array(qv, dtype=np.float64).reshape(PQ_M, PQ_DSUB)
+                diff = qs[None, :, :] - sub  # (k, M, dsub)
+                d = np.cumsum(diff * diff, axis=2)[:, :, -1].T  # (M, k)
+                lut[qi] = spark_round_half_up(d.ravel(), 6).reshape(d.shape)
+        for batch in it:
+            ids = batch.column(0)
+            x = np.array(batch.column(1).to_pylist(), dtype=np.float64)
+            if x.size == 0:
+                continue
+            n = x.shape[0]
+            xs = x.reshape(n, PQ_M, PQ_DSUB)
+            codes = np.empty((n, PQ_M), dtype=np.int64)
+            errs = np.empty((n, PQ_M), dtype=np.float64)
+            for s in range(PQ_M):
+                diff = xs[:, None, s, :] - sub[None, :, s, :]  # (n, k, dsub)
+                d = np.cumsum(diff * diff, axis=2)[:, :, -1]  # (n, k)
+                r6 = spark_round_half_up(d.ravel(), 6).reshape(d.shape)
+                pick = np.argmin(r6, axis=1)
+                codes[:, s] = cell_ids[pick]
+                # reconstruction error fold over the CHOSEN centroid's
+                # slice — unrounded, like err_s
+                ch = sub[pick, s, :]
+                cd = xs[:, s, :] - ch
+                errs[:, s] = np.cumsum(cd * cd, axis=1)[:, -1]
+            if queries is None:
+                # total_err = err_0 + err_1 + ... in subspace order
+                tot = errs[:, 0].copy()
+                for s in range(1, PQ_M):
+                    tot = tot + errs[:, s]
+                mse = spark_round_half_up(tot / EMB_DIM * 1e6, 6)
+                checksum = (codes * np.arange(1, PQ_M + 1)[None, :]).sum(
+                    axis=1, dtype=np.int64
+                )
+                strs = [",".join(str(int(c)) for c in row) for row in codes]
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        ids,
+                        pa.array(strs, type=pa.string()),
+                        pa.array(checksum),
+                        pa.array(mse),
+                    ],
+                    ["vec_id", "pq_codes", "code_checksum", "mse_ppm"],
+                )
+            else:
+                # cell ids are the contiguous 0..k-1 positions (asserted
+                # by the codebook sort), so codes index the LUT directly
+                id_np = np.asarray(ids.to_pylist(), dtype=np.int64)
+                if probes is not None:
+                    # coarse routing: argmax rounded cosine, smallest-cell
+                    # ties (the _best_cell fold, same replicas as the
+                    # Lloyd kernel)
+                    cnorm = np.sqrt(np.cumsum(cmat * cmat, axis=1)[:, -1])
+                    dots = np.cumsum(
+                        x[:, None, :] * cmat[None, :, :], axis=2
+                    )[:, :, -1]
+                    en = np.sqrt(np.cumsum(x * x, axis=1)[:, -1])
+                    cos = dots / (en[:, None] * cnorm[None, :])
+                    r6c = spark_round_half_up(cos.ravel(), 6).reshape(
+                        cos.shape
+                    )
+                    row_cell = cell_ids[np.argmax(r6c, axis=1)]
+                out_q: list[int] = []
+                out_n: list[int] = []
+                out_d: list[float] = []
+                for qi, qid in enumerate(qids):
+                    got = lut[qi][np.arange(PQ_M)[None, :], codes]  # (n, M)
+                    dist = spark_round_half_up(
+                        np.cumsum(got, axis=1)[:, -1], 6
+                    )
+                    keep = id_np != qid
+                    if probes is not None:
+                        keep = keep & np.isin(
+                            row_cell,
+                            np.asarray(probes[qid], dtype=np.int64),
+                        )
+                    out_q.extend([qid] * int(keep.sum()))
+                    out_n.extend(int(v) for v in id_np[keep])
+                    out_d.extend(float(v) for v in dist[keep])
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(np.asarray(out_q, dtype=np.int64)),
+                        pa.array(np.asarray(out_n, dtype=np.int64)),
+                        pa.array(np.asarray(out_d, dtype=np.float64)),
+                    ],
+                    ["query_id", "neighbor_id", "adc_dist"],
+                )
+
+    return run
+
+
 def _sub_slice(col: Column, s: int) -> Column:
     return F.slice(col, s * PQ_DSUB + 1, PQ_DSUB)
 
@@ -176,39 +313,16 @@ def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings", fan_out=True).select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("x")
     )
-    cb = _codebook(e.select("label", F.col("x").alias("embedding")))
-    rows = e.select("vec_id", "x").crossJoin(F.broadcast(cb))
-    cents, x = F.col("cents"), F.col("x")
-    codes = [_code(cents, x, s) for s in range(PQ_M)]
-    with_codes = rows.select(
-        "vec_id", "x", "cents", *[codes[s].alias(f"c{s}") for s in range(PQ_M)]
-    )
-    # reconstruction error: per-subspace left folds added in subspace order
-    def err_s(s: int) -> Column:
-        chosen = F.element_at(F.col("cents"), F.col(f"c{s}") + 1)["centroid"]
-        return F.aggregate(
-            F.zip_with(
-                _sub_slice(F.col("x"), s),
-                _sub_slice(chosen, s),
-                lambda a, b: (a - b) * (a - b),
-            ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-
-    total_err = err_s(0)
-    for s in range(1, PQ_M):
-        total_err = total_err + err_s(s)
-    checksum = sum(
-        (F.col(f"c{s}") * (s + 1)).cast("bigint") for s in range(PQ_M)
-    )
-    return with_codes.select(
-        "vec_id",
-        F.concat_ws(
-            ",", *[F.col(f"c{s}").cast("string") for s in range(PQ_M)]
-        ).alias("pq_codes"),
-        checksum.alias("code_checksum"),
-        F.round(total_err / EMB_DIM * 1e6, 6).alias("mse_ppm"),
+    # r12 (guide §4.2): the codebook is a k x 64 driver collect and the 8
+    # argmin folds + error folds run in ONE Arrow kernel over the corpus
+    # — the broadcast-codebook form paid a large Python-built fold tree
+    # (plan construction + codegen dominated the wall; execution was
+    # trivial). Values bit-exact: see _pq_rowwise_kernel.
+    cents = _collect_codebook(e.select("label", F.col("x").alias("embedding")))
+    return e.select("vec_id", "x").mapInArrow(
+        _pq_rowwise_kernel(cents),
+        "vec_id bigint, pq_codes string, code_checksum bigint, "
+        "mse_ppm double",
     )
 
 
@@ -246,107 +360,36 @@ SELECT query_id, neighbor_id, adc_dist, rank FROM (
     "per-query-constant.",
 )
 def q_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from prefect_flow_arc_indexer_spark.functions.caching import (
-        CheckpointRelease,
-    )
-
     e = load_table(spark, sf_dir, "embeddings", fan_out=True).select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("x")
     )
-    # r11 (guide §5): the one-row codebook feeds TWO consumers (code table
-    # + query LUT) and each crossJoin(broadcast(cb)) re-derived the whole
-    # centroid aggregation from its own corpus scan — no exchange reuse
-    # fires between two separately-built broadcasts. An eager one-row
-    # localCheckpoint evaluates the subtree once; caller releases via
-    # ckpt_release (ADVICE r10 naked-checkpoint contract).
-    cb = _codebook(
-        e.select("label", F.col("x").alias("embedding"))
-    ).localCheckpoint(eager=True)
-    cb_release = CheckpointRelease(cb)
-    cents, x = F.col("cents"), F.col("x")
-    coded = (
-        e.select("vec_id", "x")
-        .crossJoin(F.broadcast(cb))
-        .select(
-            "vec_id",
-            F.array(*[_code(cents, x, s) for s in range(PQ_M)]).alias("codes"),
-        )
+    # r12 (guide §4.2): the codebook is a k x 64 driver collect (replacing
+    # the r11 eager one-row checkpoint) and the query vectors are a
+    # PQ_N_QUERIES-row collect off the pruned parquet scan; encoding, the
+    # per-query LUTs and the 8-lookup ADC sums all run in ONE Arrow
+    # kernel over the corpus — the broadcast-LUT form paid a large
+    # Python-built fold tree per consumer. Values bit-exact: see
+    # _pq_rowwise_kernel (LUT fold, subspace-ordered ADC sum, HALF_UP
+    # rounding replicas).
+    cents = _collect_codebook(e.select("label", F.col("x").alias("embedding")))
+    queries = sorted(
+        (int(r["vec_id"]), [float(v) for v in r["x"]])
+        for r in e.where(F.col("vec_id") < PQ_N_QUERIES)
+        .select("vec_id", "x")
+        .collect()
     )
-    # per-query LUT: l[sub][cell] = rounded subspace distance, built from the
-    # same one-row codebook; collapses to ONE broadcast row of all queries
-    q = (
-        e.where(F.col("vec_id") < PQ_N_QUERIES)
-        .select(F.col("vec_id").alias("query_id"), F.col("x").alias("qx"))
-        .crossJoin(F.broadcast(cb))
-        .select(
-            "query_id",
-            F.transform(
-                F.sequence(F.lit(0), F.lit(PQ_M - 1)),
-                lambda s: F.transform(
-                    F.col("cents"),
-                    lambda c: F.round(
-                        F.aggregate(
-                            F.zip_with(
-                                F.slice(F.col("qx"), s * PQ_DSUB + 1, PQ_DSUB),
-                                F.slice(c["centroid"], s * PQ_DSUB + 1, PQ_DSUB),
-                                lambda a, b: (a - b) * (a - b),
-                            ),
-                            F.lit(0.0),
-                            lambda acc, v: acc + v,
-                        ),
-                        6,
-                    ),
-                ),
-            ).alias("l"),
-        )
-    )
-    luts = q.agg(
-        F.sort_array(
-            F.collect_list(F.struct("query_id", "l"))
-        ).alias("luts")
-    )
-    scored = (
-        coded.crossJoin(F.broadcast(luts))
-        .select(
-            "vec_id",
-            F.explode(
-                F.transform(
-                    F.col("luts"),
-                    lambda lu: F.struct(
-                        lu["query_id"].alias("query_id"),
-                        F.round(
-                            F.aggregate(
-                                F.sequence(F.lit(0), F.lit(PQ_M - 1)),
-                                F.lit(0.0),
-                                lambda acc, s: acc
-                                + F.element_at(
-                                    F.element_at(lu["l"], s + 1),
-                                    F.element_at(F.col("codes"), s + 1) + 1,
-                                ),
-                            ),
-                            6,
-                        ).alias("adc_dist"),
-                    ),
-                )
-            ).alias("p"),
-        )
-        .select(
-            F.col("p.query_id").alias("query_id"),
-            F.col("vec_id").alias("neighbor_id"),
-            F.col("p.adc_dist").alias("adc_dist"),
-        )
-        .where(F.col("neighbor_id") != F.col("query_id"))
+    scored = e.select("vec_id", "x").mapInArrow(
+        _pq_rowwise_kernel(cents, queries),
+        "query_id bigint, neighbor_id bigint, adc_dist double",
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("adc_dist").asc(), F.col("neighbor_id").asc()
     )
-    out = (
+    return (
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= PQ_TOP_K)
         .select("query_id", "neighbor_id", "adc_dist", "rank")
     )
-    out.ckpt_release = cb_release
-    return out
 
 
 # --------------------------------------------------------------------------
@@ -457,8 +500,6 @@ SELECT e.query_id,
                 ),
             )
         )
-        # propagate the ADC codebook checkpoint's release handle
-        out.ckpt_release = adc.ckpt_release
         return out
 
 
@@ -538,120 +579,50 @@ SELECT query_id, neighbor_id, adc_dist, rank FROM (
     "raw-unit centroids route identically to the IVF micro-unit ones).",
 )
 def q_ivfpq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from prefect_flow_arc_indexer_spark.functions.caching import (
-        CheckpointRelease,
-    )
-    from prefect_flow_arc_indexer_spark.functions.vectors import (
-        cosine_similarity,
+    import numpy as np
+
+    from prefect_flow_arc_indexer_spark.functions.rounding import (
+        spark_round_half_up,
     )
 
     e = load_table(spark, sf_dir, "embeddings", fan_out=True).select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("x")
     )
-    # one evaluation of the codebook subtree for the two consumers (coded
-    # corpus + query probe/LUT side) — the q_pq_adc r11 checkpoint shape
-    cb = _codebook(
-        e.select("label", F.col("x").alias("embedding"))
-    ).localCheckpoint(eager=True)
-    cb_release = CheckpointRelease(cb)
-    cents, x = F.col("cents"), F.col("x")
-
-    def _best_cell(vec: Column) -> Column:
-        best = F.array_max(
-            F.transform(
-                cents,
-                lambda c: F.struct(
-                    F.round(cosine_similarity(vec, c["centroid"]), 6).alias(
-                        "s"
-                    ),
-                    (-c["cell"]).alias("neg_cell"),
-                ),
-            )
-        )
-        return (-best["neg_cell"]).cast("int")
-
-    # one corpus scan: coarse cell + 8 PQ codes in a single projection
-    coded = (
-        e.select("vec_id", "x")
-        .crossJoin(F.broadcast(cb))
-        .select(
-            "vec_id",
-            _best_cell(x).alias("cell"),
-            F.array(*[_code(cents, x, s) for s in range(PQ_M)]).alias("codes"),
-        )
+    # r12 (guide §4.2): same shape as q_pq_adc — k x 64 codebook collect,
+    # query collect, ONE Arrow kernel doing coarse routing + encoding +
+    # probe-restricted ADC. The per-query probe lists replicate the
+    # probe_structs sort on the driver: rounded cosine (same fold order
+    # replicas), ordered by (-cos, cell), first PQ_NPROBE cells.
+    cents = _collect_codebook(e.select("label", F.col("x").alias("embedding")))
+    queries = sorted(
+        (int(r["vec_id"]), [float(v) for v in r["x"]])
+        for r in e.where(F.col("vec_id") < PQ_N_QUERIES)
+        .select("vec_id", "x")
+        .collect()
     )
-    # query side: nprobe best cells (rounded-cosine desc, cell asc) + the
-    # per-query (subspace x centroid) distance LUT
-    probe_structs = F.array_sort(
-        F.transform(
-            cents,
-            lambda c: F.struct(
-                (-F.round(cosine_similarity(F.col("qx"), c["centroid"]), 6)).alias(
-                    "negc"
-                ),
-                c["cell"].alias("cell"),
-            ),
+    cmat = np.array([c for _, c in cents], dtype=np.float64)
+    cell_ids = [lbl for lbl, _ in cents]
+    cnorm = np.sqrt(np.cumsum(cmat * cmat, axis=1)[:, -1])
+    probes = {}
+    for qid, qv in queries:
+        qa = np.array(qv, dtype=np.float64)
+        dots = np.cumsum(qa[None, :] * cmat, axis=1)[:, -1]
+        qn = float(np.sqrt(np.cumsum(qa * qa)[-1]))
+        cos = dots / (qn * cnorm)
+        r6 = spark_round_half_up(cos, 6)
+        order = sorted(
+            (float(-r6[i]), cell_ids[i]) for i in range(len(cell_ids))
         )
-    )
-    lut_expr = F.transform(
-        F.sequence(F.lit(0), F.lit(PQ_M - 1)),
-        lambda s: F.transform(
-            cents,
-            lambda c: F.round(
-                F.aggregate(
-                    F.zip_with(
-                        F.slice(F.col("qx"), s * PQ_DSUB + 1, PQ_DSUB),
-                        F.slice(c["centroid"], s * PQ_DSUB + 1, PQ_DSUB),
-                        lambda a, b: (a - b) * (a - b),
-                    ),
-                    F.lit(0.0),
-                    lambda acc, v: acc + v,
-                ),
-                6,
-            ),
-        ),
-    )
-    q_probe = (
-        e.where(F.col("vec_id") < PQ_N_QUERIES)
-        .select(F.col("vec_id").alias("query_id"), F.col("x").alias("qx"))
-        .crossJoin(F.broadcast(cb))
-        .select(
-            "query_id",
-            F.explode(
-                F.transform(
-                    F.slice(probe_structs, 1, PQ_NPROBE), lambda p: p["cell"]
-                )
-            ).alias("cell"),
-            lut_expr.alias("l"),
-        )
-    )
-    scored = (
-        coded.join(F.broadcast(q_probe), "cell")
-        .where(F.col("vec_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            F.round(
-                F.aggregate(
-                    F.sequence(F.lit(0), F.lit(PQ_M - 1)),
-                    F.lit(0.0),
-                    lambda acc, s: acc
-                    + F.element_at(
-                        F.element_at(F.col("l"), s + 1),
-                        F.element_at(F.col("codes"), s + 1) + 1,
-                    ),
-                ),
-                6,
-            ).alias("adc_dist"),
-        )
+        probes[qid] = [cell for _, cell in order[:PQ_NPROBE]]
+    scored = e.select("vec_id", "x").mapInArrow(
+        _pq_rowwise_kernel(cents, queries, probes),
+        "query_id bigint, neighbor_id bigint, adc_dist double",
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("adc_dist").asc(), F.col("neighbor_id").asc()
     )
-    out = (
+    return (
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= PQ_TOP_K)
         .select("query_id", "neighbor_id", "adc_dist", "rank")
     )
-    out.ckpt_release = cb_release
-    return out
