@@ -147,6 +147,9 @@ def _pq_rowwise_kernel(cents, queries=None, probes=None):
     )
 
     def run(it):
+        if not cents or (queries is not None and not queries):
+            # empty codebook / query set only occurs for an empty corpus
+            return
         cmat = np.array([c for _, c in cents], dtype=np.float64)  # (k, d)
         cell_ids = np.array([lbl for lbl, _ in cents], dtype=np.int64)
         sub = cmat.reshape(cmat.shape[0], PQ_M, PQ_DSUB)
@@ -600,10 +603,11 @@ def q_ivfpq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "x")
         .collect()
     )
-    cmat = np.array([c for _, c in cents], dtype=np.float64)
-    cell_ids = [lbl for lbl, _ in cents]
-    cnorm = np.sqrt(np.cumsum(cmat * cmat, axis=1)[:, -1])
     probes = {}
+    if cents and queries:
+        cmat = np.array([c for _, c in cents], dtype=np.float64)
+        cell_ids = [lbl for lbl, _ in cents]
+        cnorm = np.sqrt(np.cumsum(cmat * cmat, axis=1)[:, -1])
     for qid, qv in queries:
         qa = np.array(qv, dtype=np.float64)
         dots = np.cumsum(qa[None, :] * cmat, axis=1)[:, -1]

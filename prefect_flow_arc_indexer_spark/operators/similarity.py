@@ -515,6 +515,10 @@ def _lloyd_partials_kernel(cents):
     )
 
     def run(it):
+        if cents is not None and not cents:
+            # empty selected-center set only occurs for an empty corpus
+            # (comp rows exist iff rows do): nothing to assign or sum
+            return
         cmat = cnorm = cell_ids = None
         if cents is not None:
             cell_ids = np.array([c for c, _ in cents], dtype=np.int32)
