@@ -69,21 +69,18 @@ _OPERATOR_MODULES = (
 # citizens everywhere else (bench, selfcheck, tests); only the recorded
 # 50-sample is curated.
 #
-# r11 rotation (VERDICT r10 task 1): CLOSE the ledger — this window holds
-# the ENTIRE never-driver-checked remainder.  q_publish_manifest leads
-# (registered this round: the X6 atomic-publish lifecycle driver-gated for
-# the first time, task 6).  Then ALL 33 never-checked exact-oracle queries
-# (pre-validated 33/33 on the driver's toPandas path at round-10 close,
-# REPLICA_r11_candidates.json) and the 5 rows-only-BY-DESIGN sketch/FFT
-# entries (no oracle form exists: MG/GK/HLL sketch internals and FFT are
+# r11 rotation (VERDICT r10 task 1) CLOSED the ledger: with the r11
+# window green, every one of the 263 registered queries has driver
+# exposure — exact-oracle for 258, rows-only for the 5 sketch/FFT entries
+# (no oracle form exists: MG/GK/HLL sketch internals and FFT are
 # engine-specific — the r9 q_heavy_hitters precedent; listed in
-# _WINDOW_ROWS_ONLY_OK so the curated-window policy stays explicit).  To
-# make room, the pinned reference surface contracts from 20 to the 11
-# queries spanning every §2 family (S/P/A/J/O/T/X representatives below);
-# the 9 unpinned reference queries have been driver-green in ALL TEN prior
-# rounds and stay on selfcheck/bench/pytest.  After this window goes
-# green, every one of the 263 registered queries has driver exposure —
-# exact-oracle for 258, rows-only for the 5 sketch/FFT entries.
+# _WINDOW_ROWS_ONLY_OK so the curated-window policy stays explicit).
+#
+# r12 rotation (VERDICT r11 task 7): the ledger being converged, the
+# window's 33 free slots now carry every query THIS optimization round
+# changed, so the driver's own oracle re-verifies the round's kernel
+# rewrites and plan restructurings directly. The pinned reference surface
+# (11 §2-family representatives) and the 5 rows-only sketches stay.
 _DRIVER_WINDOW = (
     # registered this round — first-round gate exposure (VERDICT r10
     # task 6: X6 atomic publish)
@@ -96,19 +93,22 @@ _DRIVER_WINDOW = (
     "q_json_extract", "q_cdc_merge", "q_doc_actions",
     "q_anti_join_cleanup", "q_dup_alias_having", "q_count_reconcile",
     "q_schema_probe", "q_topk_tail",
-    # the full never-checked exact-oracle remainder (33, round-robin
-    # cross-family order from rotate_window.py; REPLICA_r11_candidates)
-    "q_reservoir_sample", "q_class_weights", "q_mixture_apply",
-    "q_promo_revenue", "q_top_supplier", "q_parts_supplier_counts",
-    "q_large_orders", "q_sales_opportunity", "q_min_price_supplier",
-    "q_waiting_suppliers", "q_forecast_revenue", "q_shipmode_priority",
-    "q_promo_part_suppliers", "q_dq_checks", "q_stats_merge",
-    "q_skew_metrics", "q_column_profile", "q_kanon_audit",
-    "q_dp_counts", "q_ab_srm", "q_feature_hash",
-    "q_pit_labels", "q_target_encoding", "q_negative_sampling",
-    "q_rank_fusion", "q_spearman", "q_hash_embed",
-    "q_dim_variance", "q_kfold", "q_gini",
-    "q_knn_classify", "q_chi_square", "q_zipf_fit",
+    # r12 rotation: the ledger is converged (258/263 ever-green; the
+    # other 5 are the rows-only sketches below), so the window now
+    # prioritizes EVERY query this optimization round touched — the
+    # driver's own oracle re-verifies the round's changes (33 slots,
+    # optimized queries first, then their composers)
+    "q_dedup_minhash", "q_dedup_simhash", "q_dedup_cascade",
+    "q_minhash_estimate", "q_minhash_verified", "q_pair_features",
+    "q_simhash_capped", "q_simhash_band_census", "q_band_sweep",
+    "q_neardup_capped", "q_dedup_components", "q_dedup_incremental",
+    "q_neardup_apply", "q_dup_quality", "q_lsh_recall",
+    "q_ngram_jaccard", "q_containment", "q_mad",
+    "q_percentiles", "q_lang_confusion", "q_lang_id",
+    "q_column_profile", "q_salted_join", "q_tfidf_topterms",
+    "q_min_price_supplier", "q_semdedup", "q_semdedup_capped",
+    "q_kmeans", "q_pca_power", "q_pq_codes",
+    "q_pq_adc", "q_ivfpq_adc", "q_pq_recall",
     # rows-only-BY-DESIGN sketch/FFT entries (driver records a weaker
     # rows-only row — the honest label for estimates with no SQL oracle)
     "q_approx_distinct", "q_approx_percentiles", "q_heavy_hitters",
