@@ -78,20 +78,40 @@ def test_driver_window_prefix_is_exact_oracle_gated():
 
 
 def test_driver_window_extension_slots_are_first_exposure():
-    """Rotation tripwire (VERDICT r5 task 1): every NON-reference slot in
-    the driver window must be a query with no prior driver-green round in
-    the committed COVERAGE_LEDGER.json. When a new round's CORRECTNESS file
-    lands and the ledger is regenerated, this test FAILS until the window
-    is rotated to the next 30 never-checked queries — the forcing function
-    that burns down the backlog instead of re-spending gate slots."""
+    """Rotation tripwire (VERDICT r5 task 1): while any oracle-gated query
+    has never been driver-green, every NON-reference slot in the driver
+    window must be first-exposure — the forcing function that burns down
+    the backlog instead of re-spending gate slots.
+
+    r12: the ledger CONVERGED (every oracle-gated query has a driver-green
+    round; the only never-checked entries are the rows-only sketches that
+    cannot be oracle-gated). Once converged, the burn-down mandate is
+    satisfied and the window may re-spend slots — r12 points them at the
+    queries the optimization round changed, which is the highest-value
+    re-verification. The tripwire stays armed for any future state where
+    an oracle-gated query is still unexposed."""
     import json
 
-    from prefect_flow_arc_indexer_spark.plans.registry import _DRIVER_WINDOW
+    from prefect_flow_arc_indexer_spark.plans.registry import (
+        _DRIVER_WINDOW,
+        _WINDOW_ROWS_ONLY_OK,
+        all_queries,
+    )
 
     ledger = json.load(open("/root/repo/COVERAGE_LEDGER.json"))
-    # r11 window shape: slot 0 is the this-round registration
-    # (q_publish_manifest), slots 1-11 the pinned reference surface; every
-    # later slot must be first-exposure (never driver-green before)
+    qs = all_queries()
+    unexposed = [
+        n
+        for n, rq in qs.items()
+        if rq.oracle is not None and n not in ledger["last_green_round"]
+    ]
+    if not unexposed:
+        # converged: every oracle-gated query has driver exposure; the
+        # rows-only sketches must still hold their window slots so their
+        # (weaker) rows-only exposure is preserved
+        assert _WINDOW_ROWS_ONLY_OK <= set(_DRIVER_WINDOW)
+        return
+    # burn-down mode: extension slots must be first-exposure
     pinned = set(_DRIVER_WINDOW[:12])
     stale = [
         q
